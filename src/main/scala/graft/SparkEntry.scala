@@ -1,13 +1,204 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator in SURVEY.md §2's inventory appears here as a named
+  * query over the driver testdata (TESTDATA.md), with a matching DuckDB
+  * oracle in [[oracleSql]] where the semantics are SQL-expressible.
+  * Parity conventions (deterministic ORDER BY, aligned aliases and
+  * types, rounded computed doubles) are documented in
+  * [[graft.ops.CoreOps]].
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ops.Pricing.priceBatch(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pruned_scan"   -> (ops.CoreOps.prunedScan(_, _)),
+    "q02_group_mean"    -> (ops.CoreOps.groupMean(_, _)),
+    "q03_daily_mean"    -> (ops.CoreOps.dailyMean(_, _)),
+    "q04_trailing_mean" -> (ops.CoreOps.trailingMean(_, _)),
+    "q05_yoy_alpha"     -> (ops.WindowOps.yoyAlpha(_, _)),
+    "q06_rolling_mean"  -> (ops.WindowOps.rollingMean(_, _)),
+    "q07_ols_forecast"  -> (ops.Forecast.closedForm(_, _)),
+    "q08_union_all"     -> (ops.CoreOps.unionAll(_, _)),
+    "q09_sort_limit"    -> (ops.CoreOps.sortLimit(_, _)),
+    "q10_scalar_funcs"  -> (ops.CoreOps.scalarFuncs(_, _)),
+    "q11_join_revenue"  -> (ops.CoreOps.joinRevenue(_, _)),
+    "q12_json_extract"  -> (ops.CoreOps.jsonExtract(_, _)),
+    "q13_price"         -> (ops.Pricing.priceBatch(_, _)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * NOTE: `events.ts` is timestamp[ns] in parquet; Spark truncates to
+    * microseconds on read (graft.tables.Tables), so oracles cast
+    * `ts::TIMESTAMP` wherever sub-second precision could matter.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pruned_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A','R') AND l_linestatus = 'F'
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
+
+    "q02_group_mean" ->
+      """SELECT l_returnflag, l_linestatus, CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  round(sum(l_quantity), 2) / count(l_quantity) AS avg_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q03_daily_mean" ->
+      """SELECT event_type, (ts::TIMESTAMP)::DATE AS d,
+        |  round(sum(value), 2) / count(value) AS daily_mwh
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q04_trailing_mean" ->
+      """SELECT round(sum(value), 2) / count(value) AS avg30, count(*) AS n_rows
+        |FROM events
+        |WHERE ts::TIMESTAMP >= (SELECT max(ts::TIMESTAMP) - INTERVAL 30 DAYS FROM events)""".stripMargin,
+
+    "q05_yoy_alpha" ->
+      """WITH yearly AS (
+        |  SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS yr,
+        |         round(sum(o_totalprice), 2) / count(o_totalprice) AS conso
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT o_orderpriority, yr, conso,
+        |         lead(conso) OVER (PARTITION BY o_orderpriority ORDER BY yr) / conso AS alpha_raw
+        |  FROM yearly)
+        |SELECT o_orderpriority, yr, conso,
+        |  CASE WHEN alpha_raw IS NOT NULL
+        |       THEN round(least(1.3, greatest(1.0, alpha_raw)), 6) END AS alpha
+        |FROM r
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q06_rolling_mean" ->
+      """WITH daily AS (
+        |  SELECT event_type, (ts::TIMESTAMP)::DATE AS d, round(sum(value), 2) AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, d, v,
+        |  round(sum(v) OVER w, 2) / count(v) OVER w AS avg7
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q07_ols_forecast" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(datediff('day', DATE '1970-01-01', (ts::TIMESTAMP)::DATE) AS INT) AS x,
+        |         round(sum(value), 2) / count(value) AS y
+        |  FROM events GROUP BY 1, 2),
+        |ctr AS (
+        |  SELECT event_type, x, y,
+        |         avg(x) OVER (PARTITION BY event_type) AS xbar,
+        |         avg(y) OVER (PARTITION BY event_type) AS ybar,
+        |         max(x) OVER (PARTITION BY event_type) AS xmax
+        |  FROM daily),
+        |fit AS (
+        |  SELECT event_type, max(xmax) AS xmax, max(xbar) AS xbar, max(ybar) AS ybar,
+        |         sum((x - xbar) * (y - ybar)) AS sxy,
+        |         sum((x - xbar) * (x - xbar)) AS sxx
+        |  FROM ctr GROUP BY 1),
+        |coefs AS (
+        |  SELECT event_type, xmax,
+        |         round(CASE WHEN sxx > 0 THEN sxy / sxx END, 6) AS slope,
+        |         round(ybar - round(CASE WHEN sxx > 0 THEN sxy / sxx END, 6) * xbar, 6) AS intercept
+        |  FROM fit)
+        |SELECT event_type, k, CAST(xmax + k AS INT) AS forecast_day,
+        |       intercept + slope * (xmax + k) AS pred
+        |FROM coefs, unnest([1, 2, 3]) AS t(k)
+        |ORDER BY event_type, k""".stripMargin,
+
+    "q08_union_all" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, 'hist' AS src
+        |FROM lineitem WHERE l_returnflag = 'A'
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_quantity, 'fcst' AS src
+        |FROM lineitem WHERE l_returnflag = 'N'
+        |ORDER BY l_orderkey, l_linenumber, src, l_quantity""".stripMargin,
+
+    "q09_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 50""".stripMargin,
+
+    "q10_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS order_year,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+        |  (o_orderdate - INTERVAL 30 DAYS)::DATE AS day_minus_30,
+        |  round_even(o_totalprice, 0) AS price_int,
+        |  round(least(150000.0, greatest(50000.0, o_totalprice)), 2) AS price_clamped
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q11_join_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q12_json_extract" ->
+      """SELECT event_type, (props->>'$.k')::INT % 10 AS k_bucket, count(*) AS n
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q13_price" ->
+      """WITH requests AS (
+        |  SELECT c_custkey, r_name AS region,
+        |         CAST(c_custkey % 4 + 1 AS INT) AS nb_personne,
+        |         CAST(20 + c_custkey % 180 AS INT) AS nb_m2
+        |  FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |m AS (
+        |  SELECT least(0.05, 0.01 * (round(sum(value), 2) / count(value)) / 4000.0) AS m
+        |  FROM events
+        |  WHERE ts::TIMESTAMP >= (SELECT max(ts::TIMESTAMP) - INTERVAL 30 DAYS FROM events)),
+        |region_year AS (
+        |  SELECT r_name AS region, CAST(year(o_orderdate) AS INT) AS yr,
+        |         sum(o_totalprice) AS v
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation   ON c_nationkey = n_nationkey
+        |  JOIN region   ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |ratio AS (
+        |  SELECT region, yr,
+        |         lead(v) OVER (PARTITION BY region ORDER BY yr) / v AS ratio
+        |  FROM region_year),
+        |alpha AS (
+        |  SELECT region,
+        |         round(coalesce(least(1.3, greatest(1.0, ratio)), 1.0), 6) AS alpha
+        |  FROM ratio
+        |  WHERE yr = (SELECT CAST(max(year(o_orderdate)) AS INT) - 1 FROM orders))
+        |SELECT c_custkey, region, nb_personne, nb_m2,
+        |  coalesce(alpha, 1.0) AS alpha, m,
+        |  round_even((0.1558 + coalesce(alpha, 1.0) * m)
+        |             * (110.0 * nb_m2 + 800.0 * nb_personne + 200.0 * nb_personne + 1100.0)
+        |             / 12.0 + 6.0, 2) AS price
+        |FROM requests
+        |LEFT JOIN alpha USING (region)
+        |CROSS JOIN m
+        |ORDER BY c_custkey""".stripMargin,
+  )
 }

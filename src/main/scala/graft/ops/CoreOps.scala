@@ -1,0 +1,158 @@
+package graft.ops
+
+import graft.tables.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational operators — the reference's scan/filter/project/agg/
+  * union/sort surface (SURVEY.md §2.1, §2.2, §2.4, §2.6, §2.7, §2.8)
+  * re-expressed set-oriented on the driver testdata tables.
+  *
+  * Parity conventions shared with the DuckDB oracles in
+  * [[graft.SparkEntry.oracleSql]]:
+  *  - every query ends in a deterministic ORDER BY (with tiebreakers
+  *    wherever the leading keys are not unique);
+  *  - means over ≤2-decimal money columns are computed as
+  *    `round(sum(x), 2) / count(x)` ([[stableAvg]]): the true sum sits
+  *    exactly on the cent grid, so both engines collapse their ~1e-12
+  *    summation-order noise onto the *identical* double before any
+  *    further arithmetic — a raw `round(avg(x), n)` can straddle a
+  *    rounding half-boundary and flip between engines;
+  *  - double-valued aggregates are rounded (HALF_UP `round` for plain
+  *    decimals, HALF_EVEN `bround` where the reference's numpy/pandas
+  *    `round` semantics matter — reference `api.py:127`,
+  *    `airflow/dags/insert_conso_jour_region_in_bq.py:85`);
+  *  - column aliases match the oracle SQL exactly.
+  */
+object CoreOps {
+
+  /** Cross-engine-deterministic mean of a ≤2-decimal column: the summed
+    * value is snapped to the cent grid before dividing, collapsing
+    * engine-specific float-summation order noise. See class doc.
+    */
+  def stableAvg(c: Column): Column = round(sum(c), 2) / count(c)
+
+  /** q01 — pruned scan + disjunctive predicate (S1/P1/P4).
+    * Mirrors the reference's source pushdown (`select` 4 cols, OR-of-
+    * equality + conjunction where, reference
+    * `0_insert_conso_an_ville_in_bq.py:24-25`). Catalyst pushes both the
+    * filter and the projection into the parquet scan.
+    */
+  def prunedScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag").isin("A", "R") && col("l_linestatus") === "F")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+  /** q02 — hash group-by + mean over 3 keys (A1: the commune-year dedup
+    * aggregate, reference `0_insert_conso_an_ville_in_bq.py:50-52`).
+    * Partial aggregation (map-side combine) before the shuffle is free in
+    * Spark — the 100 TB path shuffles only one partial row per group/task.
+    */
+  def groupMean(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"), year(col("l_shipdate")).as("ship_year"))
+      .agg(stableAvg(col("l_quantity")).as("avg_qty"),
+           round(sum("l_extendedprice"), 2).as("sum_price"),
+           count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus", "ship_year")
+
+  /** q03 — daily mean + banker's rounding + derived-column rename
+    * (A2/P3/F1: the DAG's intra-day collapse, reference
+    * `airflow/dags/insert_conso_jour_region_in_bq.py:80-86`). `bround`
+    * matches pandas `Series.round` HALF_EVEN exactly.
+    */
+  def dailyMean(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(stableAvg(col("value")).as("daily_mwh"))
+      .orderBy("event_type", "d")
+
+  /** q04 — trailing 30-day slice + grand mean (P6/A3: the API's
+    * region-mean query, reference `api.py:41-61`). The anchor is
+    * max(ts) (not wall-clock `current_date` — fixing the reference's
+    * import-time-freshness wart, SURVEY.md §2.8 F4) and rides along as a
+    * broadcast scalar instead of a driver-side collect.
+    */
+  def trailingMean(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val anchor = e.agg(max(col("ts")).as("mx"))
+    e.crossJoin(broadcast(anchor))
+      .filter(col("ts") >= col("mx") - expr("INTERVAL 30 DAYS"))
+      .agg(stableAvg(col("value")).as("avg30"), count(lit(1)).as("n_rows"))
+  }
+
+  /** q08 — union all of two disjoint slices (U1, reference
+    * `0_insert_conso_an_ville_in_bq.py:101`): historical ∪ forecast
+    * becomes returnflag-A ∪ returnflag-N with a provenance tag.
+    */
+  def unionAll(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val hist = li.filter(col("l_returnflag") === "A")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), lit("hist").as("src"))
+    val fcst = li.filter(col("l_returnflag") === "N")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), lit("fcst").as("src"))
+    hist.unionByName(fcst).orderBy("l_orderkey", "l_linenumber", "src", "l_quantity")
+  }
+
+  /** q09 — global sort + limit (O1/O2, reference `api.py:86`). Spark
+    * plans this as TakeOrderedAndProject — a per-partition top-k then a
+    * driver-side merge of k·partitions rows, never a full global sort.
+    */
+  def sortLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(50)
+
+  /** q10 — scalar-function surface (F1/F2/F3/F5, SURVEY.md §2.8):
+    * year extract, date subtraction, date formatting, HALF_EVEN round,
+    * clamp via least/greatest — all codegen'd builtins, no UDFs.
+    */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("order_year"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"),
+        to_date(col("o_orderdate") - expr("INTERVAL 30 DAYS")).as("day_minus_30"),
+        bround(col("o_totalprice"), 0).as("price_int"),
+        round(least(lit(150000.0), greatest(lit(50000.0), col("o_totalprice"))), 2).as("price_clamped"))
+      .orderBy("o_orderkey")
+
+  /** q11 — multi-way join + aggregation (the set-oriented join surface
+    * the reference lacks, SURVEY.md §2.3): lineitem ⋈ orders ⋈ customer
+    * ⋈ nation, revenue per nation. `nation` (25 rows) is explicitly
+    * broadcast; orders→lineitem is a shuffled hash join on the fact keys
+    * — at 100 TB the dimensions stay broadcast and only the two fact
+    * tables shuffle, co-partitioned on the join key.
+    */
+  def joinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** q12 — JSON decode (F9, reference `api.py:104` request parsing):
+    * `from_json` with a declared schema (never inferred), then use the
+    * extracted field relationally.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val propsSchema = StructType(Seq(StructField("k", IntegerType)))
+    Tables.events(spark, dir)
+      .withColumn("p", from_json(col("props"), propsSchema))
+      .select(col("event_type"), (col("p.k") % 10).as("k_bucket"))
+      .groupBy("event_type", "k_bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "k_bucket")
+  }
+}
