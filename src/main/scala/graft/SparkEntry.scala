@@ -32,6 +32,20 @@ object SparkEntry {
     "q11_join_revenue"  -> (ops.CoreOps.joinRevenue(_, _)),
     "q12_json_extract"  -> (ops.CoreOps.jsonExtract(_, _)),
     "q13_price"         -> (ops.Pricing.priceBatch(_, _)),
+    // LLM-data-pipeline operators (BASELINE.json north star)
+    "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
+    "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
+    "d03_lsh_jaccard_pairs" -> (llm.Dedup.lshJaccardPairs(_, _)),
+    "d04_simhash"           -> (llm.Dedup.simhash(_, _)),
+    "d05_simhash_pairs"     -> (llm.Dedup.simhashPairs(_, _)),
+    "d06_cosine_topk"       -> (llm.Similarity.cosineTopK(_, _)),
+    "d07_ann_lsh"           -> (llm.Similarity.annLsh(_, _)),
+    "t01_lang_id"           -> (llm.TextStats.langId(_, _)),
+    "t02_text_quality"      -> (llm.TextStats.quality(_, _)),
+    "t03_token_stats"       -> (llm.TextStats.tokenStats(_, _)),
+    "t04_fingerprint"       -> (llm.TextStats.fingerprint(_, _)),
+    "m01_media_stats"       -> (llm.Multimodal.mediaStats(_, _)),
+    "s01_stream_daily"      -> (streaming.DailyIngest.streamDaily(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -200,5 +214,29 @@ object SparkEntry {
         |LEFT JOIN alpha USING (region)
         |CROSS JOIN m
         |ORDER BY c_custkey""".stripMargin,
+
+    // LLM-pipeline oracles are built next to their operators from the
+    // same constants (hash spec, seeds, thresholds, hyperplanes).
+    "d01_dedup_exact"       -> llm.Dedup.oracleExact,
+    "d02_minhash_bands"     -> llm.Dedup.oracleMinhashBands,
+    "d03_lsh_jaccard_pairs" -> llm.Dedup.oracleLshJaccardPairs,
+    "d04_simhash"           -> llm.Dedup.oracleSimhash,
+    "d05_simhash_pairs"     -> llm.Dedup.oracleSimhashPairs,
+    "d06_cosine_topk"       -> llm.Similarity.oracleCosineTopK,
+    "d07_ann_lsh"           -> llm.Similarity.oracleAnnLsh,
+    "t01_lang_id"           -> llm.TextStats.oracleLangId,
+    "t02_text_quality"      -> llm.TextStats.oracleQuality,
+    "t03_token_stats"       -> llm.TextStats.oracleTokenStats,
+    "t04_fingerprint"       -> llm.TextStats.oracleFingerprint,
+    "m01_media_stats"       -> llm.Multimodal.oracleMediaStats,
+
+    // s01: the stream result must equal the batch daily mean — the
+    // Kappa-architecture equivalence IS the oracle.
+    "s01_stream_daily" ->
+      """SELECT event_type, (ts::TIMESTAMP)::DATE AS d,
+        |  round(sum(value), 2) / count(value) AS daily_mwh
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -1,0 +1,86 @@
+package graft.llm
+
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media (image/audio/video) travels as an
+  * opaque `binary` column plus a typed metadata struct; decode /
+  * feature-extract run batch-wise over partitions.
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * clearly-marked deterministic stub ([[stubDecode]]); everything
+  * Spark-side — schema, batch shape, partition-wise execution, the
+  * metadata contract — is real and oracle-/spec-tested. Swapping
+  * [[stubDecode]] for a JNI/codec call changes no plan shape.
+  */
+object Multimodal {
+
+  /** Typed record for the partition-wise decode path. */
+  case class MediaRow(doc_id: Long, media: Array[Byte], width: Int, height: Int)
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+                           mean_byte: Double, feature_hash: Long)
+
+  /** STUB — stands in for a real image decode + feature extraction.
+    * Deterministic pure function of the bytes: byte-mean as the "pixel
+    * statistic", portable hash as the "embedding id". A real
+    * implementation would decode `media` and pool actual pixels.
+    */
+  def stubDecode(bytes: Array[Byte]): (Double, Long) = {
+    var s = 0L
+    var i = 0
+    while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+    val mean = if (bytes.length == 0) 0.0 else s.toDouble / bytes.length
+    (mean, s) // (mean byte value, additive checksum as fake feature id)
+  }
+
+  /** The media table: documents' text bytes standing in for encoded
+    * media, with a typed metadata struct derived deterministically.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("media"),
+        (pmod(col("n_chars"), lit(640)) + lit(1)).cast("int").as("width"),
+        (pmod(col("n_chars"), lit(480)) + lit(1)).cast("int").as("height"))
+
+  /** m01 — column-level feature extraction over the binary column:
+    * fully codegen'd (octet_length + aggregate over the byte array via
+    * relational ops is not possible on BinaryType, so the byte-mean
+    * runs through the typed partition path in [[decodePartitions]]);
+    * this query keeps the *relational* subset that an oracle can check:
+    * sizes, metadata, and the portable content hash.
+    */
+  def mediaStats(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("doc_id"),
+        octet_length(col("media")).as("n_bytes"),
+        col("width"), col("height"),
+        TextHash.phash(decode(col("media"), "UTF-8"), 5).as("content_hash"))
+      .orderBy("doc_id")
+
+  /** Partition-wise decode — the `mapPartitions` batch shape a real
+    * codec would use (one codec init per partition, then a tight loop;
+    * the analog of a vectorized/batched UDF in a JVM-only engine).
+    */
+  def decodePartitions(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRow].mapPartitions { rows =>
+      // real impl: init decoder once per partition here
+      rows.map { r =>
+        val (mean, checksum) = stubDecode(r.media)
+        MediaFeatures(r.doc_id, r.media.length, r.width, r.height, mean, checksum)
+      }
+    }
+  }
+
+  val oracleMediaStats: String =
+    s"""SELECT doc_id,
+       |  octet_length(encode(text))::INT AS n_bytes,
+       |  (n_chars % 640 + 1)::INT AS width,
+       |  (n_chars % 480 + 1)::INT AS height,
+       |  ${TextHash.phashSql("text", 5)} AS content_hash
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,138 @@
+package graft.llm
+
+import graft.expr.VectorFunctions.cosineSimilarity
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`array<float>`,
+  * dim 64): brute-force cosine top-k as the exact baseline, and an
+  * LSH-bucketed (random-hyperplane) variant as the scale path.
+  *
+  * Scores route through the native [[graft.expr.CosineSimilarity]]
+  * expression — a single fused codegen loop per pair, double
+  * accumulation in index order for bit-parity with the DuckDB
+  * `list_cosine_similarity(a::DOUBLE[], b::DOUBLE[])` oracle. Scores
+  * are rounded to 6 decimals *before* ranking so top-k tie-breaks
+  * (score DESC, vec_id ASC) are engine-independent.
+  */
+object Similarity {
+
+  val NumQueries = 5
+  val TopK = 10
+
+  private def scored(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    // queries are tiny and broadcast; candidates never shuffle
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineSimilarity(col("qe"), col("embedding")), 6).as("score"))
+  }
+
+  /** d06 — brute-force exact top-k neighbours per query vector. */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    scored(spark, dir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .orderBy("query_id", "rank")
+  }
+
+  // -- LSH-bucketed ANN -------------------------------------------------------
+
+  val NumPlanes = 8
+  val Dim = 64
+
+  /** Deterministic random-hyperplane matrix, derived from the portable
+    * hash (no RNG, reproducible in the SQL oracle): weight ∈
+    * [-1, 1] with 1/1000 resolution.
+    */
+  val planes: Array[Array[Double]] = Array.tabulate(NumPlanes, Dim) { (p, d) =>
+    ((TextHash.jvmHash(s"$p,$d", 7) % 2001L) - 1000L) / 1000.0
+  }
+
+  private def bucketCol(embCol: String) = {
+    val dots = planes.map { plane =>
+      aggregate(
+        zip_with(col(embCol), typedlit(plane.toSeq), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    dots.zipWithIndex
+      .map { case (dot, p) => when(dot > 0, lit(1 << p)).otherwise(lit(0)) }
+      .reduce(_ + _)
+  }
+
+  /** d07 — ANN via random-hyperplane LSH: 8 signed projections → a
+    * 256-bucket signature; candidates share the query's bucket; exact
+    * cosine only inside the bucket. At 100 TB the bucket column is the
+    * shuffle/cluster key and the cross join disappears — each query
+    * probes one bucket's partition instead of the full corpus.
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket", bucketCol("embedding"))
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    emb.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("bucket"),
+        round(cosineSimilarity(col("qe"), col("embedding")), 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .orderBy("query_id", "rank")
+  }
+
+  // ---- DuckDB oracles -------------------------------------------------------
+
+  val oracleCosineTopK: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |  WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT query_id, e.vec_id,
+       |         round(list_cosine_similarity(qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS score
+       |  FROM q, embeddings e
+       |  WHERE e.vec_id != q.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, score,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY score DESC, vec_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, score, rank
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  private def planeSqlLiteral(p: Int): String =
+    planes(p).map(w => if (w == w.toLong.toDouble) s"${w.toLong}.0" else w.toString)
+      .mkString("[", ", ", "]::DOUBLE[]")
+
+  val oracleAnnLsh: String = {
+    val bucketExpr = (0 until NumPlanes).map { p =>
+      s"CASE WHEN list_dot_product(embedding::DOUBLE[], ${planeSqlLiteral(p)}) > 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, $bucketExpr AS bucket
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, bucket FROM b
+       |  WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id, e.bucket,
+       |         round(list_cosine_similarity(qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS score
+       |  FROM q JOIN b e USING (bucket)
+       |  WHERE e.vec_id != q.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, bucket, score,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY score DESC, vec_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, bucket, score, rank
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+}

@@ -1,0 +1,84 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Portable deterministic hashing shared by the dedup/fingerprint
+  * operators AND their DuckDB oracles.
+  *
+  * `xxhash64`/`hash` are Spark-specific, so cross-engine-checkable
+  * operators hash via md5 instead: the first 14 hex digits (56 bits,
+  * always non-negative in a signed 64-bit) of `md5(seed || ":" || s)`,
+  * parsed as an integer. Identical bytes → identical hash in Spark
+  * (`conv`), DuckDB (`('0x'||substr(md5(..),1,14))::BIGINT`) and JVM
+  * Scala ([[TextHash.jvmHash]] for plan constants).
+  *
+  * The production-scale variant of every operator would swap this for
+  * `xxhash64` (one fused codegen'd hash vs md5's allocation) — the md5
+  * spine is the *verifiability* path; the operators' shapes (shingle →
+  * min-agg → band-join) are unchanged by the hash choice.
+  */
+object TextHash {
+
+  val HashHexDigits = 14
+
+  /** Spark: 56-bit portable hash of a string column. */
+  def phash(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), c)), 1, HashHexDigits), 16, 10).cast(LongType)
+
+  /** DuckDB SQL fragment computing the same hash of expression `e`. */
+  def phashSql(e: String, seed: Int): String =
+    s"('0x' || substr(md5('$seed:' || $e), 1, $HashHexDigits))::BIGINT"
+
+  /** Cheap xorshift-style re-hash deriving seed-variant hashes from one
+    * base hash — so k-seed MinHash pays ONE md5 per shingle instead of
+    * k. Pure xor/shift/mask keeps every intermediate < 2^56: DuckDB
+    * BIGINT overflow is an error (not a wrap), so no multiplies.
+    */
+  def mix(base: Column, seed: Int): Column = {
+    val k = lit(mixKey(seed))
+    val v0 = base.bitwiseXOR(k)
+    val v1 = v0.bitwiseXOR(shiftright(v0, 29))
+    val v2 = v1.bitwiseXOR(shiftleft(v1.bitwiseAND(lit((1L << 42) - 1)), 13))
+    v2.bitwiseXOR(shiftright(v2, 17))
+  }
+
+  /** DuckDB SQL fragment computing [[mix]] of expression `e`. */
+  def mixSql(e: String, seed: Int): String = {
+    val k = mixKey(seed)
+    val v0 = s"xor($e, $k)"
+    val v1 = s"xor($v0, ($v0) >> 29)"
+    val v2 = s"xor($v1, (($v1) & ${(1L << 42) - 1}) << 13)"
+    s"xor($v2, ($v2) >> 17)"
+  }
+
+  private def mixKey(seed: Int): Long = jvmHash(s"mix$seed", 1)
+
+  /** JVM: same hash, for deriving deterministic plan constants
+    * (e.g. LSH hyperplanes) without any runtime RNG.
+    */
+  def jvmHash(s: String, seed: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$seed:$s".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, HashHexDigits), 16)
+  }
+
+  /** Spark: distinct character 8-gram shingles of a text column,
+    * exploded — `sequence` + `transform` + `array_distinct`, all
+    * codegen'd builtins (no UDF).
+    */
+  val ShingleLen = 8
+  def shingles(text: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - lit(ShingleLen - 1), lit(1))),
+      i => text.substr(i, lit(ShingleLen))))
+
+  /** DuckDB SQL fragment: the same distinct-shingle list of `e`
+    * (dedup happens via SELECT DISTINCT at the caller).
+    */
+  def shinglesSql(e: String): String =
+    s"list_transform(range(1, greatest(length($e) - ${ShingleLen - 1}, 1) + 1), " +
+      s"i -> substr($e, i::INT, $ShingleLen))"
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming re-expression of the reference's daily Airflow
+  * DAG (SURVEY.md §2.10): extract → 1-day tumbling-window mean → append,
+  * Kappa-style — the same aggregation code serves batch backfill and
+  * the stream, replacing the DAG's XCom-materialized task boundaries
+  * with one incremental plan.
+  *
+  * The daily slice predicate of the reference
+  * (`where date='{ds-1}'`, reference
+  * `airflow/dags/insert_conso_jour_region_in_bq.py:54-65`) becomes the
+  * event-time window; `Trigger.AvailableNow` is the daily-cron analog
+  * (drain all available input, then stop); the 1-day watermark bounds
+  * state exactly like the DAG's next-morning cutoff (D3).
+  */
+object DailyIngest {
+
+  /** Physical parquet schema of events with ts read as raw nanos
+    * (readStream needs an explicit schema; see graft.tables.Tables for
+    * the ns→µs note).
+    */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The shared (batch = stream) daily aggregation: 1-day tumbling
+    * window per event_type, stable mean (see CoreOps.stableAvg).
+    */
+  private def dailyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg((round(sum("value"), 2) / count("value")).as("daily_mwh"))
+      .select(col("event_type"), to_date(col("w.start")).as("d"), col("daily_mwh"))
+
+  /** s01 — run the streaming pipeline to completion over the events
+    * table (AvailableNow, in-memory sink) and return the result —
+    * byte-equal to the batch daily mean (q03), which is its oracle.
+    */
+  def streamDaily(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the stateful window agg keeps one state store per shuffle
+    // partition; at fixture scale 32 stores are pure overhead
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // the file-stream source wants a directory: stream the sf dir,
+    // glob-filtered to the events table
+    val raw = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val name = s"stream_daily_${System.nanoTime()}"
+    val q = dailyAgg(raw).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(name).orderBy("event_type", "d")
+  }
+
+  /** Batch leg of the Kappa pair — identical transform, batch source
+    * (used by the batch/stream-equivalence spec).
+    */
+  def batchDaily(spark: SparkSession, dir: String): DataFrame =
+    dailyAgg(graft.tables.Tables.events(spark, dir))
+      .orderBy("event_type", "d")
+}

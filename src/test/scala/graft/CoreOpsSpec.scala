@@ -1,0 +1,75 @@
+package graft
+
+import graft.ops.{CoreOps, Pricing}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CoreOpsSpec extends AnyFunSuite {
+  import SparkTestBase.{spark, Sf}
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query has rows and every oracle key exists") {
+    val qs = SparkEntry.queries
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+    // oracle coverage: every query is oracle-checked in this build
+    assert(qs.keySet == SparkEntry.oracleSql.keySet)
+  }
+
+  test("golden price example from the pricing notice") {
+    // reference `docs/Notice technique.htm` worked example: yearly
+    // consumption x = 8200 kWh, alpha=1.1, M=0.012
+    // → (0.1558 + 1.1*0.012)*8200/12 + 6 ≈ 121.5 €/month
+    import spark.implicits._
+    val price = Seq(8200.0).toDF("x")
+      .select(Pricing.monthlyPrice(lit(1.1), lit(0.012), col("x")).as("price"))
+      .head().getDouble(0)
+    assert(math.abs(price - 121.5) < 0.06, s"got $price")
+  }
+
+  test("household consumption estimate matches the reference formula") {
+    // reference api.py:111-115: 110·m² + 800·p + 200·p + 1100
+    import spark.implicits._
+    val x = Seq((50, 2)).toDF("nb_m2", "nb_personne")
+      .select(Pricing.consoFoyer(col("nb_m2"), col("nb_personne")).as("x"))
+      .head().getDouble(0)
+    assert(x == 110.0 * 50 + 800.0 * 2 + 200.0 * 2 + 1100.0)
+  }
+
+  test("clamp matches reference min/max chains at the edges") {
+    import spark.implicits._
+    val rows = Seq(0.5, 1.0, 1.15, 1.3, 2.0).toDF("x")
+      .select(Pricing.clamp(col("x"), 1.0, 1.3).as("c")).as[Double].collect()
+    assert(rows.toSeq == Seq(1.0, 1.0, 1.15, 1.3, 1.3))
+  }
+
+  test("union-all preserves multiplicity (no dedup)") {
+    val li = graft.tables.Tables.lineitem(spark, Sf)
+    val expected = li.filter(col("l_returnflag").isin("A", "N")).count()
+    assert(CoreOps.unionAll(spark, Sf).count() == expected)
+  }
+
+  test("trailing mean uses a data-derived anchor, not wall-clock") {
+    // reference bug F4: current_date() captured at import time; ours
+    // anchors on max(ts), so the result is stable across runs/days
+    val r1 = CoreOps.trailingMean(spark, Sf).head()
+    val r2 = CoreOps.trailingMean(spark, Sf).head()
+    assert(r1 == r2)
+  }
+
+  test("yoy alpha stays inside [1.0, 1.3] and is null only for last year") {
+    val rows = ops.WindowOps.yoyAlpha(spark, Sf).collect()
+    val byPriority = rows.groupBy(_.getString(0))
+    byPriority.values.foreach { grp =>
+      val sorted = grp.sortBy(_.getInt(1))
+      sorted.dropRight(1).foreach { r =>
+        val a = r.getDouble(3)
+        assert(a >= 1.0 && a <= 1.3, s"alpha out of range: $r")
+      }
+      assert(sorted.last.isNullAt(3), "final year must have null alpha")
+    }
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextHash, TextStats}
+import graft.expr.VectorFunctions.cosineSimilarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LlmOpsSpec extends AnyFunSuite {
+  import SparkTestBase.{spark, Sf}
+
+  test("portable hash agrees between JVM and Spark paths") {
+    import spark.implicits._
+    val words = Seq("alpha", "beta", "gamma", "日本語")
+    val sparkSide = words.toDF("w").select(TextHash.phash(col("w"), 7)).as[Long].collect()
+    val jvmSide = words.map(TextHash.jvmHash(_, 7))
+    assert(sparkSide.toSeq == jvmSide)
+  }
+
+  test("LSH finds every truncated twin of a long document") {
+    val pairs = Dedup.lshJaccardPairs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val longDocs = graft.tables.Tables.documents(spark, Sf)
+      .filter(length(col("text")) >= 300).select("doc_id")
+      .collect().map(_.getLong(0))
+    // a 50-char truncation of a ≥300-char doc keeps jaccard ≥ 0.5 and
+    // minhash banding (4 bands of 4) catches it with overwhelming odds
+    val missed = longDocs.filterNot(id => pairs.contains((id, id + Dedup.TwinIdOffset)))
+    assert(missed.length <= longDocs.length / 20, s"missed ${missed.length}/${longDocs.length}")
+  }
+
+  test("jaccard values are valid and pairs are ordered") {
+    Dedup.lshJaccardPairs(spark, Sf).collect().foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val j = r.getDouble(2)
+      assert(j >= Dedup.JaccardThreshold && j <= 1.0)
+    }
+  }
+
+  test("simhash of a doc and its twin are close; random docs are far") {
+    val pairs = Dedup.simhashPairs(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every reported pair respects the hamming bound
+    pairs.foreach { case (_, _, h) => assert(h >= 0 && h <= Dedup.HammingMax) }
+    // a solid majority of truncated twins must appear at hd ≤ 6
+    val twinPairs = pairs.count { case (a, b, _) => b == a + Dedup.TwinIdOffset }
+    assert(twinPairs > 250, s"only $twinPairs twin pairs found")
+  }
+
+  test("native cosine expression matches composed zip_with/aggregate") {
+    // compose in double precision (cast the float arrays up first) to
+    // mirror the native expression's accumulation
+    val emb = graft.tables.Tables.embeddings(spark, Sf).limit(50)
+      .withColumn("ed", col("embedding").cast("array<double>"))
+    val composed = emb.crossJoin(
+        emb.select(col("embedding").as("e2"), col("ed").as("ed2"), col("vec_id").as("v2")).limit(5))
+      .select(col("vec_id"), col("v2"),
+        cosineSimilarity(col("embedding"), col("e2")).as("native"),
+        (aggregate(zip_with(col("ed"), col("ed2"), (a, b) => a * b), lit(0.0), (s, x) => s + x) /
+          (sqrt(aggregate(transform(col("ed"), x => x * x), lit(0.0), (s, x) => s + x)) *
+           sqrt(aggregate(transform(col("ed2"), x => x * x), lit(0.0), (s, x) => s + x)))).as("composed"))
+    val rows = composed.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-12)
+    }
+  }
+
+  test("cosine self-similarity is 1") {
+    val emb = graft.tables.Tables.embeddings(spark, Sf).limit(10)
+    emb.select(cosineSimilarity(col("embedding"), col("embedding")).as("s"))
+      .collect().foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("ANN LSH scores are valid cosines and never beat brute force rank-for-rank") {
+    val brute = Similarity.cosineTopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getDouble(2)).toMap
+    val ann = Similarity.annLsh(spark, Sf).collect()
+    assert(ann.nonEmpty)
+    ann.foreach { r =>
+      val (qid, score, rank) = (r.getLong(0), r.getDouble(3), r.getInt(4))
+      assert(score >= -1.0 - 1e-9 && score <= 1.0 + 1e-9)
+      // ANN searches a bucket subset, so its k-th best can't exceed
+      // the exact k-th best
+      brute.get((qid, rank)).foreach(b => assert(score <= b + 1e-9))
+    }
+  }
+
+  test("language ID predicts a language iff a marker token occurs") {
+    val rows = TextStats.langId(spark, Sf).collect()
+    rows.foreach { r =>
+      val scores = (1 to 5).map(r.getInt)
+      val pred = r.getString(6)
+      if (scores.forall(_ == 0)) assert(pred == "und")
+      else assert(TextStats.LangMarkers.map(_._1).contains(pred))
+    }
+  }
+
+  test("token stats are internally consistent") {
+    TextStats.tokenStats(spark, Sf).collect().foreach { r =>
+      val (ws, words, distinct, alnum, bpe) =
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))
+      assert(distinct <= words)
+      assert(bpe == (alnum + 3) / 4)
+      assert(words >= ws) // hyphen/punct splits can only add word tokens
+    }
+  }
+
+  test("multimodal stub decode: byte stats consistent with metadata") {
+    val rows = Multimodal.decodePartitions(spark, Sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { f =>
+      assert(f.n_bytes > 0)
+      assert(f.mean_byte >= 0.0 && f.mean_byte < 256.0)
+      assert(f.width >= 1 && f.width <= 640 && f.height >= 1 && f.height <= 480)
+    }
+  }
+
+  test("streaming daily ingest equals the batch computation (Kappa)") {
+    val streamRows = graft.streaming.DailyIngest.streamDaily(spark, Sf).collect()
+    val batchRows = graft.streaming.DailyIngest.batchDaily(spark, Sf).collect()
+    assert(streamRows.length == batchRows.length && streamRows.nonEmpty)
+    streamRows.zip(batchRows).foreach { case (s, b) => assert(s == b) }
+  }
+}
