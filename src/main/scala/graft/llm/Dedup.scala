@@ -50,29 +50,33 @@ object Dedup {
       col("text").substr(lit(1), greatest(length(col("text")) - lit(TwinTruncate), lit(20))).as("text")))
   }
 
-  /** Exploded distinct shingles of the corpus: (doc_id, g). */
-  private def corpusShingles(spark: SparkSession, dir: String): DataFrame =
-    corpus(spark, dir).select(col("doc_id"), explode(shingles(col("text"))).as("g"))
-
-  /** d02 — MinHash signatures banded for LSH: one hash-aggregate
-    * computes all 16 minhashes (no row explosion per seed, ONE md5 per
-    * shingle — the 16 seed variants come from [[TextHash.mix]]); bands
-    * of 4 are re-hashed into one bucket key each.
+  /** Exploded distinct shingles of the corpus, hashed immediately:
+    * (doc_id, base). Hashing before any shuffle means every downstream
+    * join/aggregate moves 8-byte longs instead of strings.
     */
-  def minhashBands(spark: SparkSession, dir: String): DataFrame = {
+  private def hashedShingles(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("g"))
+      .select(col("doc_id"), phash(col("g"), 0).as("base"))
+
+  private def bandsFrom(sh: DataFrame): DataFrame = {
     val mhCols = (0 until MinhashSeeds).map(s => min(mix(col("base"), s)).as(s"mh$s"))
-    val mh = corpusShingles(spark, dir)
-      .withColumn("base", phash(col("g"), 0))
-      .groupBy("doc_id")
-      .agg(mhCols.head, mhCols.tail: _*)
+    val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
     val bandCols = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("band_hash"))
     }
     mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
-      .orderBy("doc_id", "band")
   }
+
+  /** d02 — MinHash signatures banded for LSH: one hash-aggregate
+    * computes all 16 minhashes (no row explosion per seed, ONE md5 per
+    * shingle — the 16 seed variants come from [[TextHash.mix]]); bands
+    * of 4 are re-hashed into one bucket key each.
+    */
+  def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    bandsFrom(hashedShingles(spark, dir)).orderBy("doc_id", "band")
 
   /** d03 — LSH candidate pairs + exact-Jaccard verification: pairs
     * sharing ≥1 band bucket are joined back to their shingle sets;
@@ -81,20 +85,20 @@ object Dedup {
     * double parity without rounding.
     */
   def lshJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    // both sides of each self-join reference the same subtree; persist
-    // so the shingle→hash pipeline runs once, not four times
-    val bands = minhashBands(spark, dir).persist()
+    // one persisted shingle→hash pass feeds bands, sizes AND the
+    // intersection joins (each referenced 2×+ below)
+    val sh = hashedShingles(spark, dir).persist()
+    val bands = bandsFrom(sh).persist()
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val sh = corpusShingles(spark, dir).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("id_b") === col("sb.doc_id") && col("sa.g") === col("sb.g"))
+      .join(sh.as("sb"), col("id_b") === col("sb.doc_id") && col("sa.base") === col("sb.base"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
     inter
@@ -175,18 +179,17 @@ object Dedup {
 
   private val corpusShinglesSql: String =
     s"""sh AS (
-       |  SELECT DISTINCT doc_id, unnest(${shinglesSql("text")}) AS g
-       |  FROM corpus)""".stripMargin
+       |  SELECT doc_id, ${phashSql("g", 0)} AS base
+       |  FROM (SELECT DISTINCT doc_id, unnest(${shinglesSql("text")}) AS g
+       |        FROM corpus))""".stripMargin
 
   private val minhashSql: String = {
     val mhCols = (0 until MinhashSeeds)
       .map(s => s"min(${mixSql("base", s)}) AS mh$s").mkString(",\n         ")
-    s"""shb AS (
-       |  SELECT doc_id, ${phashSql("g", 0)} AS base FROM sh),
-       |mh AS (
+    s"""mh AS (
        |  SELECT doc_id,
        |         $mhCols
-       |  FROM shb GROUP BY doc_id)""".stripMargin
+       |  FROM sh GROUP BY doc_id)""".stripMargin
   }
 
   private val bandsSql: String = {
@@ -226,7 +229,7 @@ object Dedup {
        |  SELECT id_a, id_b, count(*) AS i
        |  FROM cand
        |  JOIN sh sa ON sa.doc_id = id_a
-       |  JOIN sh sb ON sb.doc_id = id_b AND sa.g = sb.g
+       |  JOIN sh sb ON sb.doc_id = id_b AND sa.base = sb.base
        |  GROUP BY 1, 2)
        |SELECT id_a, id_b, i::DOUBLE / (za.sz + zb.sz - i) AS jaccard
        |FROM inter
