@@ -1,33 +1,29 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Dev profiler/plan auditor — not part of the library surface. */
+/** Dev probe — not part of the library surface. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
+    // end-user path: extensions via config, not test shims
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.extensions", "graft.expr.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
-    def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($r)"); r
-    }
-    spark.range(10).count() // JVM warmup
-    val sh = llm.Dedup.corpus(spark, dir)
-      .select(col("doc_id"), explode(llm.TextHash.shingles(col("text"))).as("g"))
-    time("shingle rows")(sh.count())
-    val shHashed = sh.withColumn("base", llm.TextHash.phash(col("g"), 0))
-    time("shingle+md5")(shHashed.count())
-    val bands = llm.Dedup.minhashBands(spark, dir)
-    time("bands")(bands.count())
-    time("d03 full")(llm.Dedup.lshJaccardPairs(spark, dir).count())
-    time("s01 stream")(streaming.DailyIngest.streamDaily(spark, dir).count())
-    time("s01 stream again")(streaming.DailyIngest.streamDaily(spark, dir).count())
-    time("q13 price")(ops.Pricing.priceBatch(spark, dir).count())
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // cosine_similarity resolvable in SQL through the injected function
+    graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001").createOrReplaceTempView("e")
+    val r = spark.sql("SELECT cosine_similarity(embedding, embedding) AS s FROM e LIMIT 3").collect()
+    println(s"[scratch] injected cosine ok: ${r.map(_.getDouble(0)).mkString(",")}")
+    // stacked clamps collapse in the optimized plan
+    val df = Seq(1.0, 9.0).toDF("x")
+      .select(least(lit(5.0), least(lit(3.0), greatest(lit(2.0), greatest(lit(1.0), col("x"))))).as("c"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    val n = "least\\(".r.findAllIn(opt.toLowerCase).length
+    println(s"[scratch] optimized plan least() count: $n (expect 1)")
+    println(s"[scratch] clamp values: ${df.as[Double].collect().sorted.mkString(",")} (expect 2.0,3.0)")
     spark.stop()
   }
 }

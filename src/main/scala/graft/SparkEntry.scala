@@ -32,6 +32,8 @@ object SparkEntry {
     "q11_join_revenue"  -> (ops.CoreOps.joinRevenue(_, _)),
     "q12_json_extract"  -> (ops.CoreOps.jsonExtract(_, _)),
     "q13_price"         -> (ops.Pricing.priceBatch(_, _)),
+    "q14_validate"      -> (ops.CoreOps.validateRequests(_, _)),
+    "q15_sql_surface"   -> (ops.CoreOps.sqlSurface(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -214,6 +216,33 @@ object SparkEntry {
         |LEFT JOIN alpha USING (region)
         |CROSS JOIN m
         |ORDER BY c_custkey""".stripMargin,
+
+    "q14_validate" ->
+      """WITH p AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 7 = 0
+        |              THEN '{"nb_m2": ' || (20 + c_custkey % 180) || '}'
+        |              ELSE '{"nb_personne": ' || (c_custkey % 4 + 1) ||
+        |                   ', "nb_m2": ' || (20 + c_custkey % 180) || '}'
+        |         END AS payload
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  (payload->>'$.nb_personne')::INT AS nb_personne,
+        |  (payload->>'$.nb_m2')::INT AS nb_m2,
+        |  ((payload->>'$.nb_personne') IS NOT NULL
+        |   AND (payload->>'$.nb_m2') IS NOT NULL) AS is_valid
+        |FROM p
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q15_sql_surface" ->
+      """SELECT c_mktsegment,
+        |       CAST(year(o_orderdate) AS INT) AS yr,
+        |       round(sum(o_totalprice), 2) AS total,
+        |       count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus != 'X'
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     // LLM-pipeline oracles are built next to their operators from the
     // same constants (hash spec, seeds, thresholds, hyperplanes).

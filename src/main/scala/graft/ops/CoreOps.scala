@@ -141,6 +141,51 @@ object CoreOps {
       .orderBy("n_name")
   }
 
+  /** q14 — request validation (P9/F10, reference `api.py:24-33`
+    * `check_fields`): parse JSON request payloads against a declared
+    * schema; a missing required field surfaces as a NULL → invalid,
+    * the set-oriented form of the reference's 400 response. Payloads
+    * are synthesized deterministically (every 7th request drops a
+    * field).
+    */
+  def validateRequests(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val reqSchema = StructType(Seq(
+      StructField("nb_personne", IntegerType), StructField("nb_m2", IntegerType)))
+    val payload = when(pmod(col("c_custkey"), lit(7)) === 0,
+        concat(lit("{\"nb_m2\": "), (lit(20) + pmod(col("c_custkey"), lit(180))).cast("string"), lit("}")))
+      .otherwise(concat(
+        lit("{\"nb_personne\": "), (pmod(col("c_custkey"), lit(4)) + lit(1)).cast("string"),
+        lit(", \"nb_m2\": "), (lit(20) + pmod(col("c_custkey"), lit(180))).cast("string"), lit("}")))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), from_json(payload, reqSchema).as("r"))
+      .select(col("c_custkey"),
+        col("r.nb_personne").as("nb_personne"), col("r.nb_m2").as("nb_m2"),
+        (col("r.nb_personne").isNotNull && col("r.nb_m2").isNotNull).as("is_valid"))
+      .orderBy("c_custkey")
+  }
+
+  /** q15 — the SQL-text surface (S6, reference `api.py:47-58` runs SQL
+    * strings against the warehouse): the same engine consumed through
+    * `spark.sql` over registered temp views, with typed parameter
+    * binding (`lit`-style args) instead of the reference's f-string
+    * splicing (wart F8).
+    */
+  def sqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT c_mktsegment,
+        |       CAST(year(o_orderdate) AS INT) AS yr,
+        |       round(sum(o_totalprice), 2) AS total,
+        |       count(*) AS n_orders
+        |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+        |WHERE o_orderstatus != :status
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+      Map("status" -> "X"))
+  }
+
   /** q12 — JSON decode (F9, reference `api.py:104` request parsing):
     * `from_json` with a declared schema (never inferred), then use the
     * extracted field relationally.

@@ -44,6 +44,48 @@ object Pricing {
   def monthlyPrice(alpha: Column, m: Column, consoFoyerKwh: Column): Column =
     bround((lit(Tariff) + alpha * m) * consoFoyerKwh / lit(12.0) + lit(MonthlyFee), 2)
 
+  /** The reference-shaped serving API (reference `api.py:95-132`
+    * rewritten set-oriented, SURVEY.md §2.3/§3.1): price a DataFrame of
+    * requests against the two domain tables in one Catalyst plan.
+    *
+    * Per request: M from the trailing 30-day mean of the request's
+    * region (reference `api.py:36-61`), α from the latest year-over-year
+    * ratio of the request's commune clamped to [1, 1.3] (reference
+    * `api.py:64-92`; missing years → 1.0), price from the notice
+    * formula. The `asOf` date replaces the reference's import-time
+    * `datetime.today()` (wart F4).
+    *
+    * Join shape at scale: requests ⋈ two *aggregated* dimensions —
+    * the aggregates shuffle on their own keys once; the request side
+    * broadcast-joins the small results.
+    */
+  def priceRequests(requests: DataFrame, consoAnVille: DataFrame,
+                    consoJourRegion: DataFrame, asOf: java.sql.Date): DataFrame = {
+    val m = consoJourRegion
+      .filter(col("date").between(date_sub(lit(asOf), 30), lit(asOf)))
+      .groupBy("libelle_region")
+      .agg(avg("conso_mwh").as("conso30"))
+      .select(col("libelle_region"), modulation(col("conso30")).as("m"))
+
+    val w = Window.partitionBy("nom_commune", "code_commune").orderBy("annee")
+    val alpha = consoAnVille
+      .withColumn("ratio", lead("conso_moyenne_mwh", 1).over(w) / col("conso_moyenne_mwh"))
+      .filter(col("ratio").isNotNull)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("nom_commune", "code_commune").orderBy(col("annee").desc)))
+      .filter(col("rn") === 1)
+      .select(col("nom_commune"), col("code_commune"),
+        clamp(col("ratio"), 1.0, 1.3).as("alpha"))
+
+    requests
+      .join(broadcast(m), Seq("libelle_region"), "left")
+      .join(broadcast(alpha), Seq("nom_commune", "code_commune"), "left")
+      .withColumn("alpha", coalesce(col("alpha"), lit(1.0)))
+      .withColumn("m", coalesce(col("m"), lit(0.0)))
+      .withColumn("price", monthlyPrice(col("alpha"), col("m"),
+        consoFoyer(col("nb_m2"), col("nb_personne"))))
+  }
+
   /** q13 (and the driver's `entry`) — price a batch of requests.
     *
     * Requests are derived deterministically from `customer` (persons =

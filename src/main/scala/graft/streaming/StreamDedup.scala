@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Exactly-once hygiene for the incremental pipeline (SURVEY.md §2.10
+  * D4): the reference's WRITE_APPEND + task retry can double-load a
+  * day; this leg drops duplicate event_ids inside the watermark before
+  * they reach the sink — paired with the idempotent partition-overwrite
+  * batch writer (graft.ops.Ingest.loadDailyPartitioned).
+  */
+object StreamDedup {
+
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Stream the events table twice (a simulated retry-after-partial-
+    * success) through dropDuplicates-within-watermark, and return the
+    * deduped daily counts. Used by the exactly-once spec.
+    */
+  def dedupedDailyCounts(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val once = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val doubled = once.union(once) // the duplicated delivery
+    val name = s"stream_dedup_${System.nanoTime()}"
+    val q = doubled
+      .withWatermark("ts", "1 day")
+      .dropDuplicates("event_id")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), to_date(col("w.start")).as("d"), col("n"))
+      .writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(name).orderBy("event_type", "d")
+  }
+}
