@@ -1,29 +1,27 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Dev probe — not part of the library surface. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    // end-user path: extensions via config, not test shims
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.extensions", "graft.expr.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", "4")
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    import org.apache.spark.sql.functions._
-    // cosine_similarity resolvable in SQL through the injected function
-    graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001").createOrReplaceTempView("e")
-    val r = spark.sql("SELECT cosine_similarity(embedding, embedding) AS s FROM e LIMIT 3").collect()
-    println(s"[scratch] injected cosine ok: ${r.map(_.getDouble(0)).mkString(",")}")
-    // stacked clamps collapse in the optimized plan
-    val df = Seq(1.0, 9.0).toDF("x")
-      .select(least(lit(5.0), least(lit(3.0), greatest(lit(2.0), greatest(lit(1.0), col("x"))))).as("c"))
-    val opt = df.queryExecution.optimizedPlan.toString
-    val n = "least\\(".r.findAllIn(opt.toLowerCase).length
-    println(s"[scratch] optimized plan least() count: $n (expect 1)")
-    println(s"[scratch] clamp values: ${df.as[Double].collect().sorted.mkString(",")} (expect 2.0,3.0)")
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // events at t0, t0+8h exactly, t0+15h59m: does the 8h session window
+    // split at exactly last+gap (right-open) as the oracle assumes?
+    val df = Seq((1L, ts("2024-01-01 00:00:00")),
+                 (1L, ts("2024-01-01 08:00:00")),
+                 (1L, ts("2024-01-01 15:59:00"))).toDF("user_id", "ts")
+    val out = df.groupBy(session_window(col("ts"), "8 hours").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("string"), col("n")).collect()
+    println(s"[scratch] sessions: ${out.mkString(" | ")} (expect split: 1 event then 2)")
     spark.stop()
   }
 }

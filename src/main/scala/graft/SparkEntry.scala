@@ -34,6 +34,7 @@ object SparkEntry {
     "q13_price"         -> (ops.Pricing.priceBatch(_, _)),
     "q14_validate"      -> (ops.CoreOps.validateRequests(_, _)),
     "q15_sql_surface"   -> (ops.CoreOps.sqlSurface(_, _)),
+    "q16_stats"         -> (ops.CoreOps.statsSurface(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -42,12 +43,14 @@ object SparkEntry {
     "d05_simhash_pairs"     -> (llm.Dedup.simhashPairs(_, _)),
     "d06_cosine_topk"       -> (llm.Similarity.cosineTopK(_, _)),
     "d07_ann_lsh"           -> (llm.Similarity.annLsh(_, _)),
+    "d08_ann_ivf"           -> (llm.Similarity.annIvf(_, _)),
     "t01_lang_id"           -> (llm.TextStats.langId(_, _)),
     "t02_text_quality"      -> (llm.TextStats.quality(_, _)),
     "t03_token_stats"       -> (llm.TextStats.tokenStats(_, _)),
     "t04_fingerprint"       -> (llm.TextStats.fingerprint(_, _)),
     "m01_media_stats"       -> (llm.Multimodal.mediaStats(_, _)),
     "s01_stream_daily"      -> (streaming.DailyIngest.streamDaily(_, _)),
+    "s02_sessionize"        -> (streaming.Sessionize.sessions(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -253,11 +256,25 @@ object SparkEntry {
     "d05_simhash_pairs"     -> llm.Dedup.oracleSimhashPairs,
     "d06_cosine_topk"       -> llm.Similarity.oracleCosineTopK,
     "d07_ann_lsh"           -> llm.Similarity.oracleAnnLsh,
+    "d08_ann_ivf"           -> llm.Similarity.oracleAnnIvf,
     "t01_lang_id"           -> llm.TextStats.oracleLangId,
     "t02_text_quality"      -> llm.TextStats.oracleQuality,
     "t03_token_stats"       -> llm.TextStats.oracleTokenStats,
     "t04_fingerprint"       -> llm.TextStats.oracleFingerprint,
     "m01_media_stats"       -> llm.Multimodal.oracleMediaStats,
+
+    "q16_stats" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |  round(stddev_samp(l_extendedprice), 2) AS sd
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "s02_sessionize" -> streaming.Sessionize.oracleSessions,
 
     // s01: the stream result must equal the batch daily mean — the
     // Kappa-architecture equivalence IS the oracle.

@@ -87,6 +87,47 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  // -- IVF (inverted-file) ANN ------------------------------------------------
+
+  val NumCells = 16
+  val NProbe = 2
+
+  /** d08 — IVF ANN: the corpus is partitioned into [[NumCells]] cells
+    * by nearest centroid; a query probes its [[NProbe]] closest cells
+    * and runs exact cosine only there. Centroids here are the first 16
+    * vectors (deterministic, reproducible in the oracle) — a real
+    * deployment would k-means them; the *query shape* (assign →
+    * cluster-by-cell → probe few cells) is identical and is what
+    * scales: each cell is a partition/cluster key, so a query touches
+    * NProbe/NumCells of the corpus.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = emb.filter(col("vec_id") < NumCells)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("ce"))
+    // assign: cell of max cosine (ties → lowest cell id via array_position)
+    val withScores = emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosineSimilarity(col("embedding"), col("ce")).as("cscore"))
+    val wCell = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("cell"))
+    val assigned = withScores
+      .withColumn("crank", row_number().over(wCell))
+      .filter(col("crank") <= NProbe)
+      .select(col("vec_id"), col("embedding"), col("cell"), col("crank"))
+    val members = assigned.filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val probes = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cell"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    members.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cell"),
+        round(cosineSimilarity(col("qe"), col("embedding")), 6).as("score"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= TopK)
+      .orderBy("query_id", "rank")
+  }
+
   // ---- DuckDB oracles -------------------------------------------------------
 
   val oracleCosineTopK: String =
@@ -105,6 +146,36 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, vec_id, score, rank
        |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  val oracleAnnIvf: String =
+    s"""WITH c AS (
+       |  SELECT vec_id::INT AS cell, embedding AS ce FROM embeddings
+       |  WHERE vec_id < $NumCells),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |         list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) AS cscore
+       |  FROM embeddings e, c),
+       |ranked AS (
+       |  SELECT vec_id, embedding, cell,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell) AS crank
+       |  FROM scored),
+       |members AS (SELECT vec_id, embedding, cell FROM ranked WHERE crank = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, cell FROM ranked
+       |  WHERE crank <= $NProbe AND vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT query_id, m.vec_id, m.cell,
+       |         round(list_cosine_similarity(qe::DOUBLE[], m.embedding::DOUBLE[]), 6) AS score
+       |  FROM probes p JOIN members m USING (cell)
+       |  WHERE m.vec_id != p.query_id),
+       |r AS (
+       |  SELECT query_id, vec_id, cell, score,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY score DESC, vec_id) AS INT) AS rank
+       |  FROM cand)
+       |SELECT query_id, vec_id, cell, score, rank
+       |FROM r WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
   private def planeSqlLiteral(p: Int): String =

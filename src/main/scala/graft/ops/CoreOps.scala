@@ -186,6 +186,24 @@ object CoreOps {
       Map("status" -> "X"))
   }
 
+  /** q16 — statistics surface beyond the reference (distinct counts and
+    * exact interpolated percentiles — the reference has neither):
+    * per returnflag, distinct part count, quartiles of extendedprice,
+    * sample stddev. Exact `percentile` matches DuckDB `quantile_cont`
+    * (same (n−1)·p linear interpolation); midpoints of 2-decimal data
+    * terminate within 4 decimals, so round(…,4) is boundary-safe.
+    */
+  def statsSurface(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct("l_partkey").as("n_parts"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("sd"))
+      .orderBy("l_returnflag")
+
   /** q12 — JSON decode (F9, reference `api.py:104` request parsing):
     * `from_json` with a declared schema (never inferred), then use the
     * extracted field relationally.

@@ -85,6 +85,33 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN never beats brute force rank-for-rank") {
+    val brute = Similarity.cosineTopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.annIvf(spark, Sf).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val (score, rank) = (r.getDouble(3), r.getInt(4))
+      brute.get((r.getLong(0), rank)).foreach(b => assert(score <= b + 1e-9))
+    }
+  }
+
+  test("sessionization conserves events and respects the gap") {
+    val sessions = graft.streaming.Sessionize.sessions(spark, Sf).collect()
+    val totalEvents = graft.tables.Tables.events(spark, Sf).count()
+    assert(sessions.map(_.getLong(3)).sum == totalEvents)
+    // consecutive sessions of a user start ≥ gap after the previous last event
+    sessions.groupBy(_.getLong(0)).values.foreach { ss =>
+      val sorted = ss.sortBy(_.getTimestamp(1).getTime)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val gapMs = b.getTimestamp(1).getTime - a.getTimestamp(2).getTime
+          assert(gapMs >= graft.streaming.Sessionize.GapHours * 3600 * 1000L)
+        case _ =>
+      }
+    }
+  }
+
   test("language ID predicts a language iff a marker token occurs") {
     val rows = TextStats.langId(spark, Sf).collect()
     rows.foreach { r =>
