@@ -23,9 +23,12 @@ object TextHash {
 
   val HashHexDigits = 14
 
-  /** Spark: 56-bit portable hash of a string column. */
+  /** Spark: 56-bit portable hash of a string column, via the native
+    * [[graft.expr.Md5Prefix56]] expression (identical value to the
+    * composed `conv(substring(md5(..)..))` form, ~no string overhead).
+    */
   def phash(c: Column, seed: Int): Column =
-    conv(substring(md5(concat(lit(s"$seed:"), c)), 1, HashHexDigits), 16, 10).cast(LongType)
+    graft.expr.HashFunctions.md5Prefix56(concat(lit(s"$seed:"), c))
 
   /** DuckDB SQL fragment computing the same hash of expression `e`. */
   def phashSql(e: String, seed: Int): String =

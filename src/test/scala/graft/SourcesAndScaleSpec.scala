@@ -1,0 +1,75 @@
+package graft
+
+import graft.ops.Skew
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Coverage for the reference's staging-source surface (S3/S4/S5:
+  * JSON → relation, CSV cache write, typed CSV re-read) and the
+  * scale utilities (salting, sketches).
+  */
+class SourcesAndScaleSpec extends AnyFunSuite {
+  import SparkTestBase.{spark, Sf}
+  import spark.implicits._
+
+  test("CSV staging round-trip with declared schema (S4/S5)") {
+    // the reference caches extracts as CSV and re-reads with explicit
+    // dtypes (reference `0_insert_conso_an_ville_in_bq.py:29-47`);
+    // schema is declared, never inferred (SURVEY §1.2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/stage"
+    val src = Seq(("Brageac", "15024", 110.5, 2020), ("Paris", "75056", 220.25, 2021))
+      .toDF("nom_commune", "code_commune", "conso_moyenne_mwh", "annee")
+    src.write.option("header", "true").csv(tmp)
+    val schema = graft.tables.Tables.consoAnVilleSchema
+    val back = spark.read.schema(schema).option("header", "true").csv(tmp)
+    assert(back.schema == schema)
+    assert(back.orderBy("code_commune").collect().toSeq ==
+           src.orderBy("code_commune").collect().toSeq)
+    // leading zeros survive because code_commune is declared STRING
+    assert(back.filter($"code_commune" === "15024").count() == 1)
+  }
+
+  test("JSON extract → relation with declared schema (S3)") {
+    val payload = Seq(
+      """{"nom_commune":"Brageac","code_commune":"15024","conso_moyenne_mwh":110.5,"annee":2020}""",
+      """{"nom_commune":"Paris","code_commune":"75056","conso_moyenne_mwh":220.25,"annee":2021}""")
+    val ds = spark.createDataset(payload)
+    val df = spark.read.schema(graft.tables.Tables.consoAnVilleSchema).json(ds)
+    assert(df.count() == 2)
+    assert(df.schema == graft.tables.Tables.consoAnVilleSchema)
+  }
+
+  test("salted join is row-identical to the plain join") {
+    // heavy skew: 80% of the large side hits one key
+    val large = (1 to 5000).map(i => (if (i % 5 != 0) 1L else (i % 50).toLong, i.toLong))
+      .toDF("k", "payload")
+    val small = (0L to 49L).map(k => (k, s"dim$k")).toDF("k", "attr")
+    val plain = large.join(small, "k")
+    val salted = Skew.saltedJoin(large, small, "k", col("payload"), salts = 8)
+    assert(salted.count() == plain.count())
+    val a = plain.select("k", "payload", "attr").orderBy("k", "payload").collect().toSeq
+    val b = salted.select("k", "payload", "attr").orderBy("k", "payload").collect().toSeq
+    assert(a == b)
+  }
+
+  test("HLL sketch: approx_count_distinct within its error bound") {
+    val li = graft.tables.Tables.lineitem(spark, Sf)
+    val exact = li.select(countDistinct("l_partkey")).head().getLong(0)
+    val approx = li.select(approx_count_distinct("l_partkey", 0.02)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("events backfill slice equals streaming daily result on that slice (D3)") {
+    // Kappa backfill: batch over a date range == the stream's rows for
+    // that range (same code path, SURVEY §2.10 D3)
+    val stream = graft.streaming.DailyIngest.streamDaily(spark, Sf)
+      .filter(col("d").between(lit("2024-01-10"), lit("2024-01-20")))
+      .collect().toSeq
+    val batch = graft.streaming.DailyIngest.batchDaily(spark, Sf)
+      .filter(col("d").between(lit("2024-01-10"), lit("2024-01-20")))
+      .collect().toSeq
+    assert(stream == batch && stream.nonEmpty)
+  }
+}
