@@ -35,6 +35,8 @@ object SparkEntry {
     "q14_validate"      -> (ops.CoreOps.validateRequests(_, _)),
     "q15_sql_surface"   -> (ops.CoreOps.sqlSurface(_, _)),
     "q16_stats"         -> (ops.CoreOps.statsSurface(_, _)),
+    "q17_rollup"        -> (ops.CoreOps.rollupRevenue(_, _)),
+    "q18_semi_anti"     -> (ops.CoreOps.semiAntiJoin(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -273,6 +275,26 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    "q17_rollup" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  count(*) AS n_orders,
+        |  CAST(grouping(n_name) * 2 + grouping(yr) AS INT) AS gid
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, yr)
+        |ORDER BY gid, n_name ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin,
+
+    "q18_semi_anti" ->
+      """WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)
+        |SELECT c_custkey, 'has_big_order' AS segment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM big WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_big_order' AS segment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM big WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
 
     "s02_sessionize" -> streaming.Sessionize.oracleSessions,
 

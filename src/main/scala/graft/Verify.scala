@@ -16,9 +16,17 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // Materialize in parallel BEFORE coalescing: a bare coalesce(1)
+      // propagates the 1-partition constraint through narrow deps and
+      // serializes whole joins into one task. Coalescing the *cached*
+      // partitions merely concatenates them in index order, which also
+      // preserves the query's ORDER BY.
+      try {
+        val out = fn(spark, sfDir).persist()
+        out.count()
+        out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        out.unpersist()
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -50,14 +50,14 @@ object Dedup {
       col("text").substr(lit(1), greatest(length(col("text")) - lit(TwinTruncate), lit(20))).as("text")))
   }
 
-  /** Exploded distinct shingles of the corpus, hashed immediately:
-    * (doc_id, base). Hashing before any shuffle means every downstream
-    * join/aggregate moves 8-byte longs instead of strings.
+  /** Exploded distinct shingle hashes of the corpus: (doc_id, base).
+    * Hashed inside the per-row array transform — dedup compares longs,
+    * no string array materializes, and every downstream
+    * join/aggregate moves 8-byte longs.
     */
   private def hashedShingles(spark: SparkSession, dir: String): DataFrame =
     corpus(spark, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("g"))
-      .select(col("doc_id"), phash(col("g"), 0).as("base"))
+      .select(col("doc_id"), explode(TextHash.hashedShingles(col("text"), 0)).as("base"))
 
   private def bandsFrom(sh: DataFrame): DataFrame = {
     val mhCols = (0 until MinhashSeeds).map(s => min(mix(col("base"), s)).as(s"mh$s"))
@@ -179,9 +179,8 @@ object Dedup {
 
   private val corpusShinglesSql: String =
     s"""sh AS (
-       |  SELECT doc_id, ${phashSql("g", 0)} AS base
-       |  FROM (SELECT DISTINCT doc_id, unnest(${shinglesSql("text")}) AS g
-       |        FROM corpus))""".stripMargin
+       |  SELECT DISTINCT doc_id, unnest(${hashedShinglesSql("text", 0)}) AS base
+       |  FROM corpus)""".stripMargin
 
   private val minhashSql: String = {
     val mhCols = (0 until MinhashSeeds)

@@ -78,10 +78,27 @@ object TextHash {
       sequence(lit(1), greatest(length(text) - lit(ShingleLen - 1), lit(1))),
       i => text.substr(i, lit(ShingleLen))))
 
+  /** Spark: the distinct HASHES of a text column's 8-gram shingles —
+    * hashing inside the transform means `array_distinct` deduplicates
+    * primitive longs (cheap equality) and no string array ever
+    * materializes. Dedup is post-hash; the SQL builders below dedup in
+    * the same order so collision handling matches exactly.
+    */
+  def hashedShingles(text: Column, seed: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - lit(ShingleLen - 1), lit(1))),
+      i => graft.expr.HashFunctions.md5Prefix56(concat(lit(s"$seed:"), text.substr(i, lit(ShingleLen))))))
+
   /** DuckDB SQL fragment: the same distinct-shingle list of `e`
     * (dedup happens via SELECT DISTINCT at the caller).
     */
   def shinglesSql(e: String): String =
     s"list_transform(range(1, greatest(length($e) - ${ShingleLen - 1}, 1) + 1), " +
       s"i -> substr($e, i::INT, $ShingleLen))"
+
+  /** DuckDB SQL fragment matching [[hashedShingles]] (dedup at caller
+    * via SELECT DISTINCT — post-hash, like array_distinct above).
+    */
+  def hashedShinglesSql(e: String, seed: Int): String =
+    s"list_transform(${shinglesSql(e)}, g -> ${phashSql("g", seed)})"
 }

@@ -109,8 +109,7 @@ object TextStats {
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(TextHash.shingles(col("text"))).as("g"))
-      .withColumn("h", TextHash.phash(col("g"), 0))
+      .select(col("doc_id"), explode(TextHash.hashedShingles(col("text"), 0)).as("h"))
       .groupBy("doc_id")
       .agg(min("h").as("fp_min"),
            expr("bit_xor(h)").as("fp_xor"),
@@ -178,10 +177,9 @@ object TextStats {
        |ORDER BY doc_id""".stripMargin
 
   val oracleFingerprint: String =
-    s"""WITH sh AS (
-       |  SELECT DISTINCT doc_id, unnest(${TextHash.shinglesSql("text")}) AS g
-       |  FROM documents),
-       |h AS (SELECT doc_id, ${TextHash.phashSql("g", 0)} AS h FROM sh)
+    s"""WITH h AS (
+       |  SELECT DISTINCT doc_id, unnest(${TextHash.hashedShinglesSql("text", 0)}) AS h
+       |  FROM documents)
        |SELECT doc_id, min(h) AS fp_min, bit_xor(h) AS fp_xor, count(*) AS n_shingles
        |FROM h GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin

@@ -204,6 +204,40 @@ object CoreOps {
         round(stddev_samp(col("l_extendedprice")), 2).as("sd"))
       .orderBy("l_returnflag")
 
+  /** q17 — rollup (hierarchical subtotals; beyond the reference's flat
+    * group-bys): revenue by (nation, year) with per-nation and grand
+    * totals. `grouping_id` disambiguates subtotal rows; ordering pins
+    * NULL placement explicitly since Spark defaults NULLS FIRST and
+    * DuckDB NULLS LAST.
+    */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .rollup(col("n_name"), year(col("o_orderdate")).as("yr"))
+      .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n_orders"),
+           grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"), col("n_name").asc_nulls_first, col("yr").asc_nulls_first)
+  }
+
+  /** q18 — semi/anti join (EXISTS / NOT EXISTS): customers with at
+    * least one high-value order, tagged; anti side = never ordered
+    * above the threshold. Left-semi/anti shuffle only the key column —
+    * the probe side never materializes payload for non-matches.
+    */
+  def semiAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val big = Tables.orders(spark, dir).filter(col("o_totalprice") > 200000.0)
+      .select("o_custkey")
+    val semi = c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_big_order").as("segment"))
+    val anti = c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_big_order").as("segment"))
+    semi.unionByName(anti).orderBy("c_custkey")
+  }
+
   /** q12 — JSON decode (F9, reference `api.py:104` request parsing):
     * `from_json` with a declared schema (never inferred), then use the
     * extracted field relationally.
