@@ -75,6 +75,47 @@ object Multimodal {
     }
   }
 
+  /** STUB — resize: a real implementation decodes, scales pixels and
+    * re-encodes; the stub is a deterministic byte subsample keeping the
+    * metadata contract (target dims recorded, bytes shrink
+    * proportionally). Plan shape (partition-wise batch map, typed
+    * schema in/out) is the real one.
+    */
+  def stubResize(bytes: Array[Byte], srcW: Int, srcH: Int, dstW: Int, dstH: Int): Array[Byte] = {
+    val ratio = math.max(1, math.round(srcW.toDouble * srcH / math.max(1, dstW * dstH)).toInt)
+    bytes.grouped(ratio).map(_.head).toArray
+  }
+
+  case class ResizedMedia(doc_id: Long, media: Array[Byte], width: Int, height: Int)
+
+  /** Batch resize over partitions to a fixed thumbnail size. */
+  def resizePartitions(spark: SparkSession, dir: String, dstW: Int = 32, dstH: Int = 24): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        ResizedMedia(r.doc_id, stubResize(r.media, r.width, r.height, dstW, dstH), dstW, dstH)
+      }
+    }
+  }
+
+  /** STUB — frame sampling: treats the byte stream as `nFrames` fixed-
+    * size "frames" and emits every `stride`-th one (a video decoder
+    * would seek keyframes; the emitted (doc_id, frame_idx, frame_bytes)
+    * fan-out schema is the real contract: 1 row in → k rows out).
+    */
+  case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  def sampleFrames(spark: SparkSession, dir: String, frameBytes: Int = 64, stride: Int = 4): Dataset[Frame] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        r.media.grouped(frameBytes).zipWithIndex.collect {
+          case (chunk, i) if i % stride == 0 => Frame(r.doc_id, i, chunk)
+        }
+      }
+    }
+  }
+
   val oracleMediaStats: String =
     s"""SELECT doc_id,
        |  octet_length(encode(text))::INT AS n_bytes,

@@ -77,4 +77,16 @@ object DailyIngest {
   def batchDaily(spark: SparkSession, dir: String): DataFrame =
     dailyAgg(graft.tables.Tables.events(spark, dir))
       .orderBy("event_type", "d")
+
+  /** Backfill (SURVEY.md §2.10 D3 — the reference's
+    * `airflow dags backfill -s .. -e ..`): re-run the daily aggregation
+    * as a batch over a closed date range. Kappa: same `dailyAgg` code
+    * as the stream; pair with Ingest.loadDailyPartitioned so re-running
+    * a range replaces those partitions idempotently.
+    */
+  def backfill(spark: SparkSession, dir: String,
+               from: java.sql.Date, to: java.sql.Date): DataFrame =
+    dailyAgg(graft.tables.Tables.events(spark, dir))
+      .filter(col("d").between(lit(from), lit(to)))
+      .orderBy("event_type", "d")
 }

@@ -142,6 +142,31 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("resize and frame-sample keep the batch contracts") {
+    val resized = Multimodal.resizePartitions(spark, Sf).collect()
+    assert(resized.length == 500)
+    resized.foreach { r =>
+      assert(r.width == 32 && r.height == 24)
+      assert(r.media.nonEmpty && r.media.length <= 600)
+    }
+    val frames = Multimodal.sampleFrames(spark, Sf).collect()
+    assert(frames.nonEmpty)
+    // stride 4: only frame indices ≡ 0 (mod 4); ≥1 frame per doc
+    assert(frames.forall(_.frame_idx % 4 == 0))
+    assert(frames.map(_.doc_id).distinct.length == 500)
+  }
+
+  test("backfill over a range is idempotent through the partitioned load") {
+    val d = java.sql.Date.valueOf(_: String)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_backfill").toString
+    val slice = graft.streaming.DailyIngest.backfill(spark, Sf, d("2024-01-10"), d("2024-01-15"))
+      .withColumnRenamed("d", "date")
+    graft.ops.Ingest.loadDailyPartitioned(spark, slice, tmp)
+    graft.ops.Ingest.loadDailyPartitioned(spark, slice, tmp) // the re-run
+    val n = spark.read.parquet(tmp).count()
+    assert(n == slice.count()) // duplicates would double this
+  }
+
   test("streaming daily ingest equals the batch computation (Kappa)") {
     val streamRows = graft.streaming.DailyIngest.streamDaily(spark, Sf).collect()
     val batchRows = graft.streaming.DailyIngest.batchDaily(spark, Sf).collect()
