@@ -37,6 +37,8 @@ object SparkEntry {
     "q16_stats"         -> (ops.CoreOps.statsSurface(_, _)),
     "q17_rollup"        -> (ops.CoreOps.rollupRevenue(_, _)),
     "q18_semi_anti"     -> (ops.CoreOps.semiAntiJoin(_, _)),
+    "q19_pivot"         -> (ops.CoreOps.pivotDaily(_, _)),
+    "q20_setops"        -> (ops.CoreOps.setOps(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -295,6 +297,27 @@ object SparkEntry {
         |SELECT c_custkey, 'no_big_order' AS segment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM big WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q19_pivot" ->
+      """SELECT (ts::TIMESTAMP)::DATE AS d,
+        |  coalesce(round(sum(value) FILTER (event_type = 'click'), 2), 0.0)    AS click,
+        |  coalesce(round(sum(value) FILTER (event_type = 'error'), 2), 0.0)    AS error,
+        |  coalesce(round(sum(value) FILTER (event_type = 'purchase'), 2), 0.0) AS purchase,
+        |  coalesce(round(sum(value) FILTER (event_type = 'signup'), 2), 0.0)   AS signup,
+        |  coalesce(round(sum(value) FILTER (event_type = 'view'), 2), 0.0)     AS view
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q20_setops" ->
+      """WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0)
+        |SELECT o_custkey, 'urgent_and_big' AS tag
+        |FROM (SELECT o_custkey FROM urgent INTERSECT SELECT o_custkey FROM big)
+        |UNION ALL
+        |SELECT o_custkey, 'urgent_only' AS tag
+        |FROM (SELECT o_custkey FROM urgent EXCEPT SELECT o_custkey FROM big)
+        |ORDER BY o_custkey, tag""".stripMargin,
 
     "s02_sessionize" -> streaming.Sessionize.oracleSessions,
 

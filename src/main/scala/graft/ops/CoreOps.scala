@@ -238,6 +238,35 @@ object CoreOps {
     semi.unionByName(anti).orderBy("c_custkey")
   }
 
+  /** q19 — pivot (wide daily matrix, one column per event type; the
+    * reference's BI-facing layouts pivot manually in pandas). A fixed
+    * value list keeps the output schema static — at scale a dynamic
+    * pivot would force an extra distinct-values job. Oracle uses
+    * FILTER-ed conditional aggregates, the portable spelling.
+    */
+  def pivotDaily(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .pivot("event_type", types)
+      .agg(round(sum("value"), 2))
+      .na.fill(0.0, types)
+      .orderBy("d")
+  }
+
+  /** q20 — set operations (INTERSECT / EXCEPT; absent in the reference,
+    * SURVEY.md §2.7): customers appearing in both an urgent-order set
+    * and a high-value set, and urgent-only customers, tagged.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    val big = o.filter(col("o_totalprice") > 150000.0).select("o_custkey")
+    val both = urgent.intersect(big).select(col("o_custkey"), lit("urgent_and_big").as("tag"))
+    val only = urgent.except(big).select(col("o_custkey"), lit("urgent_only").as("tag"))
+    both.unionByName(only).orderBy("o_custkey", "tag")
+  }
+
   /** q12 — JSON decode (F9, reference `api.py:104` request parsing):
     * `from_json` with a declared schema (never inferred), then use the
     * extracted field relationally.
