@@ -55,6 +55,7 @@ object SparkEntry {
     "m01_media_stats"       -> (llm.Multimodal.mediaStats(_, _)),
     "s01_stream_daily"      -> (streaming.DailyIngest.streamDaily(_, _)),
     "s02_sessionize"        -> (streaming.Sessionize.sessions(_, _)),
+    "s03_sliding"           -> (streaming.DailyIngest.slidingDaily(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -320,6 +321,7 @@ object SparkEntry {
         |ORDER BY o_custkey, tag""".stripMargin,
 
     "s02_sessionize" -> streaming.Sessionize.oracleSessions,
+    "s03_sliding"    -> streaming.DailyIngest.oracleSlidingDaily,
 
     // s01: the stream result must equal the batch daily mean — the
     // Kappa-architecture equivalence IS the oracle.

@@ -22,10 +22,12 @@ object Verify {
       // partitions merely concatenates them in index order, which also
       // preserves the query's ORDER BY.
       try {
+        val t0 = System.nanoTime()
         val out = fn(spark, sfDir).persist()
         out.count()
         out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         out.unpersist()
+        System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -78,6 +78,30 @@ object DailyIngest {
     dailyAgg(graft.tables.Tables.events(spark, dir))
       .orderBy("event_type", "d")
 
+  /** s03 — sliding event-time windows (7-day window, 1-day slide): the
+    * streaming generalization of the API's "trailing 30 days at query
+    * time" (SURVEY.md §2.10). Each event lands in 7 windows; day-aligned
+    * slide means window starts are exactly date(ts)−k, k∈[0,7) — which
+    * is the oracle's spelling. Same code runs under readStream with a
+    * watermark.
+    */
+  def slidingDaily(spark: SparkSession, dir: String): DataFrame =
+    graft.tables.Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "7 days", "1 day").as("w"), col("event_type"))
+      .agg((round(sum("value"), 2) / count("value")).as("mean_value"),
+           count(lit(1)).as("n"))
+      .select(to_date(col("w.start")).as("wstart"), col("event_type"),
+              col("mean_value"), col("n"))
+      .orderBy("wstart", "event_type")
+
+  val oracleSlidingDaily: String =
+    """SELECT (ts::TIMESTAMP)::DATE - k::INT AS wstart, event_type,
+      |  round(sum(value), 2) / count(value) AS mean_value,
+      |  count(*) AS n
+      |FROM events, range(7) t(k)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** Backfill (SURVEY.md §2.10 D3 — the reference's
     * `airflow dags backfill -s .. -e ..`): re-run the daily aggregation
     * as a batch over a closed date range. Kappa: same `dailyAgg` code
