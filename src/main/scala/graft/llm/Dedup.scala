@@ -62,9 +62,11 @@ object Dedup {
   private def bandsFrom(sh: DataFrame): DataFrame = {
     val mhCols = (0 until MinhashSeeds).map(s => min(mix(col("base"), s)).as(s"mh$s"))
     val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    // band bucket key is a 56-bit long (not an md5 hex string): 8-byte
+    // join/shuffle keys instead of 32-char strings
     val bandCols = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
-      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("band_hash"))
+      struct(lit(b).as("band"), phash(concat_ws(",", cols: _*), 1).as("band_hash"))
     }
     mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
@@ -194,7 +196,7 @@ object Dedup {
   private val bandsSql: String = {
     val bandSelects = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}").mkString(" || ',' || ")
-      s"SELECT doc_id, $b AS band, md5($cols) AS band_hash FROM mh"
+      s"SELECT doc_id, $b AS band, ${phashSql(cols, 1)} AS band_hash FROM mh"
     }.mkString("\n  UNION ALL\n  ")
     s"""bands AS (
        |  $bandSelects)""".stripMargin

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the 100 TB checklist as executable
+  * checks, not prose: pushdown reaches the scan, dimensions broadcast,
+  * top-k never global-sorts, aggregates split partial/final.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestBase.{spark, Sf}
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan.toString
+
+  test("q01: filter and projection are pushed into the parquet scan") {
+    val p = planOf("q01_pruned_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(l_linestatus), In(l_returnflag"),
+      s"missing pushdown in:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_returnflag:string,l_linestatus:string>"),
+      s"scan reads more columns than needed:\n$p")
+  }
+
+  test("q11: dimension joins are broadcast, aggregation is partial+final") {
+    val p = planOf("q11_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"unexpected sort-merge join:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q09: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q09_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q13: request side joins alpha/M via broadcast (no request shuffle)") {
+    val p = planOf("q13_price")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d06: candidate scoring stays a broadcast loop over the query set") {
+    val p = planOf("d06_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("cosine_similarity") || p.contains("cosinesimilarity") ||
+           p.toLowerCase.contains("cosine"), s"native expression missing from plan:\n$p")
+  }
+}
