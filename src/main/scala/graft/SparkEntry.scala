@@ -39,6 +39,8 @@ object SparkEntry {
     "q18_semi_anti"     -> (ops.CoreOps.semiAntiJoin(_, _)),
     "q19_pivot"         -> (ops.CoreOps.pivotDaily(_, _)),
     "q20_setops"        -> (ops.CoreOps.setOps(_, _)),
+    "q21_corr_subquery" -> (ops.CoreOps.correlatedSubquery(_, _)),
+    "q22_ranking"       -> (ops.CoreOps.rankingWindows(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -319,6 +321,24 @@ object SparkEntry {
         |SELECT o_custkey, 'urgent_only' AS tag
         |FROM (SELECT o_custkey FROM urgent EXCEPT SELECT o_custkey FROM big)
         |ORDER BY o_custkey, tag""".stripMargin,
+
+    "q21_corr_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT round(sum(o_totalprice), 2) / count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q22_ranking" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY o_custkey, rn""".stripMargin,
 
     "s02_sessionize" -> streaming.Sessionize.oracleSessions,
     "s03_sliding"    -> streaming.DailyIngest.oracleSlidingDaily,

@@ -267,6 +267,40 @@ object CoreOps {
     both.unionByName(only).orderBy("o_custkey", "tag")
   }
 
+  /** q21 — correlated scalar subquery (exercises Catalyst's
+    * RewriteCorrelatedScalarSubquery / decorrelation, SURVEY.md §4):
+    * orders beating their own customer's average order value. The
+    * optimizer rewrites the per-row subquery into an aggregate + join —
+    * the set-oriented plan this engine is built on.
+    */
+  def correlatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders_v o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT round(sum(o_totalprice), 2) / count(*) FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** q22 — ranking-function surface (row_number / rank / dense_rank /
+    * ntile; absent in the reference, SURVEY.md §2.5): order ranks per
+    * customer by price. row_number's tie-break is pinned by a unique
+    * key so both engines agree.
+    */
+  def rankingWindows(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"))
+      .filter(col("rn") <= 5)
+      .orderBy("o_custkey", "rn")
+  }
+
   /** q12 — JSON decode (F9, reference `api.py:104` request parsing):
     * `from_json` with a declared schema (never inferred), then use the
     * extracted field relationally.
