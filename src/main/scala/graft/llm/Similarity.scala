@@ -66,19 +66,24 @@ object Similarity {
       .reduce(_ + _)
   }
 
-  /** d07 — ANN via random-hyperplane LSH: 8 signed projections → a
-    * 256-bucket signature; candidates share the query's bucket; exact
-    * cosine only inside the bucket. At 100 TB the bucket column is the
-    * shuffle/cluster key and the cross join disappears — each query
-    * probes one bucket's partition instead of the full corpus.
+  /** d07 — ANN via random-hyperplane LSH with multi-probe: 8 signed
+    * projections → a 256-bucket signature; candidates lie in the
+    * query's bucket OR any bucket one sign-flip away (9 of 256 —
+    * single-bucket probing yields too few candidates for top-10 at
+    * this corpus size). Exact cosine only on candidates. At 100 TB
+    * multi-probe enumerates the 9 exact bucket keys per query (the
+    * bucket stays the shuffle/cluster key); the ≤-hamming join here is
+    * the fixture-scale spelling of that enumeration.
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("bucket", bucketCol("embedding"))
-    val queries = emb.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
-    emb.join(broadcast(queries), Seq("bucket"))
+    emb.join(broadcast(
+        emb.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+                  col("bucket").as("qbucket"))),
+        expr("bit_count(bucket ^ qbucket) <= 1"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("bucket"),
         round(cosineSimilarity(col("qe"), col("embedding")), 6).as("score"))
@@ -195,7 +200,7 @@ object Similarity {
        |scored AS (
        |  SELECT q.query_id, e.vec_id, e.bucket,
        |         round(list_cosine_similarity(qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS score
-       |  FROM q JOIN b e USING (bucket)
+       |  FROM q JOIN b e ON bit_count(xor(e.bucket::BIGINT, q.bucket::BIGINT)) <= 1
        |  WHERE e.vec_id != q.query_id),
        |ranked AS (
        |  SELECT query_id, vec_id, bucket, score,
