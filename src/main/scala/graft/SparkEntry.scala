@@ -41,6 +41,7 @@ object SparkEntry {
     "q20_setops"        -> (ops.CoreOps.setOps(_, _)),
     "q21_corr_subquery" -> (ops.CoreOps.correlatedSubquery(_, _)),
     "q22_ranking"       -> (ops.CoreOps.rankingWindows(_, _)),
+    "q23_cube"          -> (ops.CoreOps.cubeRevenue(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -339,6 +340,17 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
         |QUALIFY row_number() OVER w <= 5
         |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q23_cube" ->
+      """SELECT n_name, o_orderstatus,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  count(*) AS n_orders,
+        |  CAST(grouping(n_name) * 2 + grouping(o_orderstatus) AS INT) AS gid
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY CUBE (n_name, o_orderstatus)
+        |ORDER BY gid, n_name ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
 
     "s02_sessionize" -> streaming.Sessionize.oracleSessions,
     "s03_sliding"    -> streaming.DailyIngest.oracleSlidingDaily,

@@ -222,6 +222,21 @@ object CoreOps {
       .orderBy(col("gid"), col("n_name").asc_nulls_first, col("yr").asc_nulls_first)
   }
 
+  /** q23 — cube (all grouping-set combinations of nation × order
+    * status; completes the grouping-sets family next to q17's rollup).
+    */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .cube(col("n_name"), col("o_orderstatus"))
+      .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n_orders"),
+           grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"), col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+  }
+
   /** q18 — semi/anti join (EXISTS / NOT EXISTS): customers with at
     * least one high-value order, tagged; anti side = never ordered
     * above the threshold. Left-semi/anti shuffle only the key column —
