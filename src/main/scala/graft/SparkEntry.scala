@@ -51,6 +51,7 @@ object SparkEntry {
     "d06_cosine_topk"       -> (llm.Similarity.cosineTopK(_, _)),
     "d07_ann_lsh"           -> (llm.Similarity.annLsh(_, _)),
     "d08_ann_ivf"           -> (llm.Similarity.annIvf(_, _)),
+    "d09_embed_norms"       -> (llm.Similarity.embedNorms(_, _)),
     "t01_lang_id"           -> (llm.TextStats.langId(_, _)),
     "t02_text_quality"      -> (llm.TextStats.quality(_, _)),
     "t03_token_stats"       -> (llm.TextStats.tokenStats(_, _)),
@@ -265,6 +266,7 @@ object SparkEntry {
     "d06_cosine_topk"       -> llm.Similarity.oracleCosineTopK,
     "d07_ann_lsh"           -> llm.Similarity.oracleAnnLsh,
     "d08_ann_ivf"           -> llm.Similarity.oracleAnnIvf,
+    "d09_embed_norms"       -> llm.Similarity.oracleEmbedNorms,
     "t01_lang_id"           -> llm.TextStats.oracleLangId,
     "t02_text_quality"      -> llm.TextStats.oracleQuality,
     "t03_token_stats"       -> llm.TextStats.oracleTokenStats,

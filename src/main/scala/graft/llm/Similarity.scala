@@ -133,6 +133,39 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** d09 — embedding norm statistics per label: L2 norms via an ordered
+    * double fold (bit-identical to DuckDB's list_transform/list_sum),
+    * then per-label min/max/stable-mean — the hygiene check a vector
+    * pipeline runs before choosing a similarity metric (unnormalized
+    * corpora make dot-product ranking meaningless).
+    */
+  def embedNorms(spark: SparkSession, dir: String): DataFrame = {
+    val norm = sqrt(aggregate(
+      transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    Tables.embeddings(spark, dir)
+      .select(col("label"), round(norm, 6).as("l2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+           round(min("l2"), 6).as("min_l2"),
+           round(max("l2"), 6).as("max_l2"),
+           (round(sum("l2"), 6) / count("l2")).as("mean_l2"))
+      .orderBy("label")
+  }
+
+  val oracleEmbedNorms: String =
+    """WITH n AS (
+      |  SELECT label,
+      |         round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2
+      |  FROM embeddings)
+      |SELECT label, count(*) AS n,
+      |  round(min(l2), 6) AS min_l2,
+      |  round(max(l2), 6) AS max_l2,
+      |  round(sum(l2), 6) / count(l2) AS mean_l2
+      |FROM n
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
   // ---- DuckDB oracles -------------------------------------------------------
 
   val oracleCosineTopK: String =
