@@ -19,11 +19,15 @@ import org.apache.spark.sql.types.DoubleType
   */
 object FlattenClampBounds extends Rule[LogicalPlan] {
   private def tighten(e: Expression): Expression = e match {
+    // NaN guard: Spark's Least/Greatest order NaN greatest, but
+    // math.min(NaN, b) = NaN — folding a NaN bound would change results
     case Least(Seq(Literal(a: java.lang.Double, DoubleType),
-                   Least(Seq(Literal(b: java.lang.Double, DoubleType), inner)))) =>
+                   Least(Seq(Literal(b: java.lang.Double, DoubleType), inner))))
+        if !a.isNaN && !b.isNaN =>
       Least(Seq(Literal(math.min(a, b), DoubleType), tighten(inner)))
     case Greatest(Seq(Literal(a: java.lang.Double, DoubleType),
-                      Greatest(Seq(Literal(b: java.lang.Double, DoubleType), inner)))) =>
+                      Greatest(Seq(Literal(b: java.lang.Double, DoubleType), inner))))
+        if !a.isNaN && !b.isNaN =>
       Greatest(Seq(Literal(math.max(a, b), DoubleType), tighten(inner)))
     case other => other
   }

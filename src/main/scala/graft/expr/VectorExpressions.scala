@@ -56,18 +56,28 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // every local via freshName: two instances of this expression can
+      // land in ONE whole-stage-codegen scope (e.g. d08's assign+score),
+      // and fixed names collide -> Janino error -> interpreter fallback
+      val n   = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx  = ctx.freshName("nx")
+      val ny  = ctx.freshName("ny")
+      val i   = ctx.freshName("i")
+      val xv  = ctx.freshName("xv")
+      val yv  = ctx.freshName("yv")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, nx = 0.0, ny = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xv = (double) $a.getFloat(i);
-         |  double yv = (double) $b.getFloat(i);
-         |  dot += xv * yv; nx += xv * xv; ny += yv * yv;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = (double) $a.getFloat($i);
+         |  double $yv = (double) $b.getFloat($i);
+         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |}
-         |if (nx == 0.0 || ny == 0.0) {
+         |if ($nx == 0.0 || $ny == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = dot / (java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny));
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
          |}
        """.stripMargin
     })

@@ -50,64 +50,77 @@ object Dedup {
       col("text").substr(lit(1), greatest(length(col("text")) - lit(TwinTruncate), lit(20))).as("text")))
   }
 
-  /** Exploded distinct shingle hashes of the corpus: (doc_id, base).
-    * Hashed inside the per-row array transform — dedup compares longs,
-    * no string array materializes, and every downstream
-    * join/aggregate moves 8-byte longs.
+  /** One row per corpus doc with its distinct shingle-hash ARRAY —
+    * the whole MinHash/Jaccard family works off this relation, and
+    * keeping shingles as a per-doc array (not an exploded row set)
+    * means signatures need NO shuffle and the Jaccard verify moves one
+    * compact array per doc instead of re-shuffling millions of
+    * (doc_id, hash) rows.
     */
-  private def hashedShingles(spark: SparkSession, dir: String): DataFrame =
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
     corpus(spark, dir)
-      .select(col("doc_id"), explode(TextHash.hashedShingles(col("text"), 0)).as("base"))
+      .select(col("doc_id"), TextHash.hashedShingles(col("text"), 0).as("hs"))
 
-  private def bandsFrom(sh: DataFrame): DataFrame = {
-    val mhCols = (0 until MinhashSeeds).map(s => min(mix(col("base"), s)).as(s"mh$s"))
-    val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-    // band bucket key is a 56-bit long (not an md5 hex string): 8-byte
-    // join/shuffle keys instead of 32-char strings
+  /** The 4 LSH band structs of one doc, computed per-ROW: minhash s is
+    * `array_min(transform(hs, mix(_, s)))` (same value as a min
+    * aggregate over exploded rows, zero shuffle), and each band of 4
+    * minhashes re-hashes into one 56-bit long bucket key (8-byte
+    * join/shuffle keys instead of 32-char hex strings).
+    */
+  private def bandStructs: Column = {
+    val mh = (0 until MinhashSeeds).map(s => array_min(transform(col("hs"), x => mix(x, s))))
     val bandCols = (0 until Bands).map { b =>
-      val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+      val cols = (0 until RowsPerBand).map(r => mh(b * RowsPerBand + r))
       struct(lit(b).as("band"), phash(concat_ws(",", cols: _*), 1).as("band_hash"))
     }
-    mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+    array(bandCols: _*)
   }
 
-  /** d02 — MinHash signatures banded for LSH: one hash-aggregate
-    * computes all 16 minhashes (no row explosion per seed, ONE md5 per
-    * shingle — the 16 seed variants come from [[TextHash.mix]]); bands
-    * of 4 are re-hashed into one bucket key each.
+  private def bandsFrom(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+
+  /** d02 — MinHash signatures banded for LSH: all 16 minhashes come
+    * from per-row array folds over the doc's shingle-hash array (ONE
+    * md5 per shingle — the 16 seed variants come from [[TextHash.mix]];
+    * no row explosion, no aggregate, no shuffle); bands of 4 are
+    * re-hashed into one bucket key each.
     */
   def minhashBands(spark: SparkSession, dir: String): DataFrame =
-    bandsFrom(hashedShingles(spark, dir)).orderBy("doc_id", "band")
+    bandsFrom(docShingles(spark, dir)).orderBy("doc_id", "band")
 
   /** d03 — LSH candidate pairs + exact-Jaccard verification: pairs
-    * sharing ≥1 band bucket are joined back to their shingle sets;
+    * sharing ≥1 band bucket join back to the two per-doc shingle-hash
+    * ARRAYS; |A∩B| is `array_intersect` on pre-deduped long arrays;
     * jaccard = |A∩B| / (|A|+|B|−|A∩B|), kept at ≥ [[JaccardThreshold]].
     * jaccard is a ratio of identical integers in both engines → exact
     * double parity without rounding.
+    *
+    * Shuffle budget: ONE band self-join keyed on the bucket, one pair
+    * distinct, two joins moving one array-row per doc — the round-1
+    * shape re-shuffled the exploded shingle relation (≈300 rows/doc)
+    * twice and re-grouped the pair×shingle blow-up; this moves each
+    * doc's shingles once, already aggregated.
     */
   def lshJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    // one persisted shingle→hash pass feeds bands, sizes AND the
-    // intersection joins (each referenced 2×+ below)
-    val sh = hashedShingles(spark, dir).persist()
-    val bands = bandsFrom(sh).persist()
+    // one persisted shingle-hash pass feeds band generation AND both
+    // sides of the verify join
+    val docs = docShingles(spark, dir).persist()
+    val bands = bandsFrom(docs).persist()
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("id_b") === col("sb.doc_id") && col("sa.base") === col("sb.base"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("za"), col("id_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("id_b") === col("zb.doc_id"))
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") / (col("za.sz") + col("zb.sz") - col("inter"))).as("jaccard"))
+        size(array_intersect(col("hs_a"), col("hs_b"))).as("inter"),
+        size(col("hs_a")).as("sza"), size(col("hs_b")).as("szb"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
       .orderBy("id_a", "id_b")
   }
@@ -141,11 +154,23 @@ object Dedup {
     */
   val HammingMax = 6
 
+  /** Pigeonhole chunking: with hd ≤ [[HammingMax]] = 6, the 6 differing
+    * bits can touch at most 6 chunks, so any 7-way split guarantees ≥ 1
+    * chunk matches EXACTLY — chunk count must exceed the hamming bound
+    * (6 bits CAN spread 2+2+1+1 over 4 chunks; 7 is the minimum safe
+    * split for hd ≤ 6). 56 bits / 7 chunks = 8 bits each.
+    */
+  val SimhashChunks = 7
+  val ChunkBits = SimhashBits / SimhashChunks
+
   /** d05 — SimHash near-dup pairs over the twin corpus:
-    * `bit_count(a XOR b) <= 10`. Pairing here is a self-join (fine at
-    * fixture scale, oracle-checkable); the 100 TB path buckets on bit
-    * chunks first (pigeonhole: hamming ≤ 10 over 4 chunks ⇒ ≥1 exact
-    * chunk match), same signatures.
+    * `bit_count(a XOR b) <= 6`, found WITHOUT an all-pairs join.
+    * Candidate generation is the pigeonhole equi-join: each signature
+    * explodes into [[SimhashChunks]] (chunk_idx, chunk_value) keys;
+    * pairs sharing ≥ 1 exact chunk are the only possible hd ≤ 6 pairs
+    * (see [[SimhashChunks]]), and only those pay the Hamming verify.
+    * Cost is O(Σ bucket²) instead of O(n²) — the chunk key is an
+    * ordinary shuffle key, so the join scales out like any hash join.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val words = corpus(spark, dir)
@@ -161,11 +186,21 @@ object Dedup {
     val sigs = words.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), sigExpr.as("simhash"))
-      .persist() // self-joined below; one signature pass, not two
-    sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .persist() // chunk-exploded twice below; one signature pass, not two
+    val chunkStructs = (0 until SimhashChunks).map { c =>
+      struct(lit(c).as("ci"),
+        shiftright(col("simhash"), c * ChunkBits).bitwiseAND(lit((1L << ChunkBits) - 1)).as("cv"))
+    }
+    val chunks = sigs
+      .select(col("doc_id"), col("simhash"), explode(array(chunkStructs: _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         expr("cast(bit_count(a.simhash ^ b.simhash) as int)").as("hamming"))
       .filter(col("hamming") <= HammingMax)
+      .distinct() // a pair can agree on several chunks
       .orderBy("id_a", "id_b")
   }
 

@@ -70,20 +70,25 @@ object Similarity {
     * projections → a 256-bucket signature; candidates lie in the
     * query's bucket OR any bucket one sign-flip away (9 of 256 —
     * single-bucket probing yields too few candidates for top-10 at
-    * this corpus size). Exact cosine only on candidates. At 100 TB
-    * multi-probe enumerates the 9 exact bucket keys per query (the
-    * bucket stays the shuffle/cluster key); the ≤-hamming join here is
-    * the fixture-scale spelling of that enumeration.
+    * this corpus size). Exact cosine only on candidates.
+    *
+    * Multi-probe is ENUMERATED, not predicated: each query explodes
+    * into its 9 exact probe bucket keys (qbucket ^ 0, ^1, ^2 … ^128)
+    * and the corpus is probed by an equi-join on `bucket` — a
+    * broadcast hash join, never a nested-loop `bit_count(...) <= 1`
+    * scan. At 100 TB the bucket stays the shuffle/cluster key and the
+    * probe cost is 9 hash lookups per query, independent of corpus
+    * size.
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("bucket", bucketCol("embedding"))
+    val probeMasks = array((lit(0) +: (0 until NumPlanes).map(p => lit(1 << p))): _*)
+    val probes = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(transform(probeMasks, m => col("bucket").bitwiseXOR(m))).as("bucket"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
-    emb.join(broadcast(
-        emb.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-                  col("bucket").as("qbucket"))),
-        expr("bit_count(bucket ^ qbucket) <= 1"))
+    emb.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("bucket"),
         round(cosineSimilarity(col("qe"), col("embedding")), 6).as("score"))

@@ -29,8 +29,11 @@ object TextStats {
     "de" -> Seq("der", "die", "das", "und", "ein", "ist", "zu"),
     "zh" -> Seq("de", "le", "shi", "bu", "wo", "you", "he"))
 
-  private def tokens(text: Column): Column =
-    expr(s"regexp_extract_all(lower(${text.toString}), '[a-z0-9]+', 0)")
+  // call_function keeps this a plain expression tree — no SQL-text
+  // splicing, so aliased/derived input columns work (the reference's
+  // F8 f-string wart, avoided per SURVEY.md §2.8)
+  private[graft] def tokens(text: Column): Column =
+    call_function("regexp_extract_all", lower(text), lit("[a-z0-9]+"), lit(0))
 
   private def markerCount(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => markers.map(m => t === m).reduce(_ || _)))
@@ -95,7 +98,7 @@ object TextStats {
     val toks = tokens(col("text"))
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("n_ws_tokens"),
+        size(call_function("regexp_extract_all", col("text"), lit("\\S+"), lit(0))).as("n_ws_tokens"),
         size(toks).as("n_words"),
         size(array_distinct(toks)).as("n_distinct_words"),
         aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x).as("alnum_chars"))
@@ -105,15 +108,18 @@ object TextStats {
 
   /** t04 — document fingerprint: min-hash + xor-fold over the distinct
     * 8-gram shingle hashes (order-independent content signature; the
-    * rolling-hash shingles come from [[TextHash.shingles]]).
+    * rolling-hash shingles come from [[TextHash.shingles]]). Computed
+    * as per-row array folds — no explode, no aggregate, no shuffle;
+    * min and xor are order-independent so the fold equals the oracle's
+    * grouped min/bit_xor exactly.
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(TextHash.hashedShingles(col("text"), 0)).as("h"))
-      .groupBy("doc_id")
-      .agg(min("h").as("fp_min"),
-           expr("bit_xor(h)").as("fp_xor"),
-           count(lit(1)).as("n_shingles"))
+      .select(col("doc_id"), TextHash.hashedShingles(col("text"), 0).as("hs"))
+      .select(col("doc_id"),
+        array_min(col("hs")).as("fp_min"),
+        aggregate(col("hs"), lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("fp_xor"),
+        size(col("hs")).cast("long").as("n_shingles"))
       .orderBy("doc_id")
 
   // ---- DuckDB oracles -------------------------------------------------------

@@ -37,8 +37,15 @@ object StreamDedup {
     val doubled = once.union(once) // the duplicated delivery
     val name = s"stream_dedup_${System.nanoTime()}"
     val q = doubled
+      // dropDuplicatesWithinWatermark, NOT dropDuplicates("event_id"):
+      // plain key-only dedup never evicts state (the event-time column
+      // must be part of the keys for watermark eviction), so a long-
+      // running stream would grow state unboundedly; the within-
+      // watermark variant expires each key once it falls behind the
+      // watermark — bounded state with the same dedup guarantee inside
+      // the late-data window
       .withWatermark("ts", "1 day")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("event_type"), to_date(col("w.start")).as("d"), col("n"))

@@ -29,6 +29,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(vals.toSeq == Seq(2.0, 3.0, 3.0))
   }
 
+  test("FlattenClampBounds leaves NaN literal bounds untouched") {
+    // Spark orders NaN greatest in Least/Greatest; math.min(NaN, b) is
+    // NaN — folding would change the result, so the rule must skip
+    val df = Seq(1.0, 4.0).toDF("x")
+      .select(least(lit(Double.NaN), least(lit(3.0), col("x"))).as("c"))
+    val before = df.queryExecution.analyzed
+    val after = FlattenClampBounds(before)
+    // plan unchanged (still two nested Least) …
+    var leastCount = 0
+    after.transformAllExpressions { case l: Least => leastCount += 1; l }
+    assert(leastCount == 2)
+    // … and evaluation matches Spark's NaN-is-greatest semantics
+    assert(df.as[Double].collect().sorted.toSeq == Seq(1.0, 3.0))
+  }
+
+  test("token extraction works on aliased/derived input columns") {
+    // regression for the F8 wart: tokens() must be a pure expression
+    // tree, not spliced SQL text that only works for a column named
+    // `text`
+    val df = Seq("The quick brown fox", "le chat est la").toDF("body")
+      .select(concat(col("body"), lit(" !")).as("derived"))
+      .select(size(graft.llm.TextStats.tokens(col("derived"))).as("n"))
+    assert(df.as[Int].collect().sorted.toSeq == Seq(4, 4))
+  }
+
   test("cosine_similarity is SQL-callable after registration") {
     GraftFunctions.register(spark)
     graft.tables.Tables.embeddings(spark, Sf).createOrReplaceTempView("emb_v")

@@ -65,6 +65,28 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("two cosine instances share one codegen scope without fallback") {
+    // CODEGEN_ONLY turns the silent interpreter fallback into a hard
+    // failure; codegen.fallback=false does the same for whole-stage.
+    // Round-1 regression: fixed local names (i, n, dot…) collided when
+    // two CosineSimilarity instances landed in one generated method.
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = graft.tables.Tables.embeddings(spark, Sf).limit(20)
+        .select(col("vec_id"), col("embedding").as("e1"), reverse(col("embedding")).as("e2"))
+        .select(
+          cosineSimilarity(col("e1"), col("e2")).as("ab"),
+          cosineSimilarity(col("e2"), col("e1")).as("ba"))
+        .collect()
+      assert(rows.length == 20)
+      rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+  }
+
   test("cosine self-similarity is 1") {
     val emb = graft.tables.Tables.embeddings(spark, Sf).limit(10)
     emb.select(cosineSimilarity(col("embedding"), col("embedding")).as("s"))

@@ -38,6 +38,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d05: pigeonhole candidate generation is an equi-join, never all-pairs") {
+    val p = planOf("d05_simhash_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"all-pairs join leaked back into d05:\n$p")
+  }
+
+  test("d07: multi-probe is an equi-join on enumerated bucket keys, not an NLJ") {
+    val p = planOf("d07_ann_lsh")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"theta-probe NLJ leaked back into d07:\n$p")
+  }
+
   test("d06: candidate scoring stays a broadcast loop over the query set") {
     val p = planOf("d06_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
