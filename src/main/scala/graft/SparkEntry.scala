@@ -42,6 +42,8 @@ object SparkEntry {
     "q21_corr_subquery" -> (ops.CoreOps.correlatedSubquery(_, _)),
     "q22_ranking"       -> (ops.CoreOps.rankingWindows(_, _)),
     "q23_cube"          -> (ops.CoreOps.cubeRevenue(_, _)),
+    "q24_csv_stage"     -> (ops.Staging.csvStage(_, _)),
+    "q25_catalog"       -> (ops.Staging.catalogRoundTrip(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -52,14 +54,17 @@ object SparkEntry {
     "d07_ann_lsh"           -> (llm.Similarity.annLsh(_, _)),
     "d08_ann_ivf"           -> (llm.Similarity.annIvf(_, _)),
     "d09_embed_norms"       -> (llm.Similarity.embedNorms(_, _)),
+    "d10_embed_neardup"     -> (llm.Similarity.embedNearDup(_, _)),
     "t01_lang_id"           -> (llm.TextStats.langId(_, _)),
     "t02_text_quality"      -> (llm.TextStats.quality(_, _)),
     "t03_token_stats"       -> (llm.TextStats.tokenStats(_, _)),
     "t04_fingerprint"       -> (llm.TextStats.fingerprint(_, _)),
     "m01_media_stats"       -> (llm.Multimodal.mediaStats(_, _)),
+    "m02_image_decode"      -> (llm.Multimodal.imageStats(_, _)),
     "s01_stream_daily"      -> (streaming.DailyIngest.streamDaily(_, _)),
     "s02_sessionize"        -> (streaming.Sessionize.sessions(_, _)),
     "s03_sliding"           -> (streaming.DailyIngest.slidingDaily(_, _)),
+    "s04_stream_sink"       -> (streaming.DailyIngest.streamAppendSink(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -267,11 +272,13 @@ object SparkEntry {
     "d07_ann_lsh"           -> llm.Similarity.oracleAnnLsh,
     "d08_ann_ivf"           -> llm.Similarity.oracleAnnIvf,
     "d09_embed_norms"       -> llm.Similarity.oracleEmbedNorms,
+    "d10_embed_neardup"     -> llm.Similarity.oracleEmbedNearDup,
     "t01_lang_id"           -> llm.TextStats.oracleLangId,
     "t02_text_quality"      -> llm.TextStats.oracleQuality,
     "t03_token_stats"       -> llm.TextStats.oracleTokenStats,
     "t04_fingerprint"       -> llm.TextStats.oracleFingerprint,
     "m01_media_stats"       -> llm.Multimodal.oracleMediaStats,
+    "m02_image_decode"      -> llm.Multimodal.oracleImageStats,
 
     "q16_stats" ->
       """SELECT l_returnflag,
@@ -356,6 +363,9 @@ object SparkEntry {
 
     "s02_sessionize" -> streaming.Sessionize.oracleSessions,
     "s03_sliding"    -> streaming.DailyIngest.oracleSlidingDaily,
+    "s04_stream_sink" -> streaming.DailyIngest.oracleStreamAppendSink,
+    "q24_csv_stage"  -> ops.Staging.oracleCsvStage,
+    "q25_catalog"    -> ops.Staging.oracleCatalog,
 
     // s01: the stream result must equal the batch daily mean — the
     // Kappa-architecture equivalence IS the oracle.

@@ -116,6 +116,97 @@ object Multimodal {
     }
   }
 
+  // -- real image leg (m02) ---------------------------------------------------
+
+  case class EncodedImage(doc_id: Long, media: Array[Byte], width: Int, height: Int)
+  case class ImageStats(doc_id: Long, width: Int, height: Int, n_px: Int,
+                        sum_px: Long, mean_px: Double, min_px: Int, max_px: Int)
+
+  /** Deterministic grayscale pixels for a doc: byte `i` of the md5
+    * chain `md5("<doc_id>:<i/16>")` — reproducible in DuckDB from hex
+    * string ops, so REAL codec output is still oracle-checkable.
+    */
+  def pixelsOf(docId: Long, w: Int, h: Int): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Int](w * h)
+    var block = -1
+    var digest: Array[Byte] = null
+    var i = 0
+    while (i < out.length) {
+      if (i / 16 != block) {
+        block = i / 16
+        digest = md.digest(s"$docId:$block".getBytes("UTF-8"))
+        md.reset()
+      }
+      out(i) = digest(i % 16) & 0xff
+      i += 1
+    }
+    out
+  }
+
+  private def dims(docId: Long): (Int, Int) =
+    (8 + (docId % 9).toInt, 8 + (docId % 7).toInt)
+
+  /** Real encoded images as a binary column: pixels → PNG via the
+    * JDK's `javax.imageio` (no native codec needed). One encoder per
+    * partition-task lifetime, tight loop inside — the batch shape a
+    * production codec stage uses.
+    */
+  def imageTable(spark: SparkSession, dir: String): Dataset[EncodedImage] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select("doc_id").as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val (w, h) = dims(id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        img.getRaster.setSamples(0, 0, w, h, 0, pixelsOf(id, w, h))
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        EncodedImage(id, bos.toByteArray, w, h)
+      }
+    }
+  }
+
+  /** m02 — REAL image decode + pixel statistics: the PNG binary column
+    * is decoded back with `ImageIO.read` and the stats come from the
+    * decoded raster, not the metadata — PNG is lossless, so the oracle
+    * (which rebuilds the same pixels from the md5 chain in SQL) must
+    * match bit-for-bit. Dimensions are read from the DECODED image;
+    * a codec bug or corrupt payload would break the oracle match.
+    * `mean_px` is an int/int division of two exact values — bit-
+    * deterministic across engines, so it ships unrounded.
+    */
+  def imageStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageTable(spark, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val px = img.getRaster.getSamples(0, 0, w, h, 0, null: Array[Int])
+        var sum = 0L; var mn = 255; var mx = 0
+        px.foreach { p => sum += p; if (p < mn) mn = p; if (p > mx) mx = p }
+        ImageStats(r.doc_id, w, h, px.length, sum, sum.toDouble / px.length, mn, mx)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  val oracleImageStats: String =
+    """WITH px AS (
+      |  SELECT doc_id,
+      |         (8 + doc_id % 9)::INT AS width,
+      |         (8 + doc_id % 7)::INT AS height,
+      |         ('0x' || substr(md5(doc_id || ':' || (i // 16)),
+      |                         (i % 16) * 2 + 1, 2))::BIGINT AS px
+      |  FROM documents,
+      |       LATERAL (SELECT unnest(range((8 + doc_id % 9) * (8 + doc_id % 7))) AS i) t)
+      |SELECT doc_id, width, height,
+      |  count(*)::INT AS n_px, sum(px)::BIGINT AS sum_px,
+      |  sum(px)::DOUBLE / count(*) AS mean_px,
+      |  min(px)::INT AS min_px, max(px)::INT AS max_px
+      |FROM px
+      |GROUP BY 1, 2, 3
+      |ORDER BY doc_id""".stripMargin
+
   val oracleMediaStats: String =
     s"""SELECT doc_id,
        |  octet_length(encode(text))::INT AS n_bytes,

@@ -138,6 +138,42 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Cosine at or above this (rounded to 6) makes a near-duplicate pair
+    * on this fixture (unit-ish random vectors top out near 0.6; real
+    * embedding corpora would sit at 0.9+ — the threshold is data-, not
+    * shape-, dependent).
+    */
+  val NearDupThreshold = 0.3
+
+  /** d10 — embedding-cosine near-dup pairs: the dedup-family member
+    * that works on vectors instead of text. Pairs whose 8-plane LSH
+    * buckets differ by ≤ 1 bit are candidates; only candidates pay the
+    * exact cosine, kept at ≥ [[NearDupThreshold]].
+    *
+    * Scale shape: like [[annLsh]] but corpus×corpus — the left side
+    * explodes into its 9 probe bucket keys and equi-joins the right
+    * side's exact bucket (a plain shuffled hash join on `bucket`, both
+    * sides large, NO broadcast and NO nested loop). For a fixed pair
+    * (a,b) with hd(bucket) ≤ 1 exactly one probe mask matches, so the
+    * join emits no duplicate pairs and needs no distinct. Cost is
+    * O(Σ bucket²) + 9× shuffle of the probe side — the standard
+    * LSH-join layout that scales out on the bucket key.
+    */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket", bucketCol("embedding"))
+    val probeMasks = array((lit(0) +: (0 until NumPlanes).map(p => lit(1 << p))): _*)
+    val probed = emb.select(
+      col("vec_id").as("id_a"), col("embedding").as("ea"),
+      explode(transform(probeMasks, m => col("bucket").bitwiseXOR(m))).as("bucket"))
+    probed.join(emb, Seq("bucket"))
+      .filter(col("id_a") < col("vec_id"))
+      .select(col("id_a"), col("vec_id").as("id_b"),
+        round(cosineSimilarity(col("ea"), col("embedding")), 6).as("score"))
+      .filter(col("score") >= NearDupThreshold)
+      .orderBy("id_a", "id_b")
+  }
+
   /** d09 — embedding norm statistics per label: L2 norms via an ordered
     * double fold (bit-identical to DuckDB's list_transform/list_sum),
     * then per-label min/max/stable-mean — the hygiene check a vector
@@ -248,5 +284,20 @@ object Similarity {
        |SELECT query_id, vec_id, bucket, score, rank
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  val oracleEmbedNearDup: String = {
+    val bucketExpr = (0 until NumPlanes).map { p =>
+      s"CASE WHEN list_dot_product(embedding::DOUBLE[], ${planeSqlLiteral(p)}) > 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, $bucketExpr AS bucket
+       |  FROM embeddings)
+       |SELECT a.vec_id AS id_a, e.vec_id AS id_b,
+       |       round(list_cosine_similarity(a.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS score
+       |FROM b a JOIN b e
+       |  ON bit_count(xor(a.bucket::BIGINT, e.bucket::BIGINT)) <= 1 AND a.vec_id < e.vec_id
+       |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) >= $NearDupThreshold
+       |ORDER BY id_a, id_b""".stripMargin
   }
 }

@@ -42,7 +42,14 @@ object Pricing {
     * `bround` matches numpy.
     */
   def monthlyPrice(alpha: Column, m: Column, consoFoyerKwh: Column): Column =
-    bround((lit(Tariff) + alpha * m) * consoFoyerKwh / lit(12.0) + lit(MonthlyFee), 2)
+    monthlyPrice(PricingParams(Tariff, MonthlyFee, 1.0, 1.3))(alpha, m, consoFoyerKwh)
+
+  /** Config-driven variant (S9): the tariff and fee come from an
+    * [[AppConfig]]'s `[pricing]` section instead of compiled constants —
+    * same plan shape, re-tariffable per deployment.
+    */
+  def monthlyPrice(params: PricingParams)(alpha: Column, m: Column, consoFoyerKwh: Column): Column =
+    bround((lit(params.tariff) + alpha * m) * consoFoyerKwh / lit(12.0) + lit(params.monthlyFee), 2)
 
   /** The reference-shaped serving API (reference `api.py:95-132`
     * rewritten set-oriented, SURVEY.md §2.3/§3.1): price a DataFrame of
@@ -60,7 +67,16 @@ object Pricing {
     * broadcast-joins the small results.
     */
   def priceRequests(requests: DataFrame, consoAnVille: DataFrame,
-                    consoJourRegion: DataFrame, asOf: java.sql.Date): DataFrame = {
+                    consoJourRegion: DataFrame, asOf: java.sql.Date): DataFrame =
+    priceRequests(requests, consoAnVille, consoJourRegion, asOf,
+      PricingParams(Tariff, MonthlyFee, 1.0, 1.3))
+
+  /** Config-parameterized serving API — tariff/fee/clamp bounds from an
+    * [[AppConfig]] `[pricing]` section (S9).
+    */
+  def priceRequests(requests: DataFrame, consoAnVille: DataFrame,
+                    consoJourRegion: DataFrame, asOf: java.sql.Date,
+                    params: PricingParams): DataFrame = {
     val m = consoJourRegion
       .filter(col("date").between(date_sub(lit(asOf), 30), lit(asOf)))
       .groupBy("libelle_region")
@@ -75,14 +91,14 @@ object Pricing {
         Window.partitionBy("nom_commune", "code_commune").orderBy(col("annee").desc)))
       .filter(col("rn") === 1)
       .select(col("nom_commune"), col("code_commune"),
-        clamp(col("ratio"), 1.0, 1.3).as("alpha"))
+        clamp(col("ratio"), params.alphaLo, params.alphaHi).as("alpha"))
 
     requests
       .join(broadcast(m), Seq("libelle_region"), "left")
       .join(broadcast(alpha), Seq("nom_commune", "code_commune"), "left")
       .withColumn("alpha", coalesce(col("alpha"), lit(1.0)))
       .withColumn("m", coalesce(col("m"), lit(0.0)))
-      .withColumn("price", monthlyPrice(col("alpha"), col("m"),
+      .withColumn("price", monthlyPrice(params)(col("alpha"), col("m"),
         consoFoyer(col("nb_m2"), col("nb_personne"))))
   }
 

@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Staging-format sources the reference exercises around its warehouse:
+  * CSV extracts re-read with an explicit dtype map (reference
+  * `0_insert_conso_an_ville_in_bq.py:43-47,94-98` — `pd.read_csv(dtype=
+  * {...})` / `to_csv` staging) and catalog-managed tables (reference
+  * `README.md:72-74` — `bq mk --table` DDL before any load).
+  *
+  * Both run the full write → re-read round trip so the declared-schema
+  * read path is exercised against real files, not just parquet footers.
+  */
+object Staging {
+
+  /** Explicit staging schema — the analog of the reference's dtype map:
+    * never inferred, so a malformed extract fails loudly at read time
+    * instead of silently shifting types.
+    */
+  val customerStageSchema: StructType = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_mktsegment", StringType),
+    StructField("c_acctbal", DoubleType)))
+
+  /** q24 — CSV staging round trip (SURVEY §2 S5): project customer to a
+    * CSV staging area, re-read it with [[customerStageSchema]] (schema
+    * declared, header not trusted for types), aggregate per segment.
+    * Doubles survive the text round trip exactly: Spark writes
+    * shortest-round-trip representations and the declared DoubleType
+    * parses them back to identical bits, so the oracle (which reads the
+    * original parquet) hash-matches.
+    *
+    * Scale shape: the staging write/read is partition-parallel on both
+    * legs (one CSV part per task, no coalesce), and the re-read scan
+    * prunes to the aggregation's columns.
+    */
+  def csvStage(spark: SparkSession, dir: String): DataFrame = {
+    val stage = s"/tmp/graft_stage/csv_customer_${math.abs(dir.hashCode)}"
+    Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").option("header", "true").csv(stage)
+    spark.read.schema(customerStageSchema).option("header", "true").csv(stage)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+           round(sum("c_acctbal"), 2).as("total_bal"),
+           count_distinct(col("c_nationkey")).as("n_nations"))
+      .orderBy("c_mktsegment")
+  }
+
+  val oracleCsvStage: String =
+    """SELECT c_mktsegment, count(*) AS n_cust,
+      |  round(sum(c_acctbal), 2) AS total_bal,
+      |  count(DISTINCT c_nationkey) AS n_nations
+      |FROM customer
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  /** q25 — catalog DDL round trip (SURVEY §2 S8): `saveAsTable` into
+    * the session catalog (external location so the warehouse stays out
+    * of the repo tree), then query it back by NAME through `spark.sql`
+    * — the `bq mk` + load + query lifecycle of the reference, with the
+    * catalog (not a path string) as the handoff between producer and
+    * consumer.
+    */
+  def catalogRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val loc = s"/tmp/graft_stage/cat_orders_${math.abs(dir.hashCode)}"
+    spark.sql("DROP TABLE IF EXISTS graft_orders_cat")
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").option("path", loc).saveAsTable("graft_orders_cat")
+    spark.sql(
+      """SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS yr,
+        |  round(sum(o_totalprice), 2) AS total, count(*) AS n_orders
+        |FROM graft_orders_cat
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)
+  }
+
+  val oracleCatalog: String =
+    """SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS yr,
+      |  round(sum(o_totalprice), 2) AS total, count(*) AS n_orders
+      |FROM orders
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+}

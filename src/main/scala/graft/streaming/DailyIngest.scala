@@ -71,6 +71,55 @@ object DailyIngest {
     spark.table(name).orderBy("event_type", "d")
   }
 
+  /** s04 — the DAG's LOAD leg as a real streaming sink (SURVEY §2
+    * S7/D4): the same daily aggregation written in **append** mode to a
+    * checkpointed parquet file sink, then read back. Append + watermark
+    * is the at-scale shape `complete` mode (s01) can't be: each window
+    * is emitted exactly once when the watermark passes it and its state
+    * is dropped, and the file sink's transaction log makes the append
+    * exactly-once under task retries.
+    *
+    * Emission boundary: a window `[d, d+1)` is final once watermark =
+    * max(ts) − 1 day passes its end, so the last two (still-open) days
+    * stay in state when the AvailableNow run drains — the oracle models
+    * exactly that (`d < max_date − 1`). The withheld tail is not a
+    * fixture artifact: it is WHAT a watermarked append sink means, and
+    * the next day's run emits it incrementally from the checkpoint.
+    */
+  def streamAppendSink(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val base = s"/tmp/graft_stream_sink_${math.abs(dir.hashCode)}"
+    // fresh demo run: clear sink + checkpoint (a production run would
+    // KEEP both — the checkpoint is what makes the next run incremental)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val raw = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = dailyAgg(raw).writeStream
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.read.parquet(s"$base/out").orderBy("event_type", "d")
+  }
+
+  val oracleStreamAppendSink: String =
+    """SELECT event_type, (ts::TIMESTAMP)::DATE AS d,
+      |  round(sum(value), 2) / count(value) AS daily_mwh
+      |FROM events
+      |GROUP BY 1, 2
+      |HAVING d < (SELECT max(ts::TIMESTAMP)::DATE - 1 FROM events)
+      |ORDER BY 1, 2""".stripMargin
+
   /** Batch leg of the Kappa pair — identical transform, batch source
     * (used by the batch/stream-equivalence spec).
     */

@@ -51,6 +51,12 @@ class PlanSpec extends AnyFunSuite {
       s"theta-probe NLJ leaked back into d07:\n$p")
   }
 
+  test("d10: near-dup candidate generation is a shuffled equi-join on bucket, not all-pairs") {
+    val p = planOf("d10_embed_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"all-pairs join in d10:\n$p")
+  }
+
   test("d06: candidate scoring stays a broadcast loop over the query set") {
     val p = planOf("d06_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
