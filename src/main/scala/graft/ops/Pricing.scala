@@ -118,12 +118,49 @@ object Pricing {
     * broadcast-join the 5-row α dimension and the 1-row M scalar; the
     * fact-side aggregates shuffle once each on their own keys.
     */
-  def priceBatch(spark: SparkSession, dir: String): DataFrame = {
+  /** The M dimension of q13 standalone: global trailing-30-day events
+    * mean → modulation, one row. Shared by [[priceBatch]] and
+    * [[PricingService]] so batch and serving price from the SAME plan.
+    */
+  def modulationScalar(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    // M: global scalar from the trailing 30-day events mean (rounded to
+    // 6 so downstream arithmetic is bit-deterministic vs the oracle)
+    val anchored = ev.crossJoin(broadcast(ev.agg(max(col("ts")).as("mx"))))
+    anchored
+      .filter(col("ts") >= col("mx") - expr("INTERVAL 30 DAYS"))
+      .agg(CoreOps.stableAvg(col("value")).as("avg30"))
+      .select(modulation(col("avg30")).as("m"))
+  }
+
+  /** The α dimension of q13 standalone: per-region YoY order-total
+    * ratio at the penultimate year, clamped — one row per region.
+    */
+  def regionAlpha(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
     val nat  = Tables.nation(spark, dir)
     val reg  = Tables.region(spark, dir)
     val ord  = Tables.orders(spark, dir)
-    val ev   = Tables.events(spark, dir)
+    val regionYear = ord
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name").as("region"), year(col("o_orderdate")).as("yr"))
+      .agg(sum("o_totalprice").as("v"))
+    val w = Window.partitionBy("region").orderBy("yr")
+    val maxYr = ord.agg(max(year(col("o_orderdate"))).as("max_yr"))
+    regionYear
+      .withColumn("ratio", lead("v", 1).over(w) / col("v"))
+      .crossJoin(broadcast(maxYr))
+      .filter(col("yr") === col("max_yr") - 1)
+      .select(col("region"),
+              round(coalesce(clamp(col("ratio"), 1.0, 1.3), lit(1.0)), 6).as("alpha"))
+  }
+
+  def priceBatch(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val nat  = Tables.nation(spark, dir)
+    val reg  = Tables.region(spark, dir)
 
     // requests: one per customer, deterministic household attributes
     val requests = cust
@@ -135,29 +172,8 @@ object Pricing {
         (pmod(col("c_custkey"), lit(4)) + lit(1)).cast("int").as("nb_personne"),
         (lit(20) + pmod(col("c_custkey"), lit(180))).cast("int").as("nb_m2"))
 
-    // M: global scalar from the trailing 30-day events mean (rounded to
-    // 6 so downstream arithmetic is bit-deterministic vs the oracle)
-    val anchored = ev.crossJoin(broadcast(ev.agg(max(col("ts")).as("mx"))))
-    val m = anchored
-      .filter(col("ts") >= col("mx") - expr("INTERVAL 30 DAYS"))
-      .agg(CoreOps.stableAvg(col("value")).as("avg30"))
-      .select(modulation(col("avg30")).as("m"))
-
-    // α per region at the penultimate year
-    val regionYear = ord
-      .join(cust, ord("o_custkey") === cust("c_custkey"))
-      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
-      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
-      .groupBy(col("r_name").as("region"), year(col("o_orderdate")).as("yr"))
-      .agg(sum("o_totalprice").as("v"))
-    val w = Window.partitionBy("region").orderBy("yr")
-    val maxYr = ord.agg(max(year(col("o_orderdate"))).as("max_yr"))
-    val alpha = regionYear
-      .withColumn("ratio", lead("v", 1).over(w) / col("v"))
-      .crossJoin(broadcast(maxYr))
-      .filter(col("yr") === col("max_yr") - 1)
-      .select(col("region"),
-              round(coalesce(clamp(col("ratio"), 1.0, 1.3), lit(1.0)), 6).as("alpha"))
+    val m = modulationScalar(spark, dir)
+    val alpha = regionAlpha(spark, dir)
 
     requests
       .join(broadcast(alpha), Seq("region"), "left")
