@@ -2,21 +2,39 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev plan auditor — not part of the library surface. */
+/** Dev plan auditor + stage timer — not part of the library surface.
+  *
+  * Usage: `runMain graft.Scratch q13_price ...` prints exchange counts;
+  * `SPARK_GRAFT_SCRATCH_TIME=1 runMain graft.Scratch d03_lsh_jaccard_pairs`
+  * times each named query end-to-end at the SPARK_GRAFT_SF_DIR scale
+  * under the driver's local[32] config.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val timeMode = sys.env.contains("SPARK_GRAFT_SCRATCH_TIME")
+    val (threads, parts) = if (timeMode) (32, 32) else (8, 8)
+    val spark = SparkSession.builder().master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.01"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     args.foreach { n =>
-      val plan = SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
-      val exchanges = "Exchange".r.findAllIn(plan).length
-      println(s"[scratch] $n: $exchanges Exchange nodes")
-      plan.linesIterator.filter(l => l.contains("Exchange") || l.contains("Join") || l.contains("Window"))
-        .take(12).foreach(l => println("[scratch]   " + l.trim.take(120)))
+      if (n == "d03stages") {
+        llm.Dedup.d03Profile(spark, dir).foreach { case (stage, secs, rows) =>
+          println(f"[scratch] d03/$stage: $rows rows in $secs%.2f s")
+        }
+      } else if (timeMode) {
+        val t0 = System.nanoTime()
+        val cnt = SparkEntry.queries(n)(spark, dir).count()
+        println(f"[scratch] $n: $cnt rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      } else {
+        val plan = SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
+        val exchanges = "Exchange".r.findAllIn(plan).length
+        println(s"[scratch] $n: $exchanges Exchange nodes")
+        plan.linesIterator.filter(l => l.contains("Exchange") || l.contains("Join") || l.contains("Window"))
+          .take(12).foreach(l => println("[scratch]   " + l.trim.take(120)))
+      }
     }
     spark.stop()
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static helper the generated code calls into. */
@@ -30,6 +30,83 @@ object HashUtil {
   }
 
   def md5Prefix56(s: UTF8String): Long = md5Prefix56(s.getBytes)
+
+  /** One-pass distinct shingle hashing: for each of the
+    * `max(numChars - len + 1, 1)` shingle positions, hash
+    * `prefix || shingle` (prefix carries the "seed:" bytes) and keep
+    * first occurrences — byte-identical to
+    * `array_distinct(transform(sequence(...), i => md5_prefix56(...)))`
+    * but ONE Java loop per row instead of an interpreted higher-order
+    * chain with three intermediate arrays.
+    */
+  def shingleHashes56(text: UTF8String, prefix: Array[Byte], shingleLen: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val d = md.get()
+    val bytes = text.getBytes
+    val numChars = text.numChars()
+    val n = math.max(numChars - shingleLen + 1, 1)
+    // char index -> byte offset, so each shingle hashes a byte SLICE of
+    // the one text copy (no per-shingle UTF8String/byte[] allocation).
+    // ASCII fast path: offsets are the identity.
+    val ascii = bytes.length == numChars
+    val offsets = if (ascii) null else {
+      val o = new Array[Int](numChars + 1)
+      var ci = 0; var bi = 0
+      while (bi < bytes.length) {
+        o(ci) = bi
+        ci += 1
+        bi += UTF8String.numBytesForFirstByte(bytes(bi))
+      }
+      o(numChars) = bytes.length
+      o
+    }
+    val seen = new java.util.HashSet[java.lang.Long](n * 2)
+    val out = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val endChar = math.min(i + shingleLen, numChars)
+      val (start, end) =
+        if (ascii) (i, endChar) else (offsets(i), offsets(endChar))
+      d.reset()
+      d.update(prefix)
+      d.update(bytes, start, end - start)
+      val h = d.digest()
+      val v = ((h(0) & 0xffL) << 48) | ((h(1) & 0xffL) << 40) | ((h(2) & 0xffL) << 32) |
+        ((h(3) & 0xffL) << 24) | ((h(4) & 0xffL) << 16) | ((h(5) & 0xffL) << 8) |
+        (h(6) & 0xffL)
+      if (seen.add(v)) { out(m) = v; m += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
+  /** All k minhashes in ONE traversal of the shingle-hash array:
+    * element s is `min over hs of mix(h, keys(s))` — the same value as
+    * k separate `array_min(transform(hs, mix(_, s)))` columns, without
+    * k interpreted array traversals + k intermediate arrays per row.
+    * The mix body mirrors graft.llm.TextHash.mix exactly (inputs stay
+    * < 2^56, so arithmetic >> equals logical >>).
+    */
+  def minHash56(arr: org.apache.spark.sql.catalyst.util.ArrayData, keys: Array[Long]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val k = keys.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var s = 0
+      while (s < k) {
+        var v = h ^ keys(s)
+        v ^= (v >> 29)
+        v ^= ((v & ((1L << 42) - 1)) << 13)
+        v ^= (v >> 17)
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
 }
 
 /** Native 56-bit md5-prefix hash of a string column — the portable-hash
@@ -58,7 +135,71 @@ case class Md5Prefix56(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native distinct-shingle-hash array of a string column (see
+  * [[HashUtil.shingleHashes56]]) — value-identical to the composed
+  * `array_distinct(transform(sequence ...))` form (asserted in
+  * HashParitySpec), one codegen'd call per row.
+  */
+case class ShingleHashes56(child: Expression, seed: Int, shingleLen: Int)
+    extends UnaryExpression {
+
+  private lazy val prefixBytes = s"$seed:".getBytes("UTF-8")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes56 expects string, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes56"
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.shingleHashes56(v.asInstanceOf[UTF8String], prefixBytes, shingleLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val prefixRef = ctx.addReferenceObj("shinglePrefix", prefixBytes, "byte[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.HashUtil.shingleHashes56($c, $prefixRef, $shingleLen)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native k-seed MinHash of a long-array column (see
+  * [[HashUtil.minHash56]]) — value-identical to k composed
+  * `array_min(transform(hs, mix(_, s)))` columns.
+  */
+case class MinHash56(child: Expression, keys: Array[Long]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash56 expects array<bigint>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash56"
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.minHash56(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], keys)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val keysRef = ctx.addReferenceObj("minhashKeys", keys, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.expr.HashUtil.minHash56($c, $keysRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   def md5Prefix56(c: Column): Column =
     ColumnBridge.column(Md5Prefix56(ColumnBridge.expression(c)))
+
+  def shingleHashes56(c: Column, seed: Int, shingleLen: Int): Column =
+    ColumnBridge.column(ShingleHashes56(ColumnBridge.expression(c), seed, shingleLen))
+
+  def minHash56(c: Column, keys: Array[Long]): Column =
+    ColumnBridge.column(MinHash56(ColumnBridge.expression(c), keys))
 }

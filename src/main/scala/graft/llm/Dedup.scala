@@ -61,23 +61,26 @@ object Dedup {
     corpus(spark, dir)
       .select(col("doc_id"), TextHash.hashedShingles(col("text"), 0).as("hs"))
 
-  /** The 4 LSH band structs of one doc, computed per-ROW: minhash s is
-    * `array_min(transform(hs, mix(_, s)))` (same value as a min
-    * aggregate over exploded rows, zero shuffle), and each band of 4
-    * minhashes re-hashes into one 56-bit long bucket key (8-byte
-    * join/shuffle keys instead of 32-char hex strings).
+  /** The 4 LSH band structs of one doc, computed per-ROW: all 16
+    * minhashes come from ONE traversal of the shingle-hash array (the
+    * native [[graft.expr.MinHash56]] expression — same values as 16
+    * `array_min(transform(hs, mix(_, s)))` columns, without 16
+    * interpreted array passes), and each band of 4 minhashes re-hashes
+    * into one 56-bit long bucket key (8-byte join/shuffle keys instead
+    * of 32-char hex strings).
     */
-  private def bandStructs: Column = {
-    val mh = (0 until MinhashSeeds).map(s => array_min(transform(col("hs"), x => mix(x, s))))
+  private def bandStructs(mh: Column): Column = {
     val bandCols = (0 until Bands).map { b =>
-      val cols = (0 until RowsPerBand).map(r => mh(b * RowsPerBand + r))
+      val cols = (0 until RowsPerBand).map(r => element_at(mh, b * RowsPerBand + r + 1))
       struct(lit(b).as("band"), phash(concat_ws(",", cols: _*), 1).as("band_hash"))
     }
     array(bandCols: _*)
   }
 
   private def bandsFrom(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(bandStructs).as("bb"))
+    docs.select(col("doc_id"),
+        graft.expr.HashFunctions.minHash56(col("hs"), TextHash.minhashKeys(MinhashSeeds)).as("mh"))
+      .select(col("doc_id"), explode(bandStructs(col("mh"))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
 
   /** d02 — MinHash signatures banded for LSH: all 16 minhashes come
@@ -123,6 +126,41 @@ object Dedup {
         (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
       .orderBy("id_a", "id_b")
+  }
+
+  /** Dev-only stage timer for d03 (used by [[graft.Scratch]]). */
+  def d03Profile(spark: SparkSession, dir: String): Seq[(String, Double, Long)] = {
+    val out = scala.collection.mutable.Buffer[(String, Double, Long)]()
+    def t(stage: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      out += ((stage, (System.nanoTime() - t0) / 1e9, rows))
+    }
+    val docs = docShingles(spark, dir).persist()
+    t("shingles")(docs.count())
+    val bands = bandsFrom(docs).persist()
+    t("bands")(bands.count())
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct().persist()
+    t("candidates")(cand.count())
+    t("verify") {
+      cand
+        .join(docs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+        .join(docs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("hs_a"), col("hs_b"))).as("inter"),
+          size(col("hs_a")).as("sza"), size(col("hs_b")).as("szb"))
+        .select(col("id_a"), col("id_b"),
+          (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .count()
+    }
+    docs.unpersist(); bands.unpersist(); cand.unpersist()
+    out.toSeq
   }
 
   val SimhashBits = 56

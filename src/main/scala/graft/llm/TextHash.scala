@@ -56,7 +56,7 @@ object TextHash {
     s"xor($v2, ($v2) >> 17)"
   }
 
-  private def mixKey(seed: Int): Long = jvmHash(s"mix$seed", 1)
+  private[graft] def mixKey(seed: Int): Long = jvmHash(s"mix$seed", 1)
 
   /** JVM: same hash, for deriving deterministic plan constants
     * (e.g. LSH hyperplanes) without any runtime RNG.
@@ -78,16 +78,31 @@ object TextHash {
       sequence(lit(1), greatest(length(text) - lit(ShingleLen - 1), lit(1))),
       i => text.substr(i, lit(ShingleLen))))
 
-  /** Spark: the distinct HASHES of a text column's 8-gram shingles —
-    * hashing inside the transform means `array_distinct` deduplicates
-    * primitive longs (cheap equality) and no string array ever
-    * materializes. Dedup is post-hash; the SQL builders below dedup in
-    * the same order so collision handling matches exactly.
+  /** Spark: the distinct HASHES of a text column's 8-gram shingles,
+    * via the native [[graft.expr.ShingleHashes56]] expression — one
+    * codegen'd Java loop per row. Value-identical (asserted in
+    * HashParitySpec) to the composed
+    * `array_distinct(transform(sequence(...), i => md5_prefix56(seed:
+    * || substr(text, i, 8))))` form, which Spark evaluates through
+    * non-codegen higher-order functions with three intermediate arrays
+    * per row. Dedup is post-hash, keeping first occurrences; the SQL
+    * builders below dedup in the same order so collision handling
+    * matches exactly.
     */
   def hashedShingles(text: Column, seed: Int): Column =
+    graft.expr.HashFunctions.shingleHashes56(text, seed, ShingleLen)
+
+  /** The composed-builtins spelling of [[hashedShingles]] — kept as the
+    * parity oracle for the native expression (HashParitySpec).
+    */
+  def hashedShinglesComposed(text: Column, seed: Int): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(length(text) - lit(ShingleLen - 1), lit(1))),
       i => graft.expr.HashFunctions.md5Prefix56(concat(lit(s"$seed:"), text.substr(i, lit(ShingleLen))))))
+
+  /** Mix keys for k-seed MinHash, exposed for [[graft.expr.MinHash56]]. */
+  def minhashKeys(numSeeds: Int): Array[Long] =
+    (0 until numSeeds).map(mixKey).toArray
 
   /** DuckDB SQL fragment: the same distinct-shingle list of `e`
     * (dedup happens via SELECT DISTINCT at the caller).
