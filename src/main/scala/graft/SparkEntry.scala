@@ -65,6 +65,7 @@ object SparkEntry {
     "s02_sessionize"        -> (streaming.Sessionize.sessions(_, _)),
     "s03_sliding"           -> (streaming.DailyIngest.slidingDaily(_, _)),
     "s04_stream_sink"       -> (streaming.DailyIngest.streamAppendSink(_, _)),
+    "s05_stream_state"      -> (streaming.StatefulCumulative.cumulativeWeekly(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -364,6 +365,7 @@ object SparkEntry {
     "s02_sessionize" -> streaming.Sessionize.oracleSessions,
     "s03_sliding"    -> streaming.DailyIngest.oracleSlidingDaily,
     "s04_stream_sink" -> streaming.DailyIngest.oracleStreamAppendSink,
+    "s05_stream_state" -> streaming.StatefulCumulative.oracleCumulativeWeekly,
     "q24_csv_stage"  -> ops.Staging.oracleCsvStage,
     "q25_catalog"    -> ops.Staging.oracleCatalog,
 

@@ -80,6 +80,49 @@ object HashUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
 
+  private val tokenPattern = java.util.regex.Pattern.compile("[a-z0-9]+")
+
+  /** 56-bit SimHash of a text in one pass: lowercase (UTF8String
+    * semantics, same as Spark's `lower`), tokenize on `[a-z0-9]+`
+    * (same as `regexp_extract_all`), hash each occurrence with the
+    * prefixed md5-56 ([[md5Prefix56]]), vote ±1 per bit, sign-pack.
+    * Frequency-weighted exactly like the composed
+    * explode → groupBy(doc) → 56 conditional sums form; returns null
+    * when the text has NO tokens — the composed group-by drops such
+    * docs, so callers filter nulls to match.
+    */
+  def simHash56(text: UTF8String, prefix: Array[Byte]): java.lang.Long = {
+    val d = md.get()
+    val matcher = tokenPattern.matcher(text.toLowerCase.toString)
+    val votes = new Array[Int](56)
+    var any = false
+    while (matcher.find()) {
+      any = true
+      d.reset()
+      d.update(prefix)
+      d.update(matcher.group().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = d.digest()
+      val v = ((h(0) & 0xffL) << 48) | ((h(1) & 0xffL) << 40) | ((h(2) & 0xffL) << 32) |
+        ((h(3) & 0xffL) << 24) | ((h(4) & 0xffL) << 16) | ((h(5) & 0xffL) << 8) |
+        (h(6) & 0xffL)
+      var b = 0
+      while (b < 56) {
+        if (((v >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    if (!any) null
+    else {
+      var sig = 0L
+      var b = 0
+      while (b < 56) {
+        if (votes(b) > 0) sig |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(sig)
+    }
+  }
+
   /** All k minhashes in ONE traversal of the shingle-hash array:
     * element s is `min over hs of mix(h, keys(s))` — the same value as
     * k separate `array_min(transform(hs, mix(_, s)))` columns, without
@@ -193,9 +236,48 @@ case class MinHash56(child: Expression, keys: Array[Long]) extends UnaryExpressi
     copy(child = newChild)
 }
 
+/** Native one-pass 56-bit SimHash of a string column (see
+  * [[HashUtil.simHash56]]) — value-identical to the composed
+  * explode-words → 56-conditional-sums aggregate, but entirely
+  * MAP-SIDE: signature generation needs no explode and no shuffle.
+  * Nullable: texts with no `[a-z0-9]+` token yield null (the composed
+  * group-by would drop them).
+  */
+case class SimHash56(child: Expression, seed: Int) extends UnaryExpression {
+
+  private lazy val prefixBytes = s"$seed:".getBytes("UTF-8")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash56 expects string, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash56"
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.simHash56(v.asInstanceOf[UTF8String], prefixBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val prefixRef = ctx.addReferenceObj("simhashPrefix", prefixBytes, "byte[]")
+    val boxed = ctx.freshName("simhashBoxed")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""java.lang.Long $boxed = graft.expr.HashUtil.simHash56($c, $prefixRef);
+         |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.longValue(); }
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   def md5Prefix56(c: Column): Column =
     ColumnBridge.column(Md5Prefix56(ColumnBridge.expression(c)))
+
+  def simHash56(c: Column, seed: Int): Column =
+    ColumnBridge.column(SimHash56(ColumnBridge.expression(c), seed))
 
   def shingleHashes56(c: Column, seed: Int, shingleLen: Int): Column =
     ColumnBridge.column(ShingleHashes56(ColumnBridge.expression(c), seed, shingleLen))

@@ -165,12 +165,27 @@ object Dedup {
 
   val SimhashBits = 56
 
-  /** d04 — SimHash signatures: frequency-weighted ±1 vote per bit of
-    * each token hash, one aggregate with 56 sum columns (map-side
-    * combine keeps the shuffle at one row per doc).
+  /** d04 — SimHash signatures via the native one-pass
+    * [[graft.expr.SimHash56]] expression: tokenize + hash + bit-vote in
+    * one codegen'd loop per doc, entirely MAP-SIDE — no word explode,
+    * no 56-column aggregate, no shuffle. Value-identical to the
+    * composed explode → group-by form ([[simhashComposed]], asserted in
+    * HashParitySpec); token-less docs are dropped by both.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(spark, dir)
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.expr.HashFunctions.simHash56(col("text"), 99).as("simhash"))
+      .filter(col("simhash").isNotNull)
+      .orderBy("doc_id")
+
+  /** The composed explode + 56-conditional-sums spelling of SimHash —
+    * kept as the parity oracle for the native expression
+    * (HashParitySpec). One aggregate with 56 sum columns; map-side
+    * combine keeps the shuffle at one row per doc.
+    */
+  private[graft] def simhashComposed(docs: DataFrame): DataFrame = {
+    val words = docs
       .select(col("doc_id"),
         explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("word"))
       .withColumn("h", phash(col("word"), 99))
@@ -183,7 +198,6 @@ object Dedup {
     words.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), sig.as("simhash"))
-      .orderBy("doc_id")
   }
 
   /** hd ≤ 6 keeps ~63% of truncated twins while the shared-vocabulary
@@ -211,19 +225,15 @@ object Dedup {
     * ordinary shuffle key, so the join scales out like any hash join.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val words = corpus(spark, dir)
+    val sigs = corpus(spark, dir)
       .select(col("doc_id"),
-        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("word"))
-      .withColumn("h", phash(col("word"), 99))
-    val bitSums = (0 until SimhashBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$b")
-    }
-    val sigExpr = (0 until SimhashBits)
-      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    val sigs = words.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), sigExpr.as("simhash"))
+        graft.expr.HashFunctions.simHash56(col("text"), 99).as("simhash"))
+      .filter(col("simhash").isNotNull)
+      // map-side signatures inherit the scan's input splits (ONE task on
+      // a small fixture file); spread the compact 16-byte rows across
+      // the shuffle width so chunk-explode + join parallelize. At real
+      // scale the scan has thousands of splits and this is ~free.
+      .repartition(col("doc_id"))
       .persist() // chunk-exploded twice below; one signature pass, not two
     val chunkStructs = (0 until SimhashChunks).map { c =>
       struct(lit(c).as("ci"),

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import graft.tables.Tables
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Arbitrary stateful streaming (SURVEY.md §2.10 extension): the custom
+  * per-key state that `session_window`/windowed aggs can't express,
+  * via `KeyValueGroupedDataset.flatMapGroupsWithState`.
+  *
+  * s05 — cumulative per-event-type totals ACROSS micro-batches: the
+  * events table is staged into one file per week-of-month and streamed
+  * with `maxFilesPerTrigger=1`, so each week arrives in its own
+  * micro-batch (files ordered by modification time — the staged mod
+  * times encode week order). A `GroupState[(Long, Long)]` carries
+  * (running count, running cents) per event_type from batch to batch;
+  * each batch appends one cumulative snapshot row per key present.
+  * This is the cross-batch-state demonstration the one-shot
+  * AvailableNow runs of s01/s04 can't give: the emitted value for week
+  * w is provably f(state at w−1, batch w).
+  *
+  * Determinism across engines: money sums accumulate as exact integer
+  * CENTS (`rint(value*100)` — value is 2-decimal data) and divide by
+  * 100.0 only at emission, so the oracle's windowed cumulative sum
+  * lands on the identical double regardless of summation order.
+  *
+  * Scale shape: state is O(event_types), rows shuffle once to their
+  * key's state-store partition per batch; with a real timeout
+  * (`GroupStateTimeout.EventTimeTimeout`) idle keys would be evicted —
+  * NoTimeout is correct here because the key domain is tiny and the
+  * run is finite.
+  */
+object StatefulCumulative {
+
+  case class Ev(event_type: String, ts: java.sql.Timestamp, value: Double)
+  case class Cum(event_type: String, week: Int, cum_n: Long, cum_value: Double)
+
+  private def weekOf(ts: java.sql.Timestamp): Int =
+    (ts.toInstant.atOffset(java.time.ZoneOffset.UTC).getDayOfMonth - 1) / 7
+
+  /** s05 — run the staged weekly stream to completion; one cumulative
+    * row per (event_type, week).
+    */
+  def cumulativeWeekly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val base = s"/tmp/graft_stream_state_${math.abs(dir.hashCode)}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(base), true)
+
+    // stage: one parquet file per week, mod times in week order so the
+    // file source (oldest-first) replays the weeks chronologically
+    val ev = Tables.events(spark, dir).select("event_type", "ts", "value")
+    fs.mkdirs(new Path(s"$base/in"))
+    (0 until 5).foreach { w =>
+      val weekDir = s"$base/tmp/w$w"
+      ev.filter(expr(s"(day(ts) - 1) div 7 = $w")).coalesce(1).write.parquet(weekDir)
+      val part = fs.globStatus(new Path(s"$weekDir/part-*.parquet"))(0).getPath
+      val dest = new Path(s"$base/in/week$w.parquet")
+      fs.rename(part, dest)
+      fs.setTimes(dest, 1700000000000L + w * 60000L, -1)
+    }
+
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+      .as[Ev]
+
+    val cum = stream.groupByKey(_.event_type)
+      .flatMapGroupsWithState[(Long, Long), Cum](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Ev], state: GroupState[(Long, Long)]) =>
+          var week = -1
+          var n = 0L
+          var cents = 0L
+          rows.foreach { e =>
+            week = weekOf(e.ts) // one file per week => constant per batch
+            n += 1
+            cents += math.rint(e.value * 100).toLong
+          }
+          val (n0, c0) = state.getOption.getOrElse((0L, 0L))
+          val (n1, c1) = (n0 + n, c0 + cents)
+          state.update((n1, c1))
+          Iterator(Cum(key, week, n1, c1 / 100.0))
+      }
+
+    val name = s"stream_state_${System.nanoTime()}"
+    val q = cum.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(name).orderBy("event_type", "week")
+  }
+
+  /** The cumulative series, recomputed relationally: weekly group
+    * totals then a windowed running sum — what the stateful stream must
+    * equal if its state really carried across batches.
+    */
+  val oracleCumulativeWeekly: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |         ((day(ts::TIMESTAMP) - 1) // 7)::INT AS week,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type, week, count(*) AS n, sum(cents) AS c
+      |  FROM e GROUP BY 1, 2)
+      |SELECT event_type, week,
+      |  CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+      |  (sum(c) OVER w) / 100.0 AS cum_value
+      |FROM g
+      |WINDOW w AS (PARTITION BY event_type ORDER BY week ROWS UNBOUNDED PRECEDING)
+      |ORDER BY event_type, week""".stripMargin
+}

@@ -43,6 +43,25 @@ class HashParitySpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getInt(0) == r.getInt(1) && r.getInt(0) >= 1))
   }
 
+  test("native simhash56 equals the composed explode + 56-sum aggregate") {
+    val docs = Dedup.corpus(spark, Sf)
+    val fast = docs.select(col("doc_id"),
+      graft.expr.HashFunctions.simHash56(col("text"), 99).as("simhash"))
+      .filter(col("simhash").isNotNull)
+    val slow = Dedup.simhashComposed(docs)
+    assert(fast.count() == slow.count())
+    assert(fast.except(slow).count() == 0 && slow.except(fast).count() == 0)
+  }
+
+  test("simhash56 of token-less text is null, matching the group-by drop") {
+    import spark.implicits._
+    val rows = Seq("", "!!! ???", "ONE two", "ümlaut-frei").toDF("text")
+      .select(graft.expr.HashFunctions.simHash56(col("text"), 99).as("s"))
+      .collect()
+    assert(rows(0).isNullAt(0) && rows(1).isNullAt(0))
+    assert(!rows(2).isNullAt(0) && !rows(3).isNullAt(0))
+  }
+
   test("multibyte texts shingle on CHAR boundaries, matching the composed form") {
     import spark.implicits._
     val texts = Seq("", "é", "éléctricité consommée à Orléans",

@@ -15,4 +15,25 @@ class StreamDedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap
     assert(deduped == expected) // WRITE_APPEND semantics would double every count
   }
+
+  test("flatMapGroupsWithState carries cumulative state across micro-batches") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.streaming.StatefulCumulative.cumulativeWeekly(spark, Sf).collect()
+    val byType = rows.groupBy(_.getString(0))
+    assert(byType.nonEmpty)
+    byType.foreach { case (t, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      // cumulative counts strictly increase week over week — only
+      // possible if state survived from the previous micro-batch
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(2) < b.getLong(2), s"$t: cum_n not increasing")
+        case _ =>
+      }
+      // the final snapshot equals the batch-computed total
+      val total = graft.tables.Tables.events(spark, Sf)
+        .filter(col("event_type") === t).count()
+      assert(sorted.last.getLong(2) == total, s"$t: final cum_n != batch count")
+    }
+  }
 }
