@@ -44,6 +44,7 @@ object SparkEntry {
     "q23_cube"          -> (ops.CoreOps.cubeRevenue(_, _)),
     "q24_csv_stage"     -> (ops.Staging.csvStage(_, _)),
     "q25_catalog"       -> (ops.Staging.catalogRoundTrip(_, _)),
+    "q26_bucketed_join" -> (ops.Staging.bucketedJoin(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -368,6 +369,7 @@ object SparkEntry {
     "s05_stream_state" -> streaming.StatefulCumulative.oracleCumulativeWeekly,
     "q24_csv_stage"  -> ops.Staging.oracleCsvStage,
     "q25_catalog"    -> ops.Staging.oracleCatalog,
+    "q26_bucketed_join" -> ops.Staging.oracleBucketedJoin,
 
     // s01: the stream result must equal the batch daily mean — the
     // Kappa-architecture equivalence IS the oracle.

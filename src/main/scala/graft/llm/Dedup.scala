@@ -59,6 +59,13 @@ object Dedup {
     */
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     corpus(spark, dir)
+      // spread the docs across the shuffle width BEFORE hashing: the
+      // fixture file is a single input split, which would pin the md5
+      // shingle loop to one core; the doc_id partitioning also lines up
+      // with the verify joins' keys. At real scale the scan already has
+      // thousands of splits and this exchange is the cheapest in the plan
+      // (raw text rows, pre-explosion).
+      .repartition(col("doc_id"))
       .select(col("doc_id"), TextHash.hashedShingles(col("text"), 0).as("hs"))
 
   /** The 4 LSH band structs of one doc, computed per-ROW: all 16

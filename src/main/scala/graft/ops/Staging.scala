@@ -87,4 +87,48 @@ object Staging {
       |FROM orders
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
+
+  /** q26 — co-located bucketed join (the "bucketing for co-located
+    * joins" scale claim, made checkable): orders and customer are
+    * written as catalog tables bucketed (and sorted) on the join key,
+    * so the sort-merge join consumes each bucket pair directly — NO
+    * exchange and no sort on either join side (asserted in PlanSpec).
+    * This is the shuffle-once-then-never pattern for a fact table
+    * joined repeatedly on the same key at 100 TB: the bucketed layout
+    * amortizes the shuffle into the write.
+    *
+    * The `merge` hint keeps the demo honest at fixture scale (Spark
+    * would otherwise broadcast the small side and skip the bucketed
+    * path entirely).
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val stage = s"/tmp/graft_stage/bkt_${math.abs(dir.hashCode)}"
+    spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS graft_customer_bkt")
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").option("path", s"$stage/orders")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_orders_bkt")
+    Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").option("path", s"$stage/customer")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_customer_bkt")
+    spark.table("graft_orders_bkt")
+      .hint("merge")
+      .join(spark.table("graft_customer_bkt"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  val oracleBucketedJoin: String =
+    """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+      |  count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
 }

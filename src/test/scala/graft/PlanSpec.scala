@@ -33,6 +33,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q26: bucketed join consumes co-located buckets — no exchange, no sort on the join") {
+    val p = planOf("q26_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"bucketed join did not plan as SMJ:\n$p")
+    // the join inputs are bucketed+sorted scans: the ONLY exchanges in
+    // the whole plan belong to the aggregation and the final orderBy
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"bucketed join still shuffles its inputs ($exchanges exchanges):\n$p")
+    assert(p.contains("SelectedBucketsCount"), s"scan is not bucket-aware:\n$p")
+  }
+
   test("q13: request side joins alpha/M via broadcast (no request shuffle)") {
     val p = planOf("q13_price")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
