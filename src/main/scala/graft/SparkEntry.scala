@@ -45,6 +45,7 @@ object SparkEntry {
     "q24_csv_stage"     -> (ops.Staging.csvStage(_, _)),
     "q25_catalog"       -> (ops.Staging.catalogRoundTrip(_, _)),
     "q26_bucketed_join" -> (ops.Staging.bucketedJoin(_, _)),
+    "q27_salted_join"   -> (ops.Skew.saltedFlagRevenue(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -370,6 +371,7 @@ object SparkEntry {
     "q24_csv_stage"  -> ops.Staging.oracleCsvStage,
     "q25_catalog"    -> ops.Staging.oracleCatalog,
     "q26_bucketed_join" -> ops.Staging.oracleBucketedJoin,
+    "q27_salted_join"   -> ops.Skew.oracleSaltedFlagRevenue,
 
     // s01: the stream result must equal the batch daily mean — the
     // Kappa-architecture equivalence IS the oracle.
