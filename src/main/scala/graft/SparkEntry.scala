@@ -46,6 +46,9 @@ object SparkEntry {
     "q25_catalog"       -> (ops.Staging.catalogRoundTrip(_, _)),
     "q26_bucketed_join" -> (ops.Staging.bucketedJoin(_, _)),
     "q27_salted_join"   -> (ops.Skew.saltedFlagRevenue(_, _)),
+    "q28_asof_join"     -> (ops.AsOfJoin.purchaseAsOfClick(_, _)),
+    "q29_histogram"     -> (ops.CoreOps.histogram(_, _)),
+    "q30_quantiles"     -> (ops.CoreOps.quantiles(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -57,10 +60,16 @@ object SparkEntry {
     "d08_ann_ivf"           -> (llm.Similarity.annIvf(_, _)),
     "d09_embed_norms"       -> (llm.Similarity.embedNorms(_, _)),
     "d10_embed_neardup"     -> (llm.Similarity.embedNearDup(_, _)),
+    "d11_dedup_clusters"    -> (llm.Dedup.dedupClusters(_, _)),
+    "d12_curate"            -> (llm.Dedup.curate(_, _)),
     "t01_lang_id"           -> (llm.TextStats.langId(_, _)),
     "t02_text_quality"      -> (llm.TextStats.quality(_, _)),
     "t03_token_stats"       -> (llm.TextStats.tokenStats(_, _)),
     "t04_fingerprint"       -> (llm.TextStats.fingerprint(_, _)),
+    "t05_vocab_topk"        -> (llm.TextStats.vocabTopK(_, _)),
+    "t06_tfidf_top5"        -> (llm.TextStats.tfidfTop5(_, _)),
+    "d13_split_assign"      -> (llm.Sampling.splitAssign(_, _)),
+    "d14_curated_corpus"    -> (llm.Pipeline.curatedCorpus(_, _)),
     "m01_media_stats"       -> (llm.Multimodal.mediaStats(_, _)),
     "m02_image_decode"      -> (llm.Multimodal.imageStats(_, _)),
     "s01_stream_daily"      -> (streaming.DailyIngest.streamDaily(_, _)),
@@ -68,6 +77,7 @@ object SparkEntry {
     "s03_sliding"           -> (streaming.DailyIngest.slidingDaily(_, _)),
     "s04_stream_sink"       -> (streaming.DailyIngest.streamAppendSink(_, _)),
     "s05_stream_state"      -> (streaming.StatefulCumulative.cumulativeWeekly(_, _)),
+    "s06_stream_join"       -> (streaming.StreamJoin.purchaseClickJoin(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -276,10 +286,16 @@ object SparkEntry {
     "d08_ann_ivf"           -> llm.Similarity.oracleAnnIvf,
     "d09_embed_norms"       -> llm.Similarity.oracleEmbedNorms,
     "d10_embed_neardup"     -> llm.Similarity.oracleEmbedNearDup,
+    "d11_dedup_clusters"    -> llm.Dedup.oracleDedupClusters,
+    "d12_curate"            -> llm.Dedup.oracleCurate,
     "t01_lang_id"           -> llm.TextStats.oracleLangId,
     "t02_text_quality"      -> llm.TextStats.oracleQuality,
     "t03_token_stats"       -> llm.TextStats.oracleTokenStats,
     "t04_fingerprint"       -> llm.TextStats.oracleFingerprint,
+    "t05_vocab_topk"        -> llm.TextStats.oracleVocabTopK,
+    "t06_tfidf_top5"        -> llm.TextStats.oracleTfidfTop5,
+    "d13_split_assign"      -> llm.Sampling.oracleSplitAssign,
+    "d14_curated_corpus"    -> llm.Pipeline.oracleCuratedCorpus,
     "m01_media_stats"       -> llm.Multimodal.oracleMediaStats,
     "m02_image_decode"      -> llm.Multimodal.oracleImageStats,
 
@@ -368,10 +384,14 @@ object SparkEntry {
     "s03_sliding"    -> streaming.DailyIngest.oracleSlidingDaily,
     "s04_stream_sink" -> streaming.DailyIngest.oracleStreamAppendSink,
     "s05_stream_state" -> streaming.StatefulCumulative.oracleCumulativeWeekly,
+    "s06_stream_join"  -> streaming.StreamJoin.oraclePurchaseClickJoin,
     "q24_csv_stage"  -> ops.Staging.oracleCsvStage,
     "q25_catalog"    -> ops.Staging.oracleCatalog,
     "q26_bucketed_join" -> ops.Staging.oracleBucketedJoin,
     "q27_salted_join"   -> ops.Skew.oracleSaltedFlagRevenue,
+    "q28_asof_join"     -> ops.AsOfJoin.oraclePurchaseAsOfClick,
+    "q29_histogram"     -> ops.CoreOps.oracleHistogram,
+    "q30_quantiles"     -> ops.CoreOps.oracleQuantiles,
 
     // s01: the stream result must equal the batch daily mean — the
     // Kappa-architecture equivalence IS the oracle.

@@ -112,7 +112,10 @@ object Dedup {
     * twice and re-grouped the pair×shingle blow-up; this moves each
     * doc's shingles once, already aggregated.
     */
-  def lshJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+  def lshJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairsRaw(spark, dir).orderBy("id_a", "id_b")
+
+  private def jaccardPairsRaw(spark: SparkSession, dir: String): DataFrame = {
     // one persisted shingle-hash pass feeds band generation AND both
     // sides of the verify join
     val docs = docShingles(spark, dir).persist()
@@ -132,7 +135,92 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
-      .orderBy("id_a", "id_b")
+  }
+
+  /** d11 — near-dup CLUSTERS: connected components of the verified
+    * d03 pair graph, labeled by min doc_id — the step that turns
+    * pairwise near-dups into "keep one per cluster" decisions.
+    *
+    * Algorithm: iterative min-label propagation — each round every doc
+    * takes the min of its own label and its neighbors' labels; the
+    * loop is a DRIVER loop over set-oriented rounds (each round is one
+    * keyed shuffle join + aggregate, never per-row driver work) and
+    * converges in O(component diameter) rounds — 2-3 here, bounded by
+    * the explicit `require` below. At 100 TB the same loop runs with
+    * the large-star/small-star optimization (halves diameter per
+    * round); the fixture components are twin pairs and tiny chains, so
+    * the plain form is already optimal.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(spark, dir)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("doc_id"), col("label").as("canonical_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** The converged (doc_id, label=component-min) relation behind d11
+    * and d12 — returned persisted (one keyed partitioning, reused by
+    * both consumers' joins).
+    */
+  private[llm] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairsRaw(spark, dir).select("id_a", "id_b").persist()
+    val edges = pairs.toDF("u", "v")
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .persist()
+    var labels = corpus(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .repartition(col("doc_id"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 25) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("v"), col("label").as("nbr_label")), Seq("v"))
+        .groupBy(col("u").as("doc_id"))
+        .agg(min("nbr_label").as("nbr"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .persist()
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter(col("label") < col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    require(converged, s"label propagation did not converge in $iter rounds")
+    pairs.unpersist(); edges.unpersist()
+    labels
+  }
+
+  /** d12 — cluster curation: the "keep one" decision a training
+    * pipeline actually ships. Per near-dup cluster (d11), keep the
+    * HIGHEST-QUALITY member (t02's composite score recomputed on the
+    * corpus text, since twins have no precomputed n_chars), ties
+    * broken by min doc_id. Output: one row per cluster with the
+    * survivor and how many near-dups it absorbed.
+    *
+    * One window shuffle (partitionBy cluster) computes both the rank
+    * and the cluster size; quality is map-side arithmetic on the text.
+    */
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = clusterLabels(spark, dir)
+    val q = corpus(spark, dir)
+      .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
+    val byCluster = Window.partitionBy("cluster_id")
+    val rank = Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .join(q, Seq("doc_id"))
+      .withColumn("rn", row_number().over(rank))
+      .withColumn("cluster_size", count(lit(1)).over(byCluster))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
+        col("quality").as("kept_quality"),
+        col("cluster_size"), (col("cluster_size") - 1).as("n_dropped"))
+      .orderBy("cluster_id")
   }
 
   /** Dev-only stage timer for d03 (used by [[graft.Scratch]]). */
@@ -306,8 +394,11 @@ object Dedup {
        |SELECT doc_id, band, band_hash FROM bands
        |ORDER BY doc_id, band""".stripMargin
 
-  val oracleLshJaccardPairs: String =
-    s"""WITH $corpusSql,
+  /** CTE chain ending in `pairs(id_a, id_b, jaccard)` — the verified
+    * near-dup pair relation shared by the d03 and d11 oracles.
+    */
+  private[llm] val pairsCteSql: String =
+    s"""$corpusSql,
        |$corpusShinglesSql,
        |$minhashSql,
        |$bandsSql,
@@ -321,13 +412,66 @@ object Dedup {
        |  FROM cand
        |  JOIN sh sa ON sa.doc_id = id_a
        |  JOIN sh sb ON sb.doc_id = id_b AND sa.base = sb.base
-       |  GROUP BY 1, 2)
-       |SELECT id_a, id_b, i::DOUBLE / (za.sz + zb.sz - i) AS jaccard
-       |FROM inter
-       |JOIN sizes za ON za.doc_id = id_a
-       |JOIN sizes zb ON zb.doc_id = id_b
-       |WHERE i::DOUBLE / (za.sz + zb.sz - i) >= $JaccardThreshold
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b, i::DOUBLE / (za.sz + zb.sz - i) AS jaccard
+       |  FROM inter
+       |  JOIN sizes za ON za.doc_id = id_a
+       |  JOIN sizes zb ON zb.doc_id = id_b
+       |  WHERE i::DOUBLE / (za.sz + zb.sz - i) >= $JaccardThreshold)""".stripMargin
+
+  val oracleLshJaccardPairs: String =
+    s"""WITH $pairsCteSql
+       |SELECT id_a, id_b, jaccard FROM pairs
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** d11 oracle — connected components of the near-dup pair graph via
+    * a recursive transitive closure (tiny components, so the closure
+    * is cheap), labeled by min doc_id.
+    */
+  val oracleDedupClusters: String =
+    s"""WITH RECURSIVE $pairsCteSql,
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+       |labeled AS (
+       |  SELECT u AS doc_id, min(v) AS canonical_id FROM reach GROUP BY u)
+       |SELECT doc_id, canonical_id,
+       |       count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+       |FROM labeled
+       |ORDER BY doc_id""".stripMargin
+
+  /** d12 oracle — closure-labeled clusters joined to the t02 quality
+    * score recomputed on corpus text; keep rank-1 per cluster.
+    */
+  val oracleCurate: String =
+    s"""WITH RECURSIVE $pairsCteSql,
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+       |labeled AS (
+       |  SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+       |q AS (
+       |  ${TextStats.qualityScoreSql("corpus")}),
+       |ranked AS (
+       |  SELECT l.cluster_id, l.doc_id, q.quality,
+       |         row_number() OVER (PARTITION BY l.cluster_id ORDER BY q.quality DESC, l.doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size
+       |  FROM labeled l JOIN q USING (doc_id))
+       |SELECT cluster_id, doc_id AS kept_doc_id, quality AS kept_quality,
+       |       cluster_size, cluster_size - 1 AS n_dropped
+       |FROM ranked WHERE rn = 1
+       |ORDER BY cluster_id""".stripMargin
 
   private def simhashSelectSql(src: String): String = {
     val bitSums = (0 until SimhashBits)

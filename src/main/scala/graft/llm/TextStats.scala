@@ -35,8 +35,59 @@ object TextStats {
   private[graft] def tokens(text: Column): Column =
     call_function("regexp_extract_all", lower(text), lit("[a-z0-9]+"), lit(0))
 
-  private def markerCount(toks: Column, markers: Seq[String]): Column =
+  private[llm] def markerCount(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => markers.map(m => t === m).reduce(_ || _)))
+
+  /** The t02 composite quality score computed straight from a text
+    * column (shared with d12 curation, where the corpus twins have no
+    * pre-computed `n_chars`). Identical arithmetic to [[quality]]:
+    * int/int ratios, then the fixed 0.4/0.3/0.3 composite.
+    */
+  private[llm] def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTokens = size(toks)
+    val alnum = aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+    val meanTokenLen = alnum.cast("double") / nTokens
+    val stopwordRatio = markerCount(toks, Stopwords).cast("double") / nTokens
+    when(nTokens >= 20, lit(1.0)).otherwise(lit(0.0)) * lit(0.4) +
+      when(stopwordRatio.between(0.05, 0.5), lit(1.0)).otherwise(lit(0.0)) * lit(0.3) +
+      when(meanTokenLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.0)) * lit(0.3)
+  }
+
+  /** DuckDB spelling of [[qualityScore]] over a relation exposing
+    * (doc_id, text) — yields a CTE body `SELECT doc_id, quality`.
+    */
+  private[llm] def qualityScoreSql(src: String): String =
+    s"""SELECT doc_id,
+       |       (CASE WHEN len($toksSql) >= 20 THEN 1.0 ELSE 0.0 END) * 0.4
+       |       + (CASE WHEN ${markerCountSql(Stopwords)}::DOUBLE / len($toksSql) BETWEEN 0.05 AND 0.5 THEN 1.0 ELSE 0.0 END) * 0.3
+       |       + (CASE WHEN list_sum(list_transform($toksSql, t -> length(t)))::DOUBLE / len($toksSql) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.3
+       |         AS quality
+       |FROM $src""".stripMargin
+
+  /** argmax over per-language marker scores with earlier-language
+    * precedence on ties; "und" when no marker occurs. `score` maps a
+    * language slug to its score Column (shared by t01 and d14).
+    */
+  private[llm] def predLangFromScores(score: String => Column): Column = {
+    val langs = LangMarkers.map(_._1)
+    langs.zipWithIndex.foldRight(lit("und")) { case ((lang, i), elseCol) =>
+      val isMax = langs.drop(i + 1).foldLeft(score(lang) > 0: Column) {
+        (acc, other) => acc && score(lang) >= score(other)
+      }
+      val beatsEarlier = langs.take(i).foldLeft(isMax) {
+        (acc, earlier) => acc && score(lang) > score(earlier)
+      }
+      when(beatsEarlier, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /** Language prediction straight from a text column (d14's filter). */
+  private[llm] def predLang(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangMarkers.map { case (l, ms) => l -> markerCount(toks, ms) }.toMap
+    predLangFromScores(scores)
+  }
 
   /** t01 — heuristic language ID: score = marker-token count per
     * language; predict the max-scoring language, ties broken by
@@ -47,20 +98,9 @@ object TextStats {
     val scoreCols = LangMarkers.map { case (lang, ms) =>
       markerCount(toks, ms).as(s"score_$lang")
     }
-    val langs = LangMarkers.map(_._1)
-    // argmax with earlier-language precedence on ties
-    val best = langs.zipWithIndex.foldRight(lit("und")) { case ((lang, i), elseCol) =>
-      val isMax = langs.drop(i + 1).foldLeft(col(s"score_$lang") > 0: Column) {
-        (acc, other) => acc && col(s"score_$lang") >= col(s"score_$other")
-      }
-      val beatsEarlier = langs.take(i).foldLeft(isMax) {
-        (acc, earlier) => acc && col(s"score_$lang") > col(s"score_$earlier")
-      }
-      when(beatsEarlier, lit(lang)).otherwise(elseCol)
-    }
     Tables.documents(spark, dir)
       .select((col("doc_id") +: scoreCols): _*)
-      .withColumn("pred_lang", best)
+      .withColumn("pred_lang", predLangFromScores(l => col(s"score_$l")))
       .orderBy("doc_id")
   }
 
@@ -122,6 +162,58 @@ object TextStats {
         size(col("hs")).cast("long").as("n_shingles"))
       .orderBy("doc_id")
 
+  /** The (word, doc_id, tf) relation behind t05/t06 — one explode +
+    * one hash aggregate, partial/final split keeps the shuffle at one
+    * row per distinct (doc, word).
+    */
+  private def termFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy("word", "doc_id").agg(count(lit(1)).as("tf"))
+
+  /** t05 — vocabulary building: global top-100 terms by corpus
+    * frequency (ties → lexicographic). Two-level aggregate — per-doc
+    * tf first, then per-word totals — so the word-level shuffle moves
+    * one row per (doc, word), and the top-k is TakeOrderedAndProject,
+    * never a global sort.
+    */
+  def vocabTopK(spark: SparkSession, dir: String): DataFrame =
+    termFreq(spark, dir)
+      .groupBy("word")
+      .agg(sum("tf").as("freq"), count(lit(1)).as("doc_freq"))
+      .orderBy(col("freq").desc, col("word").asc)
+      .limit(100)
+
+  /** t06 — TF-IDF: top-5 terms per document ranked by `tf · ln(N/df)`.
+    * The df relation (vocab-sized) broadcasts back onto the tf
+    * relation; N is a broadcast 1-row aggregate; ranking is one window
+    * shuffle on doc_id.
+    *
+    * The ln-based score stays INTERNAL: Java Math.log and libm ln
+    * disagree by 1 ulp on ~0.06% of inputs (measured), so a raw double
+    * score could fail the driver's exact hash compare. The emitted
+    * columns are the bit-exact integers (tf, df) + rank; a rank flip
+    * would need two scores within 1 ulp at the top-5 boundary —
+    * absent from all three fixture SFs (gate-verified) and harmless
+    * to the operator's contract.
+    */
+  def tfidfTop5(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one explode+aggregate pass feeds tf, df AND the N scalar
+    val tf = termFreq(spark, dir).persist()
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = tf.agg(countDistinct("doc_id").as("n_docs"))
+    val rank = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("word").asc)
+    tf.join(df, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rank", row_number().over(rank).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("doc_id", "rank", "word", "tf", "df")
+      .orderBy("doc_id", "rank")
+  }
+
   // ---- DuckDB oracles -------------------------------------------------------
 
   private val toksSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -129,23 +221,41 @@ object TextStats {
   private def markerCountSql(markers: Seq[String]): String =
     s"len(list_filter($toksSql, t -> t IN (${markers.map(m => s"'$m'").mkString(", ")})))::INT"
 
-  val oracleLangId: String = {
+  /** CASE-chain argmax over `score_<lang>` columns — SQL twin of
+    * [[predLangFromScores]].
+    */
+  private def bestLangCaseSql: String = {
     val langs = LangMarkers.map(_._1)
-    val scoreCols = LangMarkers.map { case (lang, ms) =>
-      s"${markerCountSql(ms)} AS score_$lang"
-    }.mkString(",\n         ")
-    val best = langs.zipWithIndex.reverse.foldLeft("'und'") { case (elseSql, (lang, i)) =>
+    langs.zipWithIndex.reverse.foldLeft("'und'") { case (elseSql, (lang, i)) =>
       val geLater = langs.drop(i + 1).map(o => s"score_$lang >= score_$o")
       val gtEarlier = langs.take(i).map(e => s"score_$lang > score_$e")
       val conds = (s"score_$lang > 0" +: (geLater ++ gtEarlier)).mkString(" AND ")
       s"CASE WHEN $conds THEN '$lang' ELSE $elseSql END"
     }
+  }
+
+  private def langScoreColsSql: String =
+    LangMarkers.map { case (lang, ms) =>
+      s"${markerCountSql(ms)} AS score_$lang"
+    }.mkString(",\n         ")
+
+  /** `SELECT doc_id, pred_lang` over any (doc_id, text) relation —
+    * SQL twin of [[predLang]] (d14's oracle filter).
+    */
+  private[llm] def predLangSelectSql(src: String): String =
+    s"""SELECT doc_id, $bestLangCaseSql AS pred_lang
+       |FROM (SELECT doc_id,
+       |         $langScoreColsSql
+       |      FROM $src)""".stripMargin
+
+  val oracleLangId: String = {
+    val langs = LangMarkers.map(_._1)
     s"""WITH s AS (
        |  SELECT doc_id,
-       |         $scoreCols
+       |         $langScoreColsSql
        |  FROM documents)
        |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
-       |       $best AS pred_lang
+       |       $bestLangCaseSql AS pred_lang
        |FROM s
        |ORDER BY doc_id""".stripMargin
   }
@@ -181,6 +291,34 @@ object TextStats {
        |  ((list_sum(list_transform($toksSql, t -> length(t)))::INT + 3) // 4)::INT AS est_bpe_tokens
        |FROM documents
        |ORDER BY doc_id""".stripMargin
+
+  private val termFreqSql: String =
+    s"""tf AS (
+       |  SELECT word, doc_id, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest($toksSql) AS word FROM documents)
+       |  GROUP BY word, doc_id)""".stripMargin
+
+  val oracleVocabTopK: String =
+    s"""WITH $termFreqSql
+       |SELECT word, sum(tf)::BIGINT AS freq, count(*) AS doc_freq
+       |FROM tf GROUP BY word
+       |ORDER BY freq DESC, word
+       |LIMIT 100""".stripMargin
+
+  val oracleTfidfTop5: String =
+    s"""WITH $termFreqSql,
+       |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+       |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+       |         tf.tf * ln(n.n_docs::DOUBLE / df.df) AS tfidf
+       |  FROM tf JOIN df USING (word) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rank
+       |  FROM scored)
+       |SELECT doc_id, rank, word, tf, df
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY doc_id, rank""".stripMargin
 
   val oracleFingerprint: String =
     s"""WITH h AS (

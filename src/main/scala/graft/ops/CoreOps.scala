@@ -316,6 +316,55 @@ object CoreOps {
       .orderBy("o_custkey", "rn")
   }
 
+  /** q29 — distribution profiling: fixed-width histogram of event
+    * values per type. Bucketing is `floor(value / width)` — two IEEE
+    * ops, bit-identical across engines — and every output column is an
+    * integer count or an exact min/max, so the histogram hash-matches
+    * with no rounding. One partial+final hash aggregate; at 100 TB the
+    * shuffle carries ≤ types × buckets rows.
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), floor(col("value") / lit(50.0)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))
+      .orderBy("event_type", "bucket")
+
+  val oracleHistogram: String =
+    """SELECT event_type, floor(value / 50.0)::BIGINT AS bucket,
+      |       count(*) AS n, min(value) AS lo, max(value) AS hi
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY event_type, bucket""".stripMargin
+
+  /** q30 — exact interpolated percentiles (p50/p90/p99) per event
+    * type: Spark's `percentile` and DuckDB's `quantile_cont` both
+    * compute `lower + (upper − lower) · frac` at rank `p·(n−1)` over
+    * the sorted values — the same two IEEE ops on the same doubles, so
+    * the result is bit-deterministic (gate-verified at all three SFs).
+    * Exact percentile sorts within each group — fine when groups are
+    * bounded (5 types); unbounded groups would switch to
+    * `approx_percentile` (t-digest, no oracle).
+    */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  val oracleQuantiles: String =
+    """SELECT event_type,
+      |       quantile_cont(value, 0.5) AS p50,
+      |       quantile_cont(value, 0.9) AS p90,
+      |       quantile_cont(value, 0.99) AS p99,
+      |       count(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** q12 — JSON decode (F9, reference `api.py:104` request parsing):
     * `from_json` with a declared schema (never inferred), then use the
     * extracted field relationally.

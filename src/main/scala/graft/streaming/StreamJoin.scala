@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** s06 — stream-stream interval join: each purchase matched to the
+  * same user's clicks in the preceding hour, both sides unbounded
+  * streams. The streaming generalization of q28's as-of lookup — where
+  * as-of keeps ONE prior row, the interval join keeps ALL rows inside
+  * the time window, and the watermarks let Spark drop buffered state
+  * once `click.ts < watermark(purchase) − 1 hour` can no longer match
+  * (the condition bounds both event-time columns, which is what makes
+  * the state finite — an unconstrained stream-stream join would buffer
+  * forever).
+  *
+  * Inner interval joins emit a match as soon as both rows have
+  * arrived, so draining with AvailableNow yields exactly the batch
+  * join — the oracle is that batch SQL, no withheld-tail modeling
+  * needed (contrast s04's append-mode aggregation).
+  */
+object StreamJoin {
+
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def eventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  def purchaseClickJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val purchases = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "1 day")
+    val clicks = eventStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 day")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"))
+    val name = s"stream_join_${System.nanoTime()}"
+    val q = joined
+      .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(name).orderBy("purchase_id", "click_id")
+  }
+
+  val oraclePurchaseClickJoin: String =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |       p.ts::TIMESTAMP AS purchase_ts,
+      |       c.event_id AS click_id, c.ts::TIMESTAMP AS click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts::TIMESTAMP BETWEEN p.ts::TIMESTAMP - INTERVAL 1 HOUR
+      |                         AND p.ts::TIMESTAMP
+      |ORDER BY purchase_id, click_id""".stripMargin
+}

@@ -19,6 +19,30 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(qs.keySet == SparkEntry.oracleSql.keySet)
   }
 
+  test("as-of join: inclusive at equal ts, latest-prior ref wins, no-ref probes null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val probe = Seq(
+      (10L, java.sql.Timestamp.valueOf("2024-01-01 00:00:05"), 1L, 1.0),
+      (11L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 1L, 2.0), // equal-ts with ref 101
+      (12L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 2L, 3.0)  // before any ref
+    ).toDF("event_id", "ts", "user_id", "value").withColumn("ord", col("event_id"))
+    val ref = Seq(
+      (100L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 1L, 10.0),
+      (101L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 1L, 20.0),
+      (102L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 1L, 30.0), // same ts, higher id wins
+      (103L, java.sql.Timestamp.valueOf("2024-01-01 00:00:09"), 2L, 40.0)
+    ).toDF("ref_event_id", "ts", "user_id", "ref_value")
+      .select(col("user_id"), col("ts"), col("ref_event_id").as("ord"),
+        col("ref_event_id"), col("ref_value"))
+    val out = graft.ops.AsOfJoin.asOf(probe, ref, "user_id", "ts", "ord",
+        Seq("ref_event_id", "ref_value"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(r.fieldIndex("ref_event_id")))).toMap
+    assert(out(10L).contains(102L)) // latest prior (ties at 00:02 → max id)
+    assert(out(11L).contains(102L)) // inclusive: ref at the same instant matches
+    assert(out(12L).isEmpty)        // ref exists only in the future
+  }
+
   test("golden price example from the pricing notice") {
     // reference `docs/Notice technique.htm` worked example: yearly
     // consumption x = 8200 kWh, alpha=1.1, M=0.012

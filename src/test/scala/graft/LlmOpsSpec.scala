@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextHash, TextStats}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextHash, TextStats}
 import graft.expr.VectorFunctions.cosineSimilarity
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -117,6 +117,91 @@ class LlmOpsSpec extends AnyFunSuite {
     // no duplicate pairs despite the 9-way probe explosion
     val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.distinct.length == pairs.length)
+  }
+
+  test("dedup clusters: canonical is the component min and twins co-cluster") {
+    val rows = Dedup.dedupClusters(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.size == 1000) // 500 docs + 500 twins
+    // canonical must be <= member and itself canonical (fixpoint)
+    rows.foreach { case (id, (canon, size)) =>
+      assert(canon <= id && rows(canon)._1 == canon)
+      assert(size >= 1 && rows(canon)._2 == size)
+    }
+    // every verified near-dup pair landed in one cluster
+    val pairs = Dedup.lshJaccardPairs(spark, Sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { p =>
+      assert(rows(p.getLong(0))._1 == rows(p.getLong(1))._1,
+        s"pair ${p.getLong(0)},${p.getLong(1)} split across clusters")
+    }
+  }
+
+  test("curate keeps exactly one member per cluster, preferring quality then min id") {
+    val clusters = Dedup.dedupClusters(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap // doc_id -> canonical
+    val kept = Dedup.curate(spark, Sf).collect()
+    // one survivor per distinct cluster, and the survivor is a member
+    assert(kept.length == clusters.values.toSet.size)
+    kept.foreach { r =>
+      val (cid, keptId, size) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      assert(clusters(keptId) == cid)
+      assert(size == clusters.values.count(_ == cid))
+      assert(r.getLong(4) == size - 1)
+    }
+  }
+
+  test("vocab top-k is sorted by freq desc and consistent with tf-idf's df") {
+    val vocab = TextStats.vocabTopK(spark, Sf).collect()
+    // the synthetic fixture's shared vocabulary is ~31 words — all of it fits in the top-100
+    assert(vocab.nonEmpty && vocab.length <= 100)
+    val freqs = vocab.map(_.getLong(1))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
+    vocab.foreach(r => assert(r.getLong(1) >= r.getLong(2))) // freq >= doc_freq
+  }
+
+  test("tf-idf top5: ranks are 1..k per doc, terms unique within doc") {
+    val rows = TextStats.tfidfTop5(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.sameElements(1L to rs.length))
+      assert(rs.map(_._3).distinct.length == rs.length)
+    }
+  }
+
+  test("split assignment is deterministic with ~80/10/10 mass") {
+    val rows = Sampling.splitAssign(spark, Sf).collect()
+    assert(rows.length == 500)
+    val bySplit = rows.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    // md5-mod buckets: exact proportions vary, but the shape must hold
+    assert(bySplit("train") > bySplit("val") * 4)
+    assert(bySplit.values.sum == 500)
+    // same assignment on recompute (pure function of doc_id)
+    val again = Sampling.splitAssign(spark, Sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(3))).sameElements(
+      again.map(r => (r.getLong(0), r.getString(3)))))
+  }
+
+  test("curation pipeline: survivors pass the filters and are cluster/content-unique") {
+    import graft.llm.Pipeline
+    val rows = Pipeline.curatedCorpus(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // every survivor passed the filters
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= Pipeline.QualityMin)
+      assert(r.getString(3) != "und")
+      assert(Set("train", "val", "test").contains(r.getString(4)))
+    }
+    // one survivor per cluster
+    val clusters = rows.map(_.getLong(1))
+    assert(clusters.distinct.length == clusters.length)
+    // near-dup twins never both survive
+    val ids = rows.map(_.getLong(0)).toSet
+    val pairs = Dedup.lshJaccardPairs(spark, Sf).collect()
+    pairs.foreach { p =>
+      assert(!(ids.contains(p.getLong(0)) && ids.contains(p.getLong(1))),
+        s"near-dup pair ${p.getLong(0)},${p.getLong(1)} both kept")
+    }
   }
 
   test("IVF ANN never beats brute force rank-for-rank") {

@@ -28,6 +28,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q28: as-of join is one window over a union — no nested-loop, one key shuffle") {
+    val p = planOf("q28_asof_join")
+    assert(!p.contains("NestedLoop"), s"as-of join fell into a nested loop:\n$p")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"as-of should not need a join operator at all:\n$p")
+  }
+
   test("q09: top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = planOf("q09_sort_limit")
     assert(p.contains("TakeOrderedAndProject"), p)

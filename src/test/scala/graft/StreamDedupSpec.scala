@@ -3,6 +3,25 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 class StreamDedupSpec extends AnyFunSuite {
+  import SparkTestBase.{Sf => BaseSf}
+
+  test("stream-stream interval join equals the batch interval join") {
+    val spark = SparkTestBase.spark
+    import org.apache.spark.sql.functions.col
+    val streamed = graft.streaming.StreamJoin.purchaseClickJoin(spark, BaseSf).collect()
+    val ev = graft.tables.Tables.events(spark, BaseSf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"), col("ts").as("click_ts"))
+    val batch = p.join(c, col("user_id") === col("cu") &&
+        col("click_ts") >= col("purchase_ts") - org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select("purchase_id", "click_id").orderBy("purchase_id", "click_id").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(r => (r.getLong(0), r.getLong(3))).toSeq ==
+      batch.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
   import SparkTestBase.{spark, Sf}
 
   test("duplicated delivery is collapsed to exactly-once counts") {
