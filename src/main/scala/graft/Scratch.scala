@@ -26,8 +26,11 @@ object Scratch {
         }
       } else if (timeMode) {
         val t0 = System.nanoTime()
-        val cnt = SparkEntry.queries(n)(spark, dir).count()
-        println(f"[scratch] $n: $cnt rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val df = SparkEntry.queries(n)(spark, dir)
+        val t1 = System.nanoTime()
+        val cnt = df.count()
+        val t2 = System.nanoTime()
+        println(f"[scratch] $n: $cnt rows in ${(t2 - t0) / 1e9}%.2f s (construct ${(t1 - t0) / 1e9}%.2f s, count ${(t2 - t1) / 1e9}%.2f s)")
       } else {
         val plan = SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
         val exchanges = "Exchange".r.findAllIn(plan).length

@@ -159,39 +159,70 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** The converged (doc_id, label=component-min) relation behind d11
-    * and d12 — returned persisted (one keyed partitioning, reused by
-    * both consumers' joins).
+  /** The converged (doc_id, label=component-min) relation behind d11,
+    * d12 and d14 — returned persisted AND materialized, so every
+    * downstream consumer reads the cache instead of replaying the
+    * pair pipeline + propagation loop.
+    *
+    * The propagation loop runs over the EDGE-TOUCHED vertex set only
+    * (docs appearing in ≥1 near-dup pair — orders of magnitude smaller
+    * than the corpus; every untouched doc is trivially its own
+    * cluster and joins back in one broadcast at the end). Convergence
+    * is a `sum(changed)` aggregate folded into the round's single
+    * action — no extra per-round comparison join.
     */
   private[llm] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    val trace = sys.env.contains("SPARK_GRAFT_CC_TRACE")
+    def t[A](stage: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      if (trace) System.err.println(f"[cc] $stage: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
     val pairs = jaccardPairsRaw(spark, dir).select("id_a", "id_b").persist()
     val edges = pairs.toDF("u", "v")
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .persist()
-    var labels = corpus(spark, dir)
+    // eager localCheckpoint, not persist: each round references the
+    // previous labels TWICE (neighbor-min join + own-label join), so a
+    // lineage-preserving cache doubles the logical plan per round —
+    // driver-side analysis/canonicalization goes exponential even
+    // though execution hits the cache. Checkpointing cuts the plan to
+    // a flat scan per round (on a cluster a reliable checkpoint dir
+    // gives the same truncation fault-tolerantly).
+    var labels = edges.select(col("u").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("label"))
-      .repartition(col("doc_id"))
-      .persist()
-    var converged = false
+      .localCheckpoint()
+    var changed = 1L
     var iter = 0
-    while (!converged && iter < 25) {
+    while (changed > 0 && iter < 25) {
+      // every vertex has ≥1 edge by construction, so the inner join
+      // keeps the whole vertex set and nbr is never null
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("v"), col("label").as("nbr_label")), Seq("v"))
         .groupBy(col("u").as("doc_id"))
         .agg(min("nbr_label").as("nbr"))
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .persist()
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-        .filter(col("label") < col("old")).isEmpty
-      labels.unpersist()
-      labels = next
+      val next = t(s"round$iter") {
+        labels.join(nbrMin, Seq("doc_id"))
+          .select(col("doc_id"), least(col("label"), col("nbr")).as("label"),
+            (col("nbr") < col("label")).as("chg"))
+          .localCheckpoint()
+      }
+      changed = next.agg(coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L))).first().getLong(0)
+      labels = next.drop("chg")
       iter += 1
     }
-    require(converged, s"label propagation did not converge in $iter rounds")
-    pairs.unpersist(); edges.unpersist()
-    labels
+    require(changed == 0, s"label propagation did not converge in $iter rounds")
+    // no broadcast hint: labels is cached with known stats, so the
+    // planner broadcasts when it fits and falls back to a doc_id-keyed
+    // shuffle join when the near-dup vertex set is large
+    val full = corpus(spark, dir)
+      .select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+      .persist()
+    t("full")(full.count())
+    full
   }
 
   /** d12 — cluster curation: the "keep one" decision a training
