@@ -70,6 +70,10 @@ object SparkEntry {
     "t06_tfidf_top5"        -> (llm.TextStats.tfidfTop5(_, _)),
     "d13_split_assign"      -> (llm.Sampling.splitAssign(_, _)),
     "d14_curated_corpus"    -> (llm.Pipeline.curatedCorpus(_, _)),
+    "d15_stratified_sample" -> (llm.TextPrep.stratifiedSample(_, _)),
+    "t07_pii_scrub"         -> (llm.TextPrep.piiScrub(_, _)),
+    "t08_chunking"          -> (llm.TextPrep.chunk(_, _)),
+    "t09_packing"           -> (llm.TextPrep.pack(_, _)),
     "m01_media_stats"       -> (llm.Multimodal.mediaStats(_, _)),
     "m02_image_decode"      -> (llm.Multimodal.imageStats(_, _)),
     "s01_stream_daily"      -> (streaming.DailyIngest.streamDaily(_, _)),
@@ -296,6 +300,10 @@ object SparkEntry {
     "t06_tfidf_top5"        -> llm.TextStats.oracleTfidfTop5,
     "d13_split_assign"      -> llm.Sampling.oracleSplitAssign,
     "d14_curated_corpus"    -> llm.Pipeline.oracleCuratedCorpus,
+    "d15_stratified_sample" -> llm.TextPrep.oracleStratifiedSample,
+    "t07_pii_scrub"         -> llm.TextPrep.oraclePiiScrub,
+    "t08_chunking"          -> llm.TextPrep.oracleChunk,
+    "t09_packing"           -> llm.TextPrep.oraclePack,
     "m01_media_stats"       -> llm.Multimodal.oracleMediaStats,
     "m02_image_decode"      -> llm.Multimodal.oracleImageStats,
 

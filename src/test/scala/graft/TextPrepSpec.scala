@@ -1,0 +1,56 @@
+package graft
+
+import graft.llm.TextPrep
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextPrepSpec extends AnyFunSuite {
+  import SparkTestBase.{spark, Sf}
+
+  test("t07: scrubbed text contains no residual PII matches") {
+    val out = TextPrep.piiScrub(spark, Sf)
+    // every 3rd doc gains an email, every 5th a phone — counts must reflect that
+    val withEmail = out.filter(col("doc_id") % 3 === 0)
+    assert(withEmail.filter(col("n_emails") < 1).isEmpty)
+    assert(out.filter(col("doc_id") % 3 =!= 0 && col("n_emails") > 0).isEmpty)
+    assert(out.filter(col("doc_id") % 5 =!= 0 && col("n_phones") > 0).isEmpty)
+    // redaction shortens or rewrites: a doc with PII must not hash like its seeded form
+    assert(out.filter(col("n_emails") > 0 || col("n_phones") > 0).count() > 0)
+  }
+
+  test("t08: chunks tile the document with the configured stride and cap") {
+    val docs = graft.tables.Tables.documents(spark, Sf)
+      .select(col("doc_id"), length(col("text")).as("len"))
+    val chunks = TextPrep.chunk(spark, Sf)
+    // every chunk ≤ ChunkLen; every start = 1 + idx*stride; last chunk reaches doc end
+    assert(chunks.filter(col("chunk_len") > TextPrep.ChunkLen).isEmpty)
+    assert(chunks.filter(col("start") =!= col("chunk_idx") * TextPrep.ChunkStride + 1).isEmpty)
+    val coverage = chunks.groupBy("doc_id")
+      .agg(max(col("start") + col("chunk_len") - 1).as("covered"))
+      .join(docs, "doc_id")
+      .filter(col("covered") < col("len"))
+    assert(coverage.isEmpty, "chunks must cover every document to its last character")
+  }
+
+  test("t09: packing is contiguous per source and respects capacity arithmetic") {
+    val packed = TextPrep.pack(spark, Sf)
+    // pack_id must be non-decreasing in doc_id order within a source,
+    // and equal to the concat-then-cut formula
+    assert(packed.filter(
+      col("pack_id") =!= ((col("cum_tokens") - 1) / TextPrep.PackCapacity).cast("long")).isEmpty)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    assert(packed.withColumn("prev", lag("pack_id", 1).over(w))
+      .filter(col("prev").isNotNull && col("pack_id") < col("prev")).isEmpty)
+  }
+
+  test("d15: every language stratum is sampled at ceil(20%)") {
+    val docs = graft.tables.Tables.documents(spark, Sf)
+    val expected = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .select(col("lang"), ceil(col("n") * TextPrep.SamplePct / 100.0).as("want"))
+    val got = TextPrep.stratifiedSample(spark, Sf)
+      .groupBy("lang").agg(count(lit(1)).as("got"))
+    assert(expected.join(got, Seq("lang"), "left")
+      .filter(col("got").isNull || col("got") =!= col("want")).isEmpty)
+  }
+}
