@@ -37,8 +37,12 @@ object Pipeline {
     val exactKeep = scored
       .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
       .select("doc_id")
+    // consumed twice (cluster-min aggregation + final manifest join):
+    // cache the survivor relation so the regex scoring + exact-dedup
+    // pass over the corpus text runs once
     val s1 = scored.join(exactKeep, Seq("doc_id"), "left_semi")
       .select("doc_id", "quality", "pred_lang")
+      .persist()
     // near-dup keep-one: min surviving member per full-corpus cluster
     val kept = s1
       .join(Dedup.clusterLabels(spark, dir), Seq("doc_id"))
