@@ -49,6 +49,7 @@ object SparkEntry {
     "q28_asof_join"     -> (ops.AsOfJoin.purchaseAsOfClick(_, _)),
     "q29_histogram"     -> (ops.CoreOps.histogram(_, _)),
     "q30_quantiles"     -> (ops.CoreOps.quantiles(_, _)),
+    "q31_partition_pruned" -> (ops.Staging.partitionPruned(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -400,6 +401,7 @@ object SparkEntry {
     "q28_asof_join"     -> ops.AsOfJoin.oraclePurchaseAsOfClick,
     "q29_histogram"     -> ops.CoreOps.oracleHistogram,
     "q30_quantiles"     -> ops.CoreOps.oracleQuantiles,
+    "q31_partition_pruned" -> ops.Staging.oraclePartitionPruned,
 
     // s01: the stream result must equal the batch daily mean — the
     // Kappa-architecture equivalence IS the oracle.

@@ -131,4 +131,40 @@ object Staging {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
+
+  /** q31 — dynamic partition pruning over a date-partitioned fact
+    * table: events staged partitioned by day (the layout a daily
+    * ingest produces — SURVEY §2 S2/P5's partition-pruning claim made
+    * real), then joined to a filtered date dimension (Mondays only —
+    * the filter's values are unknowable until the dimension is
+    * evaluated, which is exactly what DPP handles). DPP turns the
+    * dimension's broadcast into a runtime partition filter on the fact
+    * scan, so only the matching day-partitions are read — at 100 TB
+    * that is the difference between scanning a handful of days and
+    * scanning years. PlanSpec asserts `dynamicpruning` lands on the
+    * fact scan's PartitionFilters.
+    */
+  def partitionPruned(spark: SparkSession, dir: String): DataFrame = {
+    val loc = s"/tmp/graft_stage/events_bydate_${math.abs(dir.hashCode)}"
+    val ev = Tables.events(spark, dir)
+    ev.withColumn("d", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("d").parquet(loc)
+    val fact = spark.read.parquet(loc)
+    // weekday(d)=0 ⇔ Monday in both engines' chosen spellings
+    val dim = ev.select(to_date(col("ts")).as("d")).distinct()
+      .filter(weekday(col("d")) === 0)
+    fact.join(dim, Seq("d"))
+      .groupBy("d", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+           round(sum("value"), 2).as("total_value"))
+      .orderBy("d", "event_type")
+  }
+
+  val oraclePartitionPruned: String =
+    """SELECT ts::DATE AS d, event_type, count(*) AS n_events,
+      |  round(sum(value), 2) AS total_value
+      |FROM events
+      |WHERE isodow(ts::DATE) = 1
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
 }

@@ -51,6 +51,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SelectedBucketsCount"), s"scan is not bucket-aware:\n$p")
   }
 
+  test("q31: filtered date dim prunes fact partitions at runtime (DPP)") {
+    val p = planOf("q31_partition_pruned")
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n$p")
+  }
+
   test("q13: request side joins alpha/M via broadcast (no request shuffle)") {
     val p = planOf("q13_price")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
