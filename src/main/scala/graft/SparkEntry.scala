@@ -77,6 +77,7 @@ object SparkEntry {
     "t09_packing"           -> (llm.TextPrep.pack(_, _)),
     "m01_media_stats"       -> (llm.Multimodal.mediaStats(_, _)),
     "m02_image_decode"      -> (llm.Multimodal.imageStats(_, _)),
+    "m03_image_resize"      -> (llm.Multimodal.imageResize(_, _)),
     "s01_stream_daily"      -> (streaming.DailyIngest.streamDaily(_, _)),
     "s02_sessionize"        -> (streaming.Sessionize.sessions(_, _)),
     "s03_sliding"           -> (streaming.DailyIngest.slidingDaily(_, _)),
@@ -307,6 +308,7 @@ object SparkEntry {
     "t09_packing"           -> llm.TextPrep.oraclePack,
     "m01_media_stats"       -> llm.Multimodal.oracleMediaStats,
     "m02_image_decode"      -> llm.Multimodal.oracleImageStats,
+    "m03_image_resize"      -> llm.Multimodal.oracleImageResize,
 
     "q16_stats" ->
       """SELECT l_returnflag,

@@ -75,11 +75,10 @@ object Multimodal {
     }
   }
 
-  /** STUB — resize: a real implementation decodes, scales pixels and
-    * re-encodes; the stub is a deterministic byte subsample keeping the
-    * metadata contract (target dims recorded, bytes shrink
-    * proportionally). Plan shape (partition-wise batch map, typed
-    * schema in/out) is the real one.
+  /** STUB — byte-level resize placeholder kept for the generic media
+    * path; the IMAGE leg has a real implementation ([[imageResize]],
+    * m03) that decodes the PNG and resamples actual pixels. Plan shape
+    * (partition-wise batch map, typed schema in/out) is the real one.
     */
   def stubResize(bytes: Array[Byte], srcW: Int, srcH: Int, dstW: Int, dstH: Int): Array[Byte] = {
     val ratio = math.max(1, math.round(srcW.toDouble * srcH / math.max(1, dstW * dstH)).toInt)
@@ -189,6 +188,78 @@ object Multimodal {
       }
     }.toDF().orderBy("doc_id")
   }
+
+  case class ResizedStats(doc_id: Long, src_w: Int, src_h: Int,
+                          sum_px: Long, min_px: Int, max_px: Int, px_csv: String)
+
+  val DstW = 4
+  val DstH = 4
+
+  /** m03 — REAL image resize: decode the PNG, nearest-neighbor
+    * resample the decoded raster to [[DstW]]×[[DstH]] with pure
+    * integer arithmetic (`sx = x·srcW / dstW` — deliberately NOT an
+    * AWT interpolator, whose rounding is implementation-defined), and
+    * emit the resized pixels both as stats and as an md5 over the
+    * canonical CSV form. The oracle rebuilds the same source pixels
+    * from the md5 chain and applies the same index arithmetic in SQL,
+    * so a real codec or resample bug breaks the hash match.
+    * Supersedes [[stubResize]] for the image leg (audio/video stay
+    * stubbed: no codecs in the sandbox).
+    */
+  def imageResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageTable(spark, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val src = img.getRaster.getSamples(0, 0, w, h, 0, null: Array[Int])
+        val out = new Array[Int](DstW * DstH)
+        var y = 0
+        while (y < DstH) {
+          var x = 0
+          while (x < DstW) {
+            out(y * DstW + x) = src((y * h / DstH) * w + (x * w / DstW))
+            x += 1
+          }
+          y += 1
+        }
+        var sum = 0L; var mn = 255; var mx = 0
+        out.foreach { p => sum += p; if (p < mn) mn = p; if (p > mx) mx = p }
+        ResizedStats(r.doc_id, w, h, sum, mn, mx, out.mkString(","))
+      }
+    }.toDF()
+      .select(col("doc_id"), col("src_w"), col("src_h"),
+        lit(DstW).as("dst_w"), lit(DstH).as("dst_h"),
+        col("sum_px"), col("min_px"), col("max_px"),
+        md5(col("px_csv")).as("resized_md5"))
+      .orderBy("doc_id")
+  }
+
+  val oracleImageResize: String =
+    s"""WITH px AS (
+       |  SELECT doc_id,
+       |         (8 + doc_id % 9)::INT AS width,
+       |         (8 + doc_id % 7)::INT AS height,
+       |         i,
+       |         ('0x' || substr(md5(doc_id || ':' || (i // 16)),
+       |                         (i % 16) * 2 + 1, 2))::BIGINT AS px
+       |  FROM documents,
+       |       LATERAL (SELECT unnest(range((8 + doc_id % 9) * (8 + doc_id % 7))) AS i) t),
+       |dst AS (
+       |  SELECT doc_id, width, height, j,
+       |         ((j // $DstW) * height // $DstH) * width + ((j % $DstW) * width // $DstW) AS src_i
+       |  FROM (SELECT DISTINCT doc_id, width, height FROM px),
+       |       LATERAL (SELECT unnest(range(${DstW * DstH})) AS j) u),
+       |res AS (
+       |  SELECT d.doc_id, d.width, d.height, d.j, p.px
+       |  FROM dst d JOIN px p ON p.doc_id = d.doc_id AND p.i = d.src_i)
+       |SELECT doc_id, width AS src_w, height AS src_h,
+       |  $DstW AS dst_w, $DstH AS dst_h,
+       |  sum(px)::BIGINT AS sum_px, min(px)::INT AS min_px, max(px)::INT AS max_px,
+       |  md5(string_agg(px::VARCHAR, ',' ORDER BY j)) AS resized_md5
+       |FROM res
+       |GROUP BY 1, 2, 3
+       |ORDER BY doc_id""".stripMargin
 
   val oracleImageStats: String =
     """WITH px AS (
