@@ -84,6 +84,7 @@ object SparkEntry {
     "s04_stream_sink"       -> (streaming.DailyIngest.streamAppendSink(_, _)),
     "s05_stream_state"      -> (streaming.StatefulCumulative.cumulativeWeekly(_, _)),
     "s06_stream_join"       -> (streaming.StreamJoin.purchaseClickJoin(_, _)),
+    "s07_stream_tws"        -> (streaming.StateV2.runningWeekly(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -396,6 +397,7 @@ object SparkEntry {
     "s04_stream_sink" -> streaming.DailyIngest.oracleStreamAppendSink,
     "s05_stream_state" -> streaming.StatefulCumulative.oracleCumulativeWeekly,
     "s06_stream_join"  -> streaming.StreamJoin.oraclePurchaseClickJoin,
+    "s07_stream_tws"   -> streaming.StateV2.oracleRunningWeekly,
     "q24_csv_stage"  -> ops.Staging.oracleCsvStage,
     "q25_catalog"    -> ops.Staging.oracleCatalog,
     "q26_bucketed_join" -> ops.Staging.oracleBucketedJoin,

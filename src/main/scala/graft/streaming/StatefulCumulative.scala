@@ -37,22 +37,19 @@ object StatefulCumulative {
   case class Ev(event_type: String, ts: java.sql.Timestamp, value: Double)
   case class Cum(event_type: String, week: Int, cum_n: Long, cum_value: Double)
 
-  private def weekOf(ts: java.sql.Timestamp): Int =
+  private[streaming] def weekOf(ts: java.sql.Timestamp): Int =
     (ts.toInstant.atOffset(java.time.ZoneOffset.UTC).getDayOfMonth - 1) / 7
 
-  /** s05 — run the staged weekly stream to completion; one cumulative
-    * row per (event_type, week).
+  /** Stage events as one parquet file per week-of-month with mod times
+    * in week order, so a `maxFilesPerTrigger=1` file stream replays the
+    * weeks as ordered micro-batches. Returns the stream input dir.
+    * Shared by s05 (flatMapGroupsWithState) and s07
+    * (transformWithState).
     */
-  def cumulativeWeekly(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val base = s"/tmp/graft_stream_state_${math.abs(dir.hashCode)}"
+  private[streaming] def stageWeekly(spark: SparkSession, dir: String, tag: String): String = {
+    val base = s"/tmp/graft_stream_${tag}_${math.abs(dir.hashCode)}"
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(base), true)
-
-    // stage: one parquet file per week, mod times in week order so the
-    // file source (oldest-first) replays the weeks chronologically
     val ev = Tables.events(spark, dir).select("event_type", "ts", "value")
     fs.mkdirs(new Path(s"$base/in"))
     (0 until 5).foreach { w =>
@@ -63,11 +60,22 @@ object StatefulCumulative {
       fs.rename(part, dest)
       fs.setTimes(dest, 1700000000000L + w * 60000L, -1)
     }
+    s"$base/in"
+  }
+
+  /** s05 — run the staged weekly stream to completion; one cumulative
+    * row per (event_type, week).
+    */
+  def cumulativeWeekly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val in = stageWeekly(spark, dir, "state")
 
     val stream = spark.readStream
-      .schema(ev.schema)
+      .schema(Tables.events(spark, dir).select("event_type", "ts", "value").schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$base/in")
+      .parquet(in)
       .as[Ev]
 
     val cum = stream.groupByKey(_.event_type)
