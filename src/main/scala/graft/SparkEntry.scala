@@ -72,6 +72,8 @@ object SparkEntry {
     "d13_split_assign"      -> (llm.Sampling.splitAssign(_, _)),
     "d14_curated_corpus"    -> (llm.Pipeline.curatedCorpus(_, _)),
     "d15_stratified_sample" -> (llm.TextPrep.stratifiedSample(_, _)),
+    "d16_distinct_sketch"   -> (llm.TextStats.distinctSketch(_, _)),
+    "d17_embed_quantize"    -> (llm.Similarity.embedQuantize(_, _)),
     "t07_pii_scrub"         -> (llm.TextPrep.piiScrub(_, _)),
     "t08_chunking"          -> (llm.TextPrep.chunk(_, _)),
     "t09_packing"           -> (llm.TextPrep.pack(_, _)),
@@ -304,6 +306,9 @@ object SparkEntry {
     "d13_split_assign"      -> llm.Sampling.oracleSplitAssign,
     "d14_curated_corpus"    -> llm.Pipeline.oracleCuratedCorpus,
     "d15_stratified_sample" -> llm.TextPrep.oracleStratifiedSample,
+    // d16_distinct_sketch: no oracle — HLL estimates are engine-specific;
+    // rows-only check + TextPrepSpec error bound
+    "d17_embed_quantize"    -> llm.Similarity.oracleEmbedQuantize,
     "t07_pii_scrub"         -> llm.TextPrep.oraclePiiScrub,
     "t08_chunking"          -> llm.TextPrep.oracleChunk,
     "t09_packing"           -> llm.TextPrep.oraclePack,

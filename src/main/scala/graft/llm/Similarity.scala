@@ -194,6 +194,47 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** d17 — int8 embedding quantization (the storage/serving compression
+    * step of a production vector pipeline): per-vector symmetric scale
+    * `max|x|`, each component rounded to `floor(x·127/scale + 0.5)` ∈
+    * [-127, 127]. Pure map-side arithmetic over the array column — no
+    * shuffle, no UDF. Every emitted value is bit-deterministic (IEEE
+    * double ops in identical order in both engines; round-half-up via
+    * floor so neither engine's round() tie-rule is involved), so the
+    * quantized vector md5-matches the oracle exactly.
+    */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val absmax = aggregate(
+      transform(col("embedding"), x => abs(x.cast("double"))),
+      lit(0.0), (a, x) => greatest(a, x))
+    val qi: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      x => when(col("scale") === 0.0, lit(0L))
+        .otherwise(floor(x.cast("double") * lit(127.0) / col("scale") + lit(0.5)))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), absmax.as("scale"))
+      .select(col("vec_id"), col("scale"),
+        aggregate(transform(col("embedding"), qi), lit(0L), (a, x) => a + x).as("sum_q"),
+        md5(concat_ws(",", transform(col("embedding"), x => qi(x).cast("int").cast("string")))).as("q_md5"))
+      .orderBy("vec_id")
+  }
+
+  val oracleEmbedQuantize: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale,
+      |         embedding::DOUBLE[] AS e
+      |  FROM embeddings),
+      |qq AS (
+      |  SELECT vec_id, scale,
+      |         list_transform(e, x -> CASE WHEN scale = 0 THEN 0
+      |                                     ELSE floor(x * 127 / scale + 0.5) END) AS qv
+      |  FROM q)
+      |SELECT vec_id, scale,
+      |  CAST(list_sum(qv) AS BIGINT) AS sum_q,
+      |  md5(array_to_string(list_transform(qv, v -> v::INT::VARCHAR), ',')) AS q_md5
+      |FROM qq
+      |ORDER BY vec_id""".stripMargin
+
   val oracleEmbedNorms: String =
     """WITH n AS (
       |  SELECT label,

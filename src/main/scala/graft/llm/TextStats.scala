@@ -214,6 +214,23 @@ object TextStats {
       .orderBy("doc_id", "rank")
   }
 
+  /** d16 — cardinality sketching: per-source exact vs HyperLogLog++
+    * (`approx_count_distinct`, rsd 5%) distinct-word counts. At 100 TB
+    * the sketch is the only affordable distinct count (constant memory,
+    * mergeable partials); the exact column exists to make the estimate
+    * auditable. The sketch value is engine-specific, so this query has
+    * NO SQL oracle — the driver records a rows-only check and
+    * TextPrepSpec pins the relative error ≤ 15%.
+    */
+  def distinctSketch(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+           countDistinct(col("word")).as("n_distinct_exact"),
+           approx_count_distinct(col("word"), 0.05).as("n_distinct_approx"))
+      .orderBy("source")
+
   // ---- DuckDB oracles -------------------------------------------------------
 
   private val toksSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"

@@ -44,6 +44,18 @@ class TextPrepSpec extends AnyFunSuite {
       .filter(col("prev").isNotNull && col("pack_id") < col("prev")).isEmpty)
   }
 
+  test("d16: HLL distinct estimate stays within 15% of exact") {
+    val rows = graft.llm.TextStats.distinctSketch(spark, Sf)
+      .select(col("n_distinct_exact").cast("double"), col("n_distinct_approx").cast("double"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, approx) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(approx - exact) / exact <= 0.15,
+        s"sketch error too large: exact=$exact approx=$approx")
+    }
+  }
+
   test("d15: every language stratum is sampled at ceil(20%)") {
     val docs = graft.tables.Tables.documents(spark, Sf)
     val expected = docs.groupBy("lang").agg(count(lit(1)).as("n"))
