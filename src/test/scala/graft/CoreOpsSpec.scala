@@ -15,8 +15,11 @@ class CoreOpsSpec extends AnyFunSuite {
   test("every declared query has rows and every oracle key exists") {
     val qs = SparkEntry.queries
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
-    // oracle coverage: every query is oracle-checked in this build
-    assert(qs.keySet == SparkEntry.oracleSql.keySet)
+    // oracle coverage: every query is oracle-checked except the
+    // declared sketch op (HLL estimates are engine-specific; its error
+    // bound is pinned in TextPrepSpec instead)
+    val noOracle = Set("d16_distinct_sketch")
+    assert(qs.keySet -- SparkEntry.oracleSql.keySet == noOracle)
   }
 
   test("as-of join: inclusive at equal ts, latest-prior ref wins, no-ref probes null") {
