@@ -28,11 +28,14 @@ object Pipeline {
   val QualityMin = 0.7
 
   def curatedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    // consumed by the exact-dedup aggregate AND the survivor semi-join:
+    // cache so the regex scoring pass over the corpus text runs once
     val scored = Dedup.corpus(spark, dir)
       .select(col("doc_id"), col("text"),
         TextStats.qualityScore(col("text")).as("quality"),
         TextStats.predLang(col("text")).as("pred_lang"))
       .filter(col("quality") >= QualityMin && col("pred_lang") =!= "und")
+      .persist()
     // exact dedup: survivors whose doc_id is the min of their content group
     val exactKeep = scored
       .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
