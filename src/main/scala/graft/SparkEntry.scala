@@ -50,6 +50,8 @@ object SparkEntry {
     "q29_histogram"     -> (ops.CoreOps.histogram(_, _)),
     "q30_quantiles"     -> (ops.CoreOps.quantiles(_, _)),
     "q31_partition_pruned" -> (ops.Staging.partitionPruned(_, _)),
+    "q32_funnel"        -> (ops.Behavior.funnel(_, _)),
+    "q33_retention"     -> (ops.Behavior.retention(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -411,6 +413,8 @@ object SparkEntry {
     "q29_histogram"     -> ops.CoreOps.oracleHistogram,
     "q30_quantiles"     -> ops.CoreOps.oracleQuantiles,
     "q31_partition_pruned" -> ops.Staging.oraclePartitionPruned,
+    "q32_funnel"        -> ops.Behavior.oracleFunnel,
+    "q33_retention"     -> ops.Behavior.oracleRetention,
 
     // s01: the stream result must equal the batch daily mean — the
     // Kappa-architecture equivalence IS the oracle.
