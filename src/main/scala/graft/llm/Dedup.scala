@@ -180,50 +180,8 @@ object Dedup {
       r
     }
     val pairs = jaccardPairsRaw(spark, dir).select("id_a", "id_b").persist()
-    val edges = pairs.toDF("u", "v")
-      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .persist()
-    // eager localCheckpoint, not persist: each round references the
-    // previous labels TWICE (neighbor-min join + own-label join), so a
-    // lineage-preserving cache doubles the logical plan per round —
-    // driver-side analysis/canonicalization goes exponential even
-    // though execution hits the cache. Checkpointing cuts the plan to
-    // a flat scan per round (on a cluster a reliable checkpoint dir
-    // gives the same truncation fault-tolerantly).
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 25) {
-      // every vertex has ≥1 edge by construction, so the inner join
-      // keeps the whole vertex set and nbr is never null
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("v"), col("label").as("nbr_label")), Seq("v"))
-        .groupBy(col("u").as("doc_id"))
-        .agg(min("nbr_label").as("nbr"))
-      val stepped = labels.join(nbrMin, Seq("doc_id"))
-        .select(col("doc_id"), least(col("label"), col("nbr")).as("label"),
-          (col("nbr") < col("label")).as("chg"))
-      // pointer-jumping shortcut: follow label → label-of-label (labels
-      // are themselves vertex ids of the set, so the lookup is a self
-      // equi-join on the small label relation). Neighbor-min alone
-      // converges in O(component diameter) rounds; composing it with
-      // one shortcut per round gives O(log diameter) — the difference
-      // between 2-3 and ~40 rounds on a 100 TB graph with long chains.
-      val jump = stepped.select(col("doc_id").as("jk"), col("label").as("jump_label"))
-      val next = t(s"round$iter") {
-        stepped.as("s").join(jump.as("j"), col("s.label") === col("j.jk"))
-          .select(col("s.doc_id").as("doc_id"),
-            least(col("s.label"), col("j.jump_label")).as("label"),
-            (col("s.chg") || col("j.jump_label") < col("s.label")).as("chg"))
-          .localCheckpoint()
-      }
-      changed = next.agg(coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L))).first().getLong(0)
-      labels = next.drop("chg")
-      iter += 1
-    }
-    require(changed == 0, s"label propagation did not converge in $iter rounds")
+    val labels = connectedComponents(pairs).withColumnRenamed("vertex", "doc_id")
+      .withColumnRenamed("component", "label")
     // no broadcast hint: labels is cached with known stats, so the
     // planner broadcasts when it fits and falls back to a doc_id-keyed
     // shuffle join when the near-dup vertex set is large
@@ -234,6 +192,63 @@ object Dedup {
       .persist()
     t("full")(full.count())
     full
+  }
+
+  /** Connected components of an undirected edge list — the reusable
+    * graph operator behind near-dup clustering (d11/d12/d14), usable
+    * on any pair relation. Input: a 2-column DataFrame of (u, v)
+    * pairs, one direction per edge. Output: `(vertex, component)` for
+    * every vertex appearing in an edge, `component` = the minimum
+    * vertex id of its component.
+    *
+    * Algorithm: min-label propagation with pointer jumping. Each round
+    * every vertex takes `min(own label, neighbors' labels,
+    * label-of-label)`; the shortcut (label → label-of-label, a self
+    * equi-join on the label relation — labels are always vertex ids of
+    * the set) compresses convergence from O(component diameter) to
+    * O(log diameter) rounds. Each round is keyed shuffle joins + ONE
+    * driver action (the convergence aggregate), never per-row driver
+    * work.
+    *
+    * Rounds are truncated with eager `localCheckpoint`, not persist:
+    * each round references the previous labels twice, so a lineage-
+    * preserving cache doubles the logical plan per round and driver-
+    * side analysis goes exponential even though execution hits the
+    * cache. On a cluster, a reliable checkpoint dir gives the same
+    * truncation fault-tolerantly.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val cols = pairs.columns
+    require(cols.length == 2, s"expected 2 edge columns, got ${cols.mkString(",")}")
+    val e0 = pairs.toDF("u", "v")
+    val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v"))).persist()
+    var labels = edges.select(col("u").as("vertex")).distinct()
+      .select(col("vertex"), col("vertex").as("component"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      // every vertex has ≥1 edge by construction, so the inner join
+      // keeps the whole vertex set and nbr is never null
+      val nbrMin = edges
+        .join(labels.select(col("vertex").as("v"), col("component").as("nbr_label")), Seq("v"))
+        .groupBy(col("u").as("vertex"))
+        .agg(min("nbr_label").as("nbr"))
+      val stepped = labels.join(nbrMin, Seq("vertex"))
+        .select(col("vertex"), least(col("component"), col("nbr")).as("component"),
+          (col("nbr") < col("component")).as("chg"))
+      val jump = stepped.select(col("vertex").as("jk"), col("component").as("jump_label"))
+      val next = stepped.as("s").join(jump.as("j"), col("s.component") === col("j.jk"))
+        .select(col("s.vertex").as("vertex"),
+          least(col("s.component"), col("j.jump_label")).as("component"),
+          (col("s.chg") || col("j.jump_label") < col("s.component")).as("chg"))
+        .localCheckpoint()
+      changed = next.agg(coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L))).first().getLong(0)
+      labels = next.drop("chg")
+      iter += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $iter rounds")
+    labels
   }
 
   /** d12 — cluster curation: the "keep one" decision a training
