@@ -82,6 +82,8 @@ object SparkEntry {
     "m01_media_stats"       -> (llm.Multimodal.mediaStats(_, _)),
     "m02_image_decode"      -> (llm.Multimodal.imageStats(_, _)),
     "m03_image_resize"      -> (llm.Multimodal.imageResize(_, _)),
+    "m04_audio_decode"      -> (llm.Multimodal.audioStats(_, _)),
+    "m05_video_frames"      -> (llm.Multimodal.videoFrames(_, _)),
     "s01_stream_daily"      -> (streaming.DailyIngest.streamDaily(_, _)),
     "s02_sessionize"        -> (streaming.Sessionize.sessions(_, _)),
     "s03_sliding"           -> (streaming.DailyIngest.slidingDaily(_, _)),
@@ -317,6 +319,8 @@ object SparkEntry {
     "m01_media_stats"       -> llm.Multimodal.oracleMediaStats,
     "m02_image_decode"      -> llm.Multimodal.oracleImageStats,
     "m03_image_resize"      -> llm.Multimodal.oracleImageResize,
+    "m04_audio_decode"      -> llm.Multimodal.oracleAudioStats,
+    "m05_video_frames"      -> llm.Multimodal.oracleVideoFrames,
 
     "q16_stats" ->
       """SELECT l_returnflag,

@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   * opaque `binary` column plus a typed metadata struct; decode /
   * feature-extract run batch-wise over partitions.
   *
-  * The container has no image/audio codecs, so the *decode* step is a
-  * clearly-marked deterministic stub ([[stubDecode]]); everything
-  * Spark-side — schema, batch shape, partition-wise execution, the
-  * metadata contract — is real and oracle-/spec-tested. Swapping
-  * [[stubDecode]] for a JNI/codec call changes no plan shape.
+  * All three modalities now have REAL pure-JVM codecs in the loop:
+  * images as PNG via `javax.imageio` ([[imageStats]]/[[imageResize]]),
+  * audio as WAV/PCM via `javax.sound.sampled` ([[audioStats]]), video
+  * as multi-frame animated GIF via ImageIO's sequence reader
+  * ([[videoFrames]]) — each decode's output is oracle-checked
+  * bit-for-bit against the same payload rebuilt in SQL. The generic
+  * byte-level path ([[stubDecode]]) remains as the documented shape
+  * for codecs the sandbox lacks (JPEG-XL, MP3, H.264, ...): swapping
+  * it for a JNI/codec call changes no plan shape.
   */
 object Multimodal {
 
@@ -203,8 +207,7 @@ object Multimodal {
     * canonical CSV form. The oracle rebuilds the same source pixels
     * from the md5 chain and applies the same index arithmetic in SQL,
     * so a real codec or resample bug breaks the hash match.
-    * Supersedes [[stubResize]] for the image leg (audio/video stay
-    * stubbed: no codecs in the sandbox).
+    * Supersedes [[stubResize]] for the image leg.
     */
   def imageResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -277,6 +280,256 @@ object Multimodal {
       |FROM px
       |GROUP BY 1, 2, 3
       |ORDER BY doc_id""".stripMargin
+
+  // -- real audio leg (m04) ---------------------------------------------------
+
+  case class EncodedAudio(doc_id: Long, media: Array[Byte])
+  case class AudioStats(doc_id: Long, sample_rate: Int, n_samples: Int,
+                        duration_ms: Int, sum_abs: Long, sum_sq: Long,
+                        min_s: Int, max_s: Int, samples_csv: String)
+
+  val AudioRate = 8000
+
+  /** Deterministic signed 16-bit PCM for a doc: sample `i` is the
+    * big-endian byte pair `(2(i%8), 2(i%8)+1)` of `md5("<doc_id>:a:<i/8>")`
+    * minus 32768 — reproducible in DuckDB from hex substrings, so REAL
+    * codec output stays oracle-checkable (the audio analog of
+    * [[pixelsOf]]).
+    */
+  def samplesOf(docId: Long, n: Int): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Int](n)
+    var block = -1
+    var digest: Array[Byte] = null
+    var i = 0
+    while (i < n) {
+      if (i / 8 != block) {
+        block = i / 8
+        digest = md.digest(s"$docId:a:$block".getBytes("UTF-8"))
+        md.reset()
+      }
+      val k = (i % 8) * 2
+      out(i) = (((digest(k) & 0xff) << 8) | (digest(k + 1) & 0xff)) - 32768
+      i += 1
+    }
+    out
+  }
+
+  private def audioLen(docId: Long): Int = 160 + (docId % 97).toInt
+
+  /** Real encoded audio as a binary column: PCM16 mono → WAV (RIFF)
+    * via the JDK's `javax.sound.sampled` — a pure-JVM codec, the audio
+    * counterpart of the ImageIO PNG path. One format object per
+    * partition, tight loop inside.
+    */
+  def audioTable(spark: SparkSession, dir: String): Dataset[EncodedAudio] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select("doc_id").as[Long].mapPartitions { ids =>
+      val fmt = new javax.sound.sampled.AudioFormat(AudioRate.toFloat, 16, 1, true, false)
+      ids.map { id =>
+        val s = samplesOf(id, audioLen(id))
+        val pcm = new Array[Byte](s.length * 2)
+        var i = 0
+        while (i < s.length) { // little-endian per the WAV format declared above
+          pcm(2 * i) = (s(i) & 0xff).toByte
+          pcm(2 * i + 1) = ((s(i) >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, s.length.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        EncodedAudio(id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** m04 — REAL audio decode + sample statistics: the WAV binary column
+    * is parsed back with `AudioSystem.getAudioInputStream`; sample rate
+    * and frame count come from the DECODED header, the amplitude stats
+    * and the md5 from the decoded PCM payload. WAV PCM is lossless, so
+    * the oracle (same samples rebuilt from the md5 chain in SQL) must
+    * match bit-for-bit — a header-parsing or endianness bug breaks the
+    * hash. Supersedes the audio half of [[stubDecode]]; only video
+    * remains GIF-based ([[videoFrames]]) for want of a real codec.
+    */
+  def audioStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioTable(spark, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        val fmt = in.getFormat
+        val n = in.getFrameLength.toInt
+        val pcm = in.readAllBytes()
+        var sumAbs = 0L; var sumSq = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+        val vals = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val v = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)) // LE signed 16-bit
+          vals(i) = v
+          sumAbs += math.abs(v); sumSq += v.toLong * v
+          if (v < mn) mn = v; if (v > mx) mx = v
+          i += 1
+        }
+        val rate = fmt.getSampleRate.toInt
+        AudioStats(r.doc_id, rate, n, n * 1000 / rate, sumAbs, sumSq, mn, mx,
+          vals.mkString(","))
+      }
+    }.toDF()
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("duration_ms"), col("sum_abs"), col("sum_sq"),
+        col("min_s"), col("max_s"), md5(col("samples_csv")).as("samples_md5"))
+      .orderBy("doc_id")
+  }
+
+  val oracleAudioStats: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, i,
+       |    ('0x' || substr(md5(doc_id || ':a:' || (i // 8)),
+       |                    (i % 8) * 4 + 1, 4))::INT - 32768 AS v
+       |  FROM documents,
+       |       LATERAL (SELECT unnest(range(160 + doc_id % 97)) AS i) t)
+       |SELECT doc_id,
+       |  $AudioRate AS sample_rate,
+       |  count(*)::INT AS n_samples,
+       |  (count(*) * 1000 // $AudioRate)::INT AS duration_ms,
+       |  sum(abs(v))::BIGINT AS sum_abs,
+       |  sum(v::BIGINT * v)::BIGINT AS sum_sq,
+       |  min(v)::INT AS min_s, max(v)::INT AS max_s,
+       |  md5(string_agg(v::VARCHAR, ',' ORDER BY i)) AS samples_md5
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -- real video leg (m05) ---------------------------------------------------
+
+  case class EncodedVideo(doc_id: Long, media: Array[Byte])
+  case class FrameStats(doc_id: Long, frame_idx: Int, n_frames: Int,
+                        width: Int, height: Int, n_px: Int, sum_px: Long,
+                        min_px: Int, max_px: Int, px_csv: String)
+
+  /** Sample every [[FrameStride]]-th frame of each clip. */
+  val FrameStride = 2
+
+  private def videoDims(docId: Long): (Int, Int) =
+    (6 + (docId % 5).toInt, 5 + (docId % 6).toInt)
+
+  private def frameCount(docId: Long): Int = 4 + (docId % 5).toInt
+
+  /** Frame `f`'s pixels: byte `i%16` of `md5("<doc_id>:v:<f>:<i/16>")` —
+    * one independent md5 chain per frame.
+    */
+  def framePixelsOf(docId: Long, f: Int, w: Int, h: Int): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Int](w * h)
+    var block = -1
+    var digest: Array[Byte] = null
+    var i = 0
+    while (i < out.length) {
+      if (i / 16 != block) {
+        block = i / 16
+        digest = md.digest(s"$docId:v:$f:$block".getBytes("UTF-8"))
+        md.reset()
+      }
+      out(i) = digest(i % 16) & 0xff
+      i += 1
+    }
+    out
+  }
+
+  /** Real multi-frame "video" as a binary column: per-frame rasters →
+    * one animated GIF via the JDK's ImageIO sequence writer. The
+    * explicit 256-entry gray `IndexColorModel` makes the palette encode
+    * bijective (a bare TYPE_BYTE_GRAY would leave palette construction
+    * to the writer), so the container round-trips losslessly.
+    */
+  def videoTable(spark: SparkSession, dir: String): Dataset[EncodedVideo] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select("doc_id").as[Long].mapPartitions { ids =>
+      val gray = Array.tabulate(256)(_.toByte)
+      val icm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+      ids.map { id =>
+        val (w, h) = videoDims(id)
+        val bos = new java.io.ByteArrayOutputStream()
+        val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        wr.setOutput(ios)
+        wr.prepareWriteSequence(null)
+        var f = 0
+        while (f < frameCount(id)) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+          img.getRaster.setSamples(0, 0, w, h, 0, framePixelsOf(id, f, w, h))
+          wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        wr.endWriteSequence()
+        ios.close()
+        wr.dispose()
+        EncodedVideo(id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** m05 — REAL video frame sampling: the GIF container is decoded with
+    * ImageIO's multi-image reader, the frame count comes from the
+    * DECODED container (`getNumImages`), every [[FrameStride]]-th frame
+    * is materialized, and the per-frame pixel stats + md5 come from the
+    * decoded rasters. 1 clip in → k frame rows out — the fan-out
+    * contract [[sampleFrames]] stubbed, now against a real container
+    * format. A keyframe-seeking codec would replace only the
+    * reader, not the plan.
+    */
+  def videoFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    videoTable(spark, dir).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.media)))
+        val n = rd.getNumImages(true)
+        val out = (0 until n by FrameStride).map { f =>
+          val img = rd.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val px = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { px(y * w + x) = img.getRGB(x, y) & 0xff; x += 1 }
+            y += 1
+          }
+          var sum = 0L; var mn = 255; var mx = 0
+          px.foreach { p => sum += p; if (p < mn) mn = p; if (p > mx) mx = p }
+          FrameStats(r.doc_id, f, n, w, h, px.length, sum, mn, mx, px.mkString(","))
+        }
+        rd.dispose()
+        out
+      }
+    }.toDF()
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+        col("width"), col("height"), col("n_px"), col("sum_px"),
+        col("min_px"), col("max_px"), md5(col("px_csv")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val oracleVideoFrames: String =
+    s"""WITH px AS (
+       |  SELECT doc_id, f, i,
+       |    (6 + doc_id % 5)::INT AS width,
+       |    (5 + doc_id % 6)::INT AS height,
+       |    ('0x' || substr(md5(doc_id || ':v:' || f || ':' || (i // 16)),
+       |                    (i % 16) * 2 + 1, 2))::BIGINT AS px
+       |  FROM documents,
+       |       LATERAL (SELECT unnest(range(4 + doc_id % 5)) AS f) ff,
+       |       LATERAL (SELECT unnest(range((6 + doc_id % 5) * (5 + doc_id % 6))) AS i) t
+       |  WHERE f % $FrameStride = 0)
+       |SELECT doc_id, f::INT AS frame_idx, (4 + doc_id % 5)::INT AS n_frames,
+       |  width, height,
+       |  count(*)::INT AS n_px, sum(px)::BIGINT AS sum_px,
+       |  min(px)::INT AS min_px, max(px)::INT AS max_px,
+       |  md5(string_agg(px::VARCHAR, ',' ORDER BY i)) AS frame_md5
+       |FROM px GROUP BY doc_id, f, width, height
+       |ORDER BY doc_id, frame_idx""".stripMargin
 
   val oracleMediaStats: String =
     s"""SELECT doc_id,

@@ -276,6 +276,41 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("m04 real WAV round trip: header and PCM payload survive the codec") {
+    val stats = Multimodal.audioStats(spark, Sf).collect()
+    assert(stats.length == 500)
+    stats.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == Multimodal.AudioRate)         // rate from DECODED header
+      val n = 160 + (id % 97).toInt
+      assert(r.getInt(2) == n, s"frame count from header, doc $id")
+      assert(r.getInt(3) == n * 1000 / Multimodal.AudioRate)
+      // ground truth from the md5 chain on the driver: the lossless-
+      // codec claim is decode(encode(pcm)) == pcm
+      val s = Multimodal.samplesOf(id, n)
+      assert(r.getLong(4) == s.map(v => math.abs(v).toLong).sum, s"sum_abs doc $id")
+      assert(r.getLong(5) == s.map(v => v.toLong * v).sum, s"sum_sq doc $id")
+      assert(r.getInt(6) == s.min && r.getInt(7) == s.max)
+    }
+  }
+
+  test("m05 real GIF round trip: container frame count and sampled rasters match") {
+    val frames = Multimodal.videoFrames(spark, Sf).collect()
+    // every doc contributes ceil(n_frames / stride) sampled frames
+    val perDoc = frames.groupBy(_.getLong(0))
+    assert(perDoc.size == 500)
+    frames.foreach { r =>
+      val (id, f) = (r.getLong(0), r.getInt(1))
+      assert(f % Multimodal.FrameStride == 0)
+      assert(r.getInt(2) == 4 + (id % 5).toInt, s"n_frames from container, doc $id")
+      val (w, h) = (6 + (id % 5).toInt, 5 + (id % 6).toInt)
+      assert(r.getInt(3) == w && r.getInt(4) == h)
+      val px = Multimodal.framePixelsOf(id, f, w, h)
+      assert(r.getLong(6) == px.map(_.toLong).sum, s"sum_px doc $id frame $f")
+      assert(r.getInt(7) == px.min && r.getInt(8) == px.max)
+    }
+  }
+
   test("resize and frame-sample keep the batch contracts") {
     val resized = Multimodal.resizePartitions(spark, Sf).collect()
     assert(resized.length == 500)
