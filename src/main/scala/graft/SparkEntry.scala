@@ -52,6 +52,7 @@ object SparkEntry {
     "q31_partition_pruned" -> (ops.Staging.partitionPruned(_, _)),
     "q32_funnel"        -> (ops.Behavior.funnel(_, _)),
     "q33_retention"     -> (ops.Behavior.retention(_, _)),
+    "q34_grouping_sets" -> (ops.CoreOps.groupingSetsRevenue(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -79,6 +80,7 @@ object SparkEntry {
     "t07_pii_scrub"         -> (llm.TextPrep.piiScrub(_, _)),
     "t08_chunking"          -> (llm.TextPrep.chunk(_, _)),
     "t09_packing"           -> (llm.TextPrep.pack(_, _)),
+    "t10_repetition"        -> (llm.TextStats.repetition(_, _)),
     "m01_media_stats"       -> (llm.Multimodal.mediaStats(_, _)),
     "m02_image_decode"      -> (llm.Multimodal.imageStats(_, _)),
     "m03_image_resize"      -> (llm.Multimodal.imageResize(_, _)),
@@ -402,6 +404,20 @@ object SparkEntry {
         |JOIN nation   ON c_nationkey = n_nationkey
         |GROUP BY CUBE (n_name, o_orderstatus)
         |ORDER BY gid, n_name ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "q34_grouping_sets" ->
+      """SELECT n_name, yr,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  count(*) AS n_orders,
+        |  CAST(grouping(n_name) * 2 + grouping(yr) AS INT) AS gid
+        |FROM (SELECT n_name, year(o_orderdate)::INT AS yr, o_totalprice
+        |      FROM orders
+        |      JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation   ON c_nationkey = n_nationkey)
+        |GROUP BY GROUPING SETS ((n_name), (yr), ())
+        |ORDER BY gid, n_name ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin,
+
+    "t10_repetition" -> llm.TextStats.oracleRepetition,
 
     "s02_sessionize" -> streaming.Sessionize.oracleSessions,
     "s03_sliding"    -> streaming.DailyIngest.oracleSlidingDaily,

@@ -337,6 +337,66 @@ object TextStats {
        |FROM ranked WHERE rank <= 5
        |ORDER BY doc_id, rank""".stripMargin
 
+  /** t10 — repetition metrics (Gopher-style quality rules): the
+    * duplicate-word-trigram fraction and the most-frequent-word mass,
+    * gated into a keep/reject flag. Entirely map-side: both metrics
+    * fold over the in-row token array (`array_distinct` for trigram
+    * dups, a distinct×occurrence scan for the top word — O(V·N) per
+    * row with V ≈ 30-word vocab), so the trigram relation is never
+    * materialized, let alone shuffled; at 100 TB this runs at scan
+    * speed next to t01-t03. Ratios are int/int double divisions —
+    * bit-identical across engines, shipped unrounded.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("n_words"),
+        transform(sequence(lit(1), size(col("ws")) - 2), i =>
+          concat_ws(" ", element_at(col("ws"), i),
+            element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))).as("tris"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("tris")).as("n_trigrams"),
+        size(array_distinct(col("tris"))).as("n_distinct_trigrams"),
+        array_max(transform(array_distinct(col("ws")),
+          w => size(filter(col("ws"), x => x === w)))).as("top_word_n"))
+      .select(col("doc_id"), col("n_words"), col("n_trigrams"),
+        col("n_distinct_trigrams"), col("top_word_n"),
+        when(col("n_trigrams") > 0,
+          (col("n_trigrams") - col("n_distinct_trigrams")).cast("double") / col("n_trigrams"))
+          .as("dup_trigram_frac"),
+        (col("top_word_n").cast("double") / col("n_words")).as("top_word_frac"))
+      .withColumn("keep",
+        (col("dup_trigram_frac") <= 0.02 && col("top_word_frac") <= 0.15).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val oracleRepetition: String =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tri AS (
+      |  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS t
+      |  FROM ws, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) u),
+      |ts AS (
+      |  SELECT doc_id, count(*) AS n_tri, count(DISTINCT t) AS n_dtri
+      |  FROM tri GROUP BY 1),
+      |wc AS (
+      |  SELECT doc_id, max(c) AS top_n, sum(c) AS n_words
+      |  FROM (SELECT doc_id, word, count(*) AS c
+      |        FROM ws, LATERAL (SELECT unnest(w) AS word) v GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT ws.doc_id,
+      |  n_words::INT AS n_words,
+      |  n_tri::INT AS n_trigrams,
+      |  n_dtri::INT AS n_distinct_trigrams,
+      |  top_n::INT AS top_word_n,
+      |  CASE WHEN n_tri > 0 THEN (n_tri - n_dtri)::DOUBLE / n_tri END AS dup_trigram_frac,
+      |  top_n::DOUBLE / n_words AS top_word_frac,
+      |  (CASE WHEN n_tri > 0 THEN (n_tri - n_dtri)::DOUBLE / n_tri END <= 0.02
+      |    AND top_n::DOUBLE / n_words <= 0.15)::INT AS keep
+      |FROM ws JOIN ts USING (doc_id) JOIN wc USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val oracleFingerprint: String =
     s"""WITH h AS (
        |  SELECT DISTINCT doc_id, unnest(${TextHash.hashedShinglesSql("text", 0)}) AS h

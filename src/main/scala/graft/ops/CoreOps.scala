@@ -237,6 +237,28 @@ object CoreOps {
       .orderBy(col("gid"), col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
   }
 
+  /** q34 — explicit GROUPING SETS: nation-only and year-only marginals
+    * plus the grand total, WITHOUT the (nation, year) pair — the
+    * non-hierarchical shape neither `rollup` nor `cube` can express
+    * (Spark 4's `Dataset.groupingSets`). Plans as a single Expand +
+    * one hash aggregate: each input row fans out once per set, so the
+    * shuffle carries |sets| × rows pre-combined partials, not one
+    * pass per marginal.
+    */
+  def groupingSetsRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .withColumn("yr", year(col("o_orderdate")))
+      .groupingSets(Seq(Seq(col("n_name")), Seq(col("yr")), Seq.empty),
+        col("n_name"), col("yr"))
+      .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n_orders"),
+           grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"), col("n_name").asc_nulls_first, col("yr").asc_nulls_first)
+  }
+
   /** q18 — semi/anti join (EXISTS / NOT EXISTS): customers with at
     * least one high-value order, tagged; anti side = never ordered
     * above the threshold. Left-semi/anti shuffle only the key column —

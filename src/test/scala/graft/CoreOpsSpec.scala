@@ -22,6 +22,33 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(qs.keySet -- SparkEntry.oracleSql.keySet == noOracle)
   }
 
+  test("q34 grouping sets: only the declared marginals, and they reconcile") {
+    val rows = CoreOps.groupingSetsRevenue(spark, Sf).collect()
+    val gids = rows.map(_.getInt(4)).toSet
+    assert(gids == Set(1, 2, 3), s"unexpected grouping ids: $gids") // never gid=0 (the pair)
+    val byGid = rows.groupBy(_.getInt(4))
+    val grand = byGid(3).map(_.getLong(3)).sum
+    assert(byGid(1).map(_.getLong(3)).sum == grand) // yr marginal sums to grand total
+    assert(byGid(2).map(_.getLong(3)).sum == grand) // nation marginal too
+  }
+
+  test("t10 repetition: in-row metrics agree with a driver-side recount") {
+    val docs = graft.tables.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.llm.TextStats.repetition(spark, Sf).collect().foreach { r =>
+      val ws = docs(r.getLong(0)).split(" ", -1)
+      assert(r.getInt(1) == ws.length)
+      assert(r.getInt(2) == ws.length - 2) // n_trigrams
+      val tris = ws.sliding(3).map(_.mkString(" ")).toSeq
+      assert(r.getInt(3) == tris.distinct.length)
+      assert(r.getInt(4) == ws.groupBy(identity).values.map(_.length).max)
+      val keepExpected =
+        r.getDouble(5) <= 0.02 && r.getDouble(6) <= 0.15
+      assert(r.getInt(7) == (if (keepExpected) 1 else 0))
+    }
+  }
+
   test("as-of join: inclusive at equal ts, latest-prior ref wins, no-ref probes null") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

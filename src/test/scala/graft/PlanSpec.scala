@@ -51,6 +51,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SelectedBucketsCount"), s"scan is not bucket-aware:\n$p")
   }
 
+  test("q34: grouping sets plan as one Expand + one aggregate, not one pass per set") {
+    val p = planOf("q34_grouping_sets")
+    assert("Expand".r.findAllIn(p).length >= 1, p)
+    // a per-marginal union would re-scan orders once per set
+    assert(!p.contains("Union"), s"grouping sets fell back to a union of passes:\n$p")
+  }
+
+  test("t10: repetition metrics are map-side only — no exchange before the sort") {
+    val p = planOf("t10_repetition")
+    // one exchange is the final presentation ORDER BY; the metrics
+    // themselves must not shuffle (no groupBy/join in the plan)
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected only the ORDER BY exchange:\n$p")
+    assert(!p.contains("HashAggregate"), s"metrics should fold in-row, not aggregate:\n$p")
+  }
+
   test("q31: filtered date dim prunes fact partitions at runtime (DPP)") {
     val p = planOf("q31_partition_pruned")
     assert(p.contains("dynamicpruning"),
