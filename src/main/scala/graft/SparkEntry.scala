@@ -53,6 +53,7 @@ object SparkEntry {
     "q32_funnel"        -> (ops.Behavior.funnel(_, _)),
     "q33_retention"     -> (ops.Behavior.retention(_, _)),
     "q34_grouping_sets" -> (ops.CoreOps.groupingSetsRevenue(_, _)),
+    "q35_bloom_join"    -> (ops.RuntimeFilter.bloomJoinRevenue(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -416,6 +417,8 @@ object SparkEntry {
         |      JOIN nation   ON c_nationkey = n_nationkey)
         |GROUP BY GROUPING SETS ((n_name), (yr), ())
         |ORDER BY gid, n_name ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin,
+
+    "q35_bloom_join" -> ops.RuntimeFilter.oracleBloomJoin,
 
     "t10_repetition" -> llm.TextStats.oracleRepetition,
 

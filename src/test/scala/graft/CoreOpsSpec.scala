@@ -49,6 +49,29 @@ class CoreOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q35 bloom pre-filter changes no results and passes every true match") {
+    import spark.implicits._
+    // the filtered result must equal the plain (no-bloom) join exactly
+    val expected = graft.tables.Tables.lineitem(spark, Sf)
+      .join(graft.tables.Tables.orders(spark, Sf)
+          .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 280000.0),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val got = graft.ops.RuntimeFilter.bloomJoinRevenue(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // and the expression itself: zero false negatives on a known key set
+    val keys = Seq(1L, 42L, 9999L).toDF("k")
+    val bloom = keys.stat.bloomFilter("k", 3, 0.01)
+    val probe = Seq(1L, 42L, 9999L, 7L).toDF("k")
+      .select(col("k"), graft.expr.BloomExpressions.mightContain(bloom, col("k")).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(probe(1L) && probe(42L) && probe(9999L)) // membership is never missed
+  }
+
   test("as-of join: inclusive at equal ts, latest-prior ref wins, no-ref probes null") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -67,6 +67,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("HashAggregate"), s"metrics should fold in-row, not aggregate:\n$p")
   }
 
+  test("q35: bloom probe filters the fact scan before the join") {
+    val p = planOf("q35_bloom_join")
+    assert(p.contains("bloom_might_contain"), s"no bloom probe in:\n$p")
+    // the probe must sit on the lineitem (application) side, i.e.
+    // appear as a Filter, not be folded into the join condition
+    assert("Filter.*bloom_might_contain".r.findFirstIn(p.replace('\n', ' ')).isDefined, p)
+  }
+
   test("q31: filtered date dim prunes fact partitions at runtime (DPP)") {
     val p = planOf("q31_partition_pruned")
     assert(p.contains("dynamicpruning"),
