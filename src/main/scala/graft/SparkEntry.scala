@@ -94,6 +94,7 @@ object SparkEntry {
     "s05_stream_state"      -> (streaming.StatefulCumulative.cumulativeWeekly(_, _)),
     "s06_stream_join"       -> (streaming.StreamJoin.purchaseClickJoin(_, _)),
     "s07_stream_tws"        -> (streaming.StateV2.runningWeekly(_, _)),
+    "s08_stream_left_join"  -> (streaming.StreamJoin.purchaseClickLeftJoin(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -428,6 +429,7 @@ object SparkEntry {
     "s05_stream_state" -> streaming.StatefulCumulative.oracleCumulativeWeekly,
     "s06_stream_join"  -> streaming.StreamJoin.oraclePurchaseClickJoin,
     "s07_stream_tws"   -> streaming.StateV2.oracleRunningWeekly,
+    "s08_stream_left_join" -> streaming.StreamJoin.oraclePurchaseClickLeftJoin,
     "q24_csv_stage"  -> ops.Staging.oracleCsvStage,
     "q25_catalog"    -> ops.Staging.oracleCatalog,
     "q26_bucketed_join" -> ops.Staging.oracleBucketedJoin,

@@ -69,6 +69,73 @@ object StreamJoin {
     spark.table(name).orderBy("purchase_id", "click_id")
   }
 
+  /** s08 — stream-stream LEFT OUTER interval join: same match window
+    * as s06, but purchases with no click in the preceding hour emit a
+    * null-padded row — only once the watermark proves no matching
+    * click can still arrive. That proof is the semantic difference
+    * from the inner join: a null row is a *negative* claim, so it can
+    * only be emitted on state eviction (watermark passes the
+    * purchase), never eagerly. Consequence for the drain: unmatched
+    * purchases inside the final watermark window (the last day of the
+    * stream) stay withheld, which the oracle models with the same
+    * `max(ts) − delay` cutoff s04 uses for its append-mode tail —
+    * the eviction watermark is `min(max purchase ts, max click ts) −
+    * 1 day`, the min because the global watermark tracks the slowest
+    * input.
+    */
+  def purchaseClickLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val purchases = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "1 day")
+    val clicks = eventStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 day")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"),
+      "leftOuter")
+    val name = s"stream_ljoin_${System.nanoTime()}"
+    val q = joined
+      .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(name).orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
+  }
+
+  val oraclePurchaseClickLeftJoin: String =
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, ts::TIMESTAMP AS purchase_ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT event_id AS click_id, user_id AS c_user_id, ts::TIMESTAMP AS click_ts
+      |  FROM events WHERE event_type = 'click'),
+      |wm AS (
+      |  SELECT least((SELECT max(purchase_ts) FROM p),
+      |               (SELECT max(click_ts) FROM c)) - INTERVAL 1 DAY AS w),
+      |j AS (
+      |  SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_id, c.click_ts
+      |  FROM p LEFT JOIN c
+      |    ON p.user_id = c.c_user_id
+      |   AND c.click_ts BETWEEN p.purchase_ts - INTERVAL 1 HOUR AND p.purchase_ts)
+      |SELECT purchase_id, user_id, purchase_ts, click_id, click_ts
+      |FROM j, wm
+      |WHERE click_id IS NOT NULL OR purchase_ts < wm.w
+      |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin
+
   val oraclePurchaseClickJoin: String =
     """SELECT p.event_id AS purchase_id, p.user_id,
       |       p.ts::TIMESTAMP AS purchase_ts,
