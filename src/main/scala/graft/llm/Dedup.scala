@@ -113,9 +113,15 @@ object Dedup {
     * doc's shingles once, already aggregated.
     */
   def lshJaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairsRaw(spark, dir).orderBy("id_a", "id_b")
+    jaccardPairsRaw(spark, dir)._1.orderBy("id_a", "id_b")
 
-  private def jaccardPairsRaw(spark: SparkSession, dir: String): DataFrame = {
+  /** Returns the verified pair relation plus the two persisted inputs
+    * (doc shingles, bands) so callers that materialize to a staging
+    * table ([[clusterLabels]]) can release the caches afterwards; d03
+    * consumes the pairs lazily and leaves release to the session's
+    * cache clearing.
+    */
+  private def jaccardPairsRaw(spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     // one persisted shingle-hash pass feeds band generation AND both
     // sides of the verify join
     val docs = docShingles(spark, dir).persist()
@@ -126,7 +132,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    cand
+    val pairs = cand
       .join(docs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
       .join(docs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -135,6 +141,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
+    (pairs, Seq(docs, bands))
   }
 
   /** d11 — near-dup CLUSTERS: connected components of the verified
@@ -160,9 +167,13 @@ object Dedup {
   }
 
   /** The converged (doc_id, label=component-min) relation behind d11,
-    * d12 and d14 — returned persisted AND materialized, so every
-    * downstream consumer reads the cache instead of replaying the
-    * pair pipeline + propagation loop.
+    * d12 and d14 — MATERIALIZED ONCE per (process, input dir) to a
+    * parquet staging table and re-read by every consumer. Label once,
+    * consume many times: d11, d12 and d14 all need the same cluster
+    * labels, and at 100 TB you'd never re-run the pair pipeline + the
+    * propagation loop three times (in round 3 that recompute was ~19 s
+    * of the 76 s bench). The staged file also truncates lineage, so
+    * after the write every intermediate cache is released.
     *
     * The propagation loop runs over the EDGE-TOUCHED vertex set only
     * (docs appearing in ≥1 near-dup pair — orders of magnitude smaller
@@ -171,27 +182,26 @@ object Dedup {
     * is a `sum(changed)` aggregate folded into the round's single
     * action — no extra per-round comparison join.
     */
-  private[llm] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
-    val trace = sys.env.contains("SPARK_GRAFT_CC_TRACE")
-    def t[A](stage: String)(body: => A): A = {
-      val t0 = System.nanoTime()
-      val r = body
-      if (trace) System.err.println(f"[cc] $stage: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
+  private[llm] def clusterLabels(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val loc = graft.ops.Staging.stagePath("cc_labels", dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
+      val (pairsRaw, caches) = jaccardPairsRaw(spark, dir)
+      val pairs = pairsRaw.select("id_a", "id_b").persist()
+      val labels = connectedComponents(pairs).withColumnRenamed("vertex", "doc_id")
+        .withColumnRenamed("component", "label")
+      // no broadcast hint: the planner broadcasts the checkpointed label
+      // relation when it fits and falls back to a doc_id-keyed shuffle
+      // join when the near-dup vertex set is large
+      corpus(spark, dir)
+        .select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+        .write.mode("overwrite").parquet(loc)
+      // labels live in parquet now — every cache behind them can go
+      (pairs +: caches).foreach(_.unpersist())
     }
-    val pairs = jaccardPairsRaw(spark, dir).select("id_a", "id_b").persist()
-    val labels = connectedComponents(pairs).withColumnRenamed("vertex", "doc_id")
-      .withColumnRenamed("component", "label")
-    // no broadcast hint: labels is cached with known stats, so the
-    // planner broadcasts when it fits and falls back to a doc_id-keyed
-    // shuffle join when the near-dup vertex set is large
-    val full = corpus(spark, dir)
-      .select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
-      .persist()
-    t("full")(full.count())
-    full
+    spark.read.parquet(loc)
   }
 
   /** Connected components of an undirected edge list — the reusable
@@ -248,6 +258,10 @@ object Dedup {
       iter += 1
     }
     require(changed == 0, s"label propagation did not converge in $iter rounds")
+    // labels is lineage-truncated by localCheckpoint, so the edge cache
+    // has no remaining dependents — release it instead of letting cached
+    // blocks accumulate across a long-lived session
+    edges.unpersist()
     labels
   }
 

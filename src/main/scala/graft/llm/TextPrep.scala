@@ -117,6 +117,17 @@ object TextPrep {
     * `source`, so packing is embarrassingly parallel: one window
     * shuffle on the source key, no global order.
     */
+  /** FLOOR division of `cum - 1` by [[PackCapacity]], exact in integer
+    * space: double `/` + cast(long) truncates toward zero and diverges
+    * from the oracle's `//` when `cum = 0` (a zero-token doc at the
+    * head of a source must land in pack −1 like the oracle, not 0).
+    * `pmod` is non-negative, so subtracting it always floors.
+    */
+  private[graft] def packIdCol(cum: Column): Column = {
+    val cm1 = cum - lit(1L)
+    call_function("div", cm1 - pmod(cm1, lit(PackCapacity)), lit(PackCapacity))
+  }
+
   def pack(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("source").orderBy("doc_id")
@@ -125,7 +136,7 @@ object TextPrep {
       .select(col("doc_id"), col("source"),
         ((col("n_chars") + 3) / 4).cast("long").as("est_tokens"))
       .withColumn("cum_tokens", sum("est_tokens").over(w))
-      .withColumn("pack_id", ((col("cum_tokens") - 1) / PackCapacity).cast("long"))
+      .withColumn("pack_id", packIdCol(col("cum_tokens")))
       .orderBy("doc_id")
   }
 

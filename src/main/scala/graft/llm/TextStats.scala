@@ -347,14 +347,27 @@ object TextStats {
     * speed next to t01-t03. Ratios are int/int double divisions —
     * bit-identical across engines, shipped unrounded.
     */
-  def repetition(spark: SparkSession, dir: String): DataFrame = {
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionMetrics(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** The t10 metric computation over any (doc_id, text) relation —
+    * split out so the short-doc edge (< 3 words → empty trigram list,
+    * no ANSI element_at crash) is unit-testable off-fixture.
+    */
+  private[graft] def repetitionMetrics(docs: DataFrame): DataFrame = {
     val ws = split(col("text"), " ")
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), ws.as("ws"))
       .select(col("doc_id"), col("ws"), size(col("ws")).as("n_words"),
-        transform(sequence(lit(1), size(col("ws")) - 2), i =>
-          concat_ws(" ", element_at(col("ws"), i),
-            element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))).as("tris"))
+        // guard: below 3 words `sequence(1, size-2)` has stop < start and
+        // Spark counts DOWN (indices 0 and -1 → ANSI element_at crash);
+        // a short doc must instead yield an empty trigram list, matching
+        // the oracle's empty `range(1, len-1)`
+        when(size(col("ws")) >= 3,
+          transform(sequence(lit(1), size(col("ws")) - 2), i =>
+            concat_ws(" ", element_at(col("ws"), i),
+              element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
+          .otherwise(array().cast("array<string>")).as("tris"))
       .select(col("doc_id"), col("n_words"),
         size(col("tris")).as("n_trigrams"),
         size(array_distinct(col("tris"))).as("n_distinct_trigrams"),
@@ -368,7 +381,6 @@ object TextStats {
         (col("top_word_n").cast("double") / col("n_words")).as("top_word_frac"))
       .withColumn("keep",
         (col("dup_trigram_frac") <= 0.02 && col("top_word_frac") <= 0.15).cast("int"))
-      .orderBy("doc_id")
   }
 
   val oracleRepetition: String =
@@ -387,14 +399,14 @@ object TextStats {
       |  GROUP BY 1)
       |SELECT ws.doc_id,
       |  n_words::INT AS n_words,
-      |  n_tri::INT AS n_trigrams,
-      |  n_dtri::INT AS n_distinct_trigrams,
+      |  coalesce(n_tri, 0)::INT AS n_trigrams,
+      |  coalesce(n_dtri, 0)::INT AS n_distinct_trigrams,
       |  top_n::INT AS top_word_n,
-      |  CASE WHEN n_tri > 0 THEN (n_tri - n_dtri)::DOUBLE / n_tri END AS dup_trigram_frac,
+      |  CASE WHEN coalesce(n_tri, 0) > 0 THEN (n_tri - n_dtri)::DOUBLE / n_tri END AS dup_trigram_frac,
       |  top_n::DOUBLE / n_words AS top_word_frac,
-      |  (CASE WHEN n_tri > 0 THEN (n_tri - n_dtri)::DOUBLE / n_tri END <= 0.02
+      |  (CASE WHEN coalesce(n_tri, 0) > 0 THEN (n_tri - n_dtri)::DOUBLE / n_tri END <= 0.02
       |    AND top_n::DOUBLE / n_words <= 0.15)::INT AS keep
-      |FROM ws JOIN ts USING (doc_id) JOIN wc USING (doc_id)
+      |FROM ws LEFT JOIN ts USING (doc_id) JOIN wc USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
   val oracleFingerprint: String =

@@ -16,6 +16,18 @@ import org.apache.spark.sql.types._
   */
 object Staging {
 
+  /** Collision-resistant staging location under /tmp/graft_stage: keyed
+    * by an md5 digest of the input dir (`abs(hashCode)` can collide
+    * across dirs and stays negative at Int.MinValue) plus the JVM's pid,
+    * so two concurrent processes staging the same dir never read each
+    * other's half-written output.
+    */
+  private[graft] def stagePath(tag: String, dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    s"/tmp/graft_stage/${tag}_${digest}_p${ProcessHandle.current().pid()}"
+  }
+
   /** Explicit staging schema — the analog of the reference's dtype map:
     * never inferred, so a malformed extract fails loudly at read time
     * instead of silently shifting types.
@@ -40,7 +52,7 @@ object Staging {
     * prunes to the aggregation's columns.
     */
   def csvStage(spark: SparkSession, dir: String): DataFrame = {
-    val stage = s"/tmp/graft_stage/csv_customer_${math.abs(dir.hashCode)}"
+    val stage = stagePath("csv_customer", dir)
     Tables.customer(spark, dir)
       .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
       .write.mode("overwrite").option("header", "true").csv(stage)
@@ -68,7 +80,7 @@ object Staging {
     * consumer.
     */
   def catalogRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val loc = s"/tmp/graft_stage/cat_orders_${math.abs(dir.hashCode)}"
+    val loc = stagePath("cat_orders", dir)
     spark.sql("DROP TABLE IF EXISTS graft_orders_cat")
     Tables.orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
@@ -102,7 +114,7 @@ object Staging {
     * path entirely).
     */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val stage = s"/tmp/graft_stage/bkt_${math.abs(dir.hashCode)}"
+    val stage = stagePath("bkt", dir)
     spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
     spark.sql("DROP TABLE IF EXISTS graft_customer_bkt")
     Tables.orders(spark, dir)
@@ -145,7 +157,7 @@ object Staging {
     * fact scan's PartitionFilters.
     */
   def partitionPruned(spark: SparkSession, dir: String): DataFrame = {
-    val loc = s"/tmp/graft_stage/events_bydate_${math.abs(dir.hashCode)}"
+    val loc = stagePath("events_bydate", dir)
     val ev = Tables.events(spark, dir)
     ev.withColumn("d", to_date(col("ts")))
       .write.mode("overwrite").partitionBy("d").parquet(loc)

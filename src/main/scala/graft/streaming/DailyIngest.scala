@@ -90,7 +90,7 @@ object DailyIngest {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val base = s"/tmp/graft_stream_sink_${math.abs(dir.hashCode)}"
+    val base = graft.ops.Staging.stagePath("stream_sink", dir)
     // fresh demo run: clear sink + checkpoint (a production run would
     // KEEP both — the checkpoint is what makes the next run incremental)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)

@@ -43,11 +43,19 @@ object StateV2 {
       var n = 0L
       var mx = Long.MinValue
       rows.foreach { e =>
-        week = weekOf(e.ts) // one file per week => constant per batch
+        // one staged file per week + maxFilesPerTrigger=1 ⇒ every row of a
+        // batch shares one week; assert so a staging change fails loudly
+        // instead of emitting mislabeled snapshots (and mx below is only
+        // meaningful when the iterator was non-empty).
+        val w = weekOf(e.ts)
+        require(week == -1 || w == week,
+          s"batch for key '$key' mixes weeks $week and $w — weekly staging invariant broken")
+        week = w
         n += 1
         val cents = math.rint(e.value * 100).toLong
         if (cents > mx) mx = cents
       }
+      require(n > 0, s"empty micro-batch iterator for key '$key'")
       val n1 = (if (cnt.exists()) cnt.get() else 0L) + n
       val m1 = math.max(if (maxCents.exists()) maxCents.get() else Long.MinValue, mx)
       cnt.update(n1)

@@ -47,7 +47,7 @@ object StatefulCumulative {
     * (transformWithState).
     */
   private[streaming] def stageWeekly(spark: SparkSession, dir: String, tag: String): String = {
-    val base = s"/tmp/graft_stream_${tag}_${math.abs(dir.hashCode)}"
+    val base = graft.ops.Staging.stagePath(s"stream_$tag", dir)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(base), true)
     val ev = Tables.events(spark, dir).select("event_type", "ts", "value")
@@ -86,10 +86,17 @@ object StatefulCumulative {
           var n = 0L
           var cents = 0L
           rows.foreach { e =>
-            week = weekOf(e.ts) // one file per week => constant per batch
+            // stageWeekly writes one file per week and maxFilesPerTrigger=1
+            // delivers it whole: every row of a batch shares one week. A
+            // staging change must fail loudly here, not emit mislabeled rows.
+            val w = weekOf(e.ts)
+            require(week == -1 || w == week,
+              s"batch for key '$key' mixes weeks $week and $w — weekly staging invariant broken")
+            week = w
             n += 1
             cents += math.rint(e.value * 100).toLong
           }
+          require(n > 0, s"empty micro-batch iterator for key '$key'")
           val (n0, c0) = state.getOption.getOrElse((0L, 0L))
           val (n1, c1) = (n0 + n, c0 + cents)
           state.update((n1, c1))

@@ -44,6 +44,31 @@ class TextPrepSpec extends AnyFunSuite {
       .filter(col("prev").isNotNull && col("pack_id") < col("prev")).isEmpty)
   }
 
+  test("t09: pack_id uses floor division — zero-token head doc lands in pack -1") {
+    import spark.implicits._
+    // cum_tokens = 0 (n_chars = 0 doc at the head of a source) must floor
+    // to -1 like the oracle's `//`, not truncate to 0
+    val got = Seq(0L, 1L, 2048L, 2049L, 4096L).toDF("cum_tokens")
+      .select(col("cum_tokens"), TextPrep.packIdCol(col("cum_tokens")).as("pack_id"))
+      .orderBy("cum_tokens").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((0L, -1L), (1L, 0L), (2048L, 0L), (2049L, 1L), (4096L, 1L)))
+  }
+
+  test("t10: docs with fewer than 3 words yield empty trigram metrics, not a crash") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "one"), (3L, "one two"), (4L, "a b a b a b"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.TextStats.repetitionMetrics(docs)
+      .orderBy("doc_id").collect()
+    // short docs: 0 trigrams, null dup fraction (matches the oracle's empty range)
+    assert(out.take(3).forall(r => r.getInt(r.fieldIndex("n_trigrams")) === 0))
+    assert(out.take(3).forall(r => r.isNullAt(r.fieldIndex("dup_trigram_frac"))))
+    // the 6-word doc still computes real metrics: 4 trigrams, 2 distinct
+    val r4 = out(3)
+    assert(r4.getInt(r4.fieldIndex("n_trigrams")) === 4)
+    assert(r4.getInt(r4.fieldIndex("n_distinct_trigrams")) === 2)
+  }
+
   test("d16: HLL distinct estimate stays within 15% of exact") {
     val rows = graft.llm.TextStats.distinctSketch(spark, Sf)
       .select(col("n_distinct_exact").cast("double"), col("n_distinct_approx").cast("double"))
