@@ -441,13 +441,9 @@ object SparkEntry {
     "q32_funnel"        -> ops.Behavior.oracleFunnel,
     "q33_retention"     -> ops.Behavior.oracleRetention,
 
-    // s01: the stream result must equal the batch daily mean — the
-    // Kappa-architecture equivalence IS the oracle.
-    "s01_stream_daily" ->
-      """SELECT event_type, (ts::TIMESTAMP)::DATE AS d,
-        |  round(sum(value), 2) / count(value) AS daily_mwh
-        |FROM events
-        |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin,
+    // s01: append-mode daily stream — the oracle is the batch daily
+    // mean over watermark-CLOSED windows only (the Kappa equivalence
+    // minus the still-open tail an append drain must withhold).
+    "s01_stream_daily" -> streaming.DailyIngest.oracleStreamDaily,
   )
 }

@@ -43,18 +43,21 @@ object DailyIngest {
       .select(col("event_type"), to_date(col("w.start")).as("d"), col("daily_mwh"))
 
   /** s01 — run the streaming pipeline to completion over the events
-    * table (AvailableNow, in-memory sink) and return the result —
-    * byte-equal to the batch daily mean (q03), which is its oracle.
+    * table (AvailableNow, in-memory sink) in APPEND mode: each daily
+    * window is emitted exactly once when the watermark closes it and
+    * its state is dropped — the only state shape that survives an
+    * unbounded stream (`complete` mode re-emits and retains ALL
+    * windows every trigger). The still-open tail (the last two days —
+    * watermark = max(ts) − 1 day hasn't passed them when the drain
+    * stops) stays in state, exactly as the oracle models; the next
+    * day's run emits it incrementally (s04 proves that from a real
+    * checkpoint).
     */
   def streamDaily(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // the stateful window agg keeps one state store per shuffle
-    // partition; at fixture scale 32 stores are pure overhead
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val ss = StreamEnv.streamSession(spark)
     // the file-stream source wants a directory: stream the sf dir,
     // glob-filtered to the events table
-    val raw = spark.readStream
+    val raw = ss.readStream
       .schema(eventsRawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -63,13 +66,23 @@ object DailyIngest {
     val q = dailyAgg(raw).writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("complete")
+      .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination()
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(name).orderBy("event_type", "d")
+    q.awaitTermination()
+    ss.table(name).orderBy("event_type", "d")
   }
+
+  /** s01's oracle: daily means over watermark-CLOSED windows only (a
+    * window [d, d+1) is final once max(ts) − 1 day passes its end).
+    */
+  val oracleStreamDaily: String =
+    """SELECT event_type, (ts::TIMESTAMP)::DATE AS d,
+      |  round(sum(value), 2) / count(value) AS daily_mwh
+      |FROM events
+      |GROUP BY 1, 2
+      |HAVING d < (SELECT max(ts::TIMESTAMP)::DATE - 1 FROM events)
+      |ORDER BY 1, 2""".stripMargin
 
   /** s04 — the DAG's LOAD leg as a real streaming sink (SURVEY §2
     * S7/D4): the same daily aggregation written in **append** mode to a
@@ -87,15 +100,13 @@ object DailyIngest {
     * the next day's run emits it incrementally from the checkpoint.
     */
   def streamAppendSink(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val ss = StreamEnv.streamSession(spark)
     val base = graft.ops.Staging.stagePath("stream_sink", dir)
     // fresh demo run: clear sink + checkpoint (a production run would
     // KEEP both — the checkpoint is what makes the next run incremental)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = org.apache.hadoop.fs.FileSystem.get(ss.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
-    val raw = spark.readStream
+    val raw = ss.readStream
       .schema(eventsRawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -107,9 +118,8 @@ object DailyIngest {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination()
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.read.parquet(s"$base/out").orderBy("event_type", "d")
+    q.awaitTermination()
+    ss.read.parquet(s"$base/out").orderBy("event_type", "d")
   }
 
   val oracleStreamAppendSink: String =

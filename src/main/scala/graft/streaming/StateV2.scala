@@ -69,14 +69,12 @@ object StateV2 {
     * (event_type, week).
     */
   def runningWeekly(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    val ss = StreamEnv.streamSession(spark)
+    import ss.implicits._
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val in = stageWeekly(spark, dir, "tws")
-    val stream = spark.readStream
+    val stream = ss.readStream
       .schema(Tables.events(spark, dir).select("event_type", "ts", "value").schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(in)
@@ -90,15 +88,8 @@ object StateV2 {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination()
-    finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevProvider match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
-    }
-    spark.table(name).orderBy("event_type", "week")
+    q.awaitTermination()
+    ss.table(name).orderBy("event_type", "week")
   }
 
   /** The running series recomputed relationally — what the stateful

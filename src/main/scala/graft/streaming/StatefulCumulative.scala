@@ -67,12 +67,11 @@ object StatefulCumulative {
     * row per (event_type, week).
     */
   def cumulativeWeekly(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val ss = StreamEnv.streamSession(spark)
+    import ss.implicits._
     val in = stageWeekly(spark, dir, "state")
 
-    val stream = spark.readStream
+    val stream = ss.readStream
       .schema(Tables.events(spark, dir).select("event_type", "ts", "value").schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(in)
@@ -110,9 +109,8 @@ object StatefulCumulative {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination()
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(name).orderBy("event_type", "week")
+    q.awaitTermination()
+    ss.table(name).orderBy("event_type", "week")
   }
 
   /** The cumulative series, recomputed relationally: weekly group

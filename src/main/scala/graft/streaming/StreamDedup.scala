@@ -26,10 +26,8 @@ object StreamDedup {
     * deduped daily counts. Used by the exactly-once spec.
     */
   def dedupedDailyCounts(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val once = spark.readStream
+    val ss = StreamEnv.streamSession(spark)
+    val once = ss.readStream
       .schema(eventsRawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -54,8 +52,7 @@ object StreamDedup {
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination()
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(name).orderBy("event_type", "d")
+    q.awaitTermination()
+    ss.table(name).orderBy("event_type", "d")
   }
 }

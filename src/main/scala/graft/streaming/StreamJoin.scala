@@ -38,15 +38,13 @@ object StreamJoin {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
   def purchaseClickJoin(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val purchases = eventStream(spark, dir)
+    val ss = StreamEnv.streamSession(spark)
+    val purchases = eventStream(ss, dir)
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("purchase_ts"), col("value").as("purchase_value"))
       .withWatermark("purchase_ts", "1 day")
-    val clicks = eventStream(spark, dir)
+    val clicks = eventStream(ss, dir)
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
         col("ts").as("click_ts"))
@@ -64,9 +62,8 @@ object StreamJoin {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination()
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(name).orderBy("purchase_id", "click_id")
+    q.awaitTermination()
+    ss.table(name).orderBy("purchase_id", "click_id")
   }
 
   /** s08 — stream-stream LEFT OUTER interval join: same match window
@@ -84,15 +81,13 @@ object StreamJoin {
     * input.
     */
   def purchaseClickLeftJoin(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val purchases = eventStream(spark, dir)
+    val ss = StreamEnv.streamSession(spark)
+    val purchases = eventStream(ss, dir)
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("purchase_ts"), col("value").as("purchase_value"))
       .withWatermark("purchase_ts", "1 day")
-    val clicks = eventStream(spark, dir)
+    val clicks = eventStream(ss, dir)
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
         col("ts").as("click_ts"))
@@ -111,9 +106,8 @@ object StreamJoin {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination()
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(name).orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
+    q.awaitTermination()
+    ss.table(name).orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
   }
 
   val oraclePurchaseClickLeftJoin: String =

@@ -337,8 +337,14 @@ class LlmOpsSpec extends AnyFunSuite {
   }
 
   test("streaming daily ingest equals the batch computation (Kappa)") {
+    // append-mode drain emits exactly the watermark-closed windows: the
+    // batch result minus the last two (still-open) days
     val streamRows = graft.streaming.DailyIngest.streamDaily(spark, Sf).collect()
-    val batchRows = graft.streaming.DailyIngest.batchDaily(spark, Sf).collect()
+    val batch = graft.streaming.DailyIngest.batchDaily(spark, Sf)
+    val maxD = batch.agg(org.apache.spark.sql.functions.max("d")).head().getDate(0)
+    val batchRows = batch
+      .filter(col("d") < org.apache.spark.sql.functions.date_sub(lit(maxD), 1))
+      .collect()
     assert(streamRows.length == batchRows.length && streamRows.nonEmpty)
     streamRows.zip(batchRows).foreach { case (s, b) => assert(s == b) }
   }
