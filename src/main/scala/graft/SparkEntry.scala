@@ -54,6 +54,7 @@ object SparkEntry {
     "q33_retention"     -> (ops.Behavior.retention(_, _)),
     "q34_grouping_sets" -> (ops.CoreOps.groupingSetsRevenue(_, _)),
     "q35_bloom_join"    -> (ops.RuntimeFilter.bloomJoinRevenue(_, _)),
+    "q36_rest_stage"    -> (ops.RestExtract.restStage(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -420,6 +421,7 @@ object SparkEntry {
         |ORDER BY gid, n_name ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin,
 
     "q35_bloom_join" -> ops.RuntimeFilter.oracleBloomJoin,
+    "q36_rest_stage" -> ops.RestExtract.oracleRestStage,
 
     "t10_repetition" -> llm.TextStats.oracleRepetition,
 
