@@ -83,6 +83,7 @@ object SparkEntry {
     "t08_chunking"          -> (llm.TextPrep.chunk(_, _)),
     "t09_packing"           -> (llm.TextPrep.pack(_, _)),
     "t10_repetition"        -> (llm.TextStats.repetition(_, _)),
+    "t11_bpe_tokens"        -> (llm.Bpe.bpeTokens(_, _)),
     "m01_media_stats"       -> (llm.Multimodal.mediaStats(_, _)),
     "m02_image_decode"      -> (llm.Multimodal.imageStats(_, _)),
     "m03_image_resize"      -> (llm.Multimodal.imageResize(_, _)),
@@ -424,6 +425,7 @@ object SparkEntry {
     "q36_rest_stage" -> ops.RestExtract.oracleRestStage,
 
     "t10_repetition" -> llm.TextStats.oracleRepetition,
+    "t11_bpe_tokens" -> llm.Bpe.oracleBpeTokens,
 
     "s02_sessionize" -> streaming.Sessionize.oracleSessions,
     "s03_sliding"    -> streaming.DailyIngest.oracleSlidingDaily,

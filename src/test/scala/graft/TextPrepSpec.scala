@@ -69,6 +69,31 @@ class TextPrepSpec extends AnyFunSuite {
     assert(r4.getInt(r4.fieldIndex("n_distinct_trigrams")) === 2)
   }
 
+  test("t11: BPE encoding is lossless and strictly compresses the char count") {
+    import graft.llm.Bpe
+    val merges = Bpe.learnMerges(spark, Sf)
+    assert(merges.size === Bpe.NumMerges)
+    assert(merges.distinct.size === merges.size, "a merge rule repeated — learning is stuck")
+    val out = Bpe.bpeTokens(spark, Sf)
+    val docs = graft.tables.Tables.documents(spark, Sf)
+      .select(col("doc_id"),
+        aggregate(transform(graft.llm.TextStats.tokens(col("text")), t => length(t)),
+          lit(0L), (a, x) => a + x).as("alnum_chars"))
+    // token count bounded by [n_words, alnum_chars]; merges actually fired
+    val joined = out.join(docs, "doc_id")
+    assert(joined.filter(col("n_bpe_tokens") > col("alnum_chars")).isEmpty)
+    assert(joined.filter(col("n_bpe_tokens") < col("n_words")).isEmpty)
+    assert(joined.filter(col("n_bpe_tokens") < col("alnum_chars")).count() > 0,
+      "no doc compressed below char count — merges never applied")
+    // lossless: stripping the symbol delimiters reproduces each word
+    import spark.implicits._
+    val probe = Seq("hash", "partition", "join", "zzzqx").toDF("w")
+    val bad = probe.select(col("w"),
+        regexp_replace(graft.llm.Bpe.encodeWord(col("w"), merges), "\\|", "").as("rt"))
+      .filter(col("w") =!= col("rt"))
+    assert(bad.isEmpty, "BPE encoding lost characters")
+  }
+
   test("d16: HLL distinct estimate stays within 15% of exact") {
     val rows = graft.llm.TextStats.distinctSketch(spark, Sf)
       .select(col("n_distinct_exact").cast("double"), col("n_distinct_approx").cast("double"))
