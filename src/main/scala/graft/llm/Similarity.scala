@@ -101,21 +101,64 @@ object Similarity {
 
   val NumCells = 16
   val NProbe = 2
+  val LloydRounds = 3
+
+  /** 2^20 — centroid components accumulate as `floor(x·2^20 + 0.5)`
+    * integers, so the per-cell sums are EXACT (and order-independent)
+    * in both engines and the resulting centroid doubles are
+    * bit-identical; a raw double sum would depend on partition order
+    * and break the oracle's hash compare.
+    */
+  val QuantScale = 1048576.0
+
+  /** Lloyd's k-means over the embeddings: seed with the first
+    * [[NumCells]] vectors, then [[LloydRounds]] assign/update rounds.
+    * Assignment is a broadcast of k centroids scored map-side; the
+    * update is one (cell, dim) shuffle per round; only the k centroid
+    * rows come back to the driver each round (the CC-loop scalar
+    * pattern — rounds are driver-sequenced, never per-row driver work).
+    */
+  private[llm] def lloydCentroids(spark: SparkSession, dir: String): Seq[(Int, Seq[Double])] = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      .localCheckpoint() // scanned once, assigned LloydRounds times
+    var cents = emb.filter(col("vec_id") < NumCells)
+      .select(col("vec_id").cast("int").as("cell"), col("e"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    for (_ <- 1 to LloydRounds) {
+      val w = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("cell"))
+      val assigned = emb.crossJoin(broadcast(cents.toDF("cell", "ce")))
+        .select(col("vec_id"), col("e"), col("cell"),
+          cosineSimilarity(col("e"), col("ce")).as("cscore"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      cents = assigned
+        .select(col("cell"), posexplode(col("e")).as(Seq("d", "x")))
+        .groupBy("cell", "d")
+        .agg((sum(floor(col("x") * QuantScale + lit(0.5)).cast("long")) /
+              (lit(QuantScale) * count(lit(1)))).as("cd"))
+        .groupBy("cell")
+        .agg(sort_array(collect_list(struct(col("d"), col("cd")))).as("a"))
+        .select(col("cell"), transform(col("a"), s => s.getField("cd")).as("ce"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+        .sortBy(_._1)
+    }
+    cents
+  }
 
   /** d08 — IVF ANN: the corpus is partitioned into [[NumCells]] cells
-    * by nearest centroid; a query probes its [[NProbe]] closest cells
-    * and runs exact cosine only there. Centroids here are the first 16
-    * vectors (deterministic, reproducible in the oracle) — a real
-    * deployment would k-means them; the *query shape* (assign →
-    * cluster-by-cell → probe few cells) is identical and is what
+    * by nearest [[lloydCentroids k-means]] centroid; a query probes its
+    * [[NProbe]] closest cells and runs exact cosine only there. The
+    * query shape (assign → cluster-by-cell → probe few cells) is what
     * scales: each cell is a partition/cluster key, so a query touches
     * NProbe/NumCells of the corpus.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val centroids = emb.filter(col("vec_id") < NumCells)
-      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("ce"))
-    // assign: cell of max cosine (ties → lowest cell id via array_position)
+    val centroids = lloydCentroids(spark, dir).toDF("cell", "ce")
+    // assign: cell of max cosine (ties → lowest cell id)
     val withScores = emb.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cell"),
         cosineSimilarity(col("embedding"), col("ce")).as("cscore"))
@@ -268,14 +311,37 @@ object Similarity {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
-  val oracleAnnIvf: String =
-    s"""WITH c AS (
-       |  SELECT vec_id::INT AS cell, embedding AS ce FROM embeddings
-       |  WHERE vec_id < $NumCells),
+  /** The oracle replays the SAME Lloyd rounds in SQL (materialized
+    * CTEs — each round references the previous one from two places) —
+    * quantized-integer centroid sums make the centroid doubles
+    * bit-identical to the Spark loop's, so assignment and scores
+    * hash-match.
+    */
+  val oracleAnnIvf: String = {
+    val rounds = (1 to LloydRounds).map { r =>
+      s"""a$r AS MATERIALIZED (
+         |  SELECT vec_id, e, cell FROM (
+         |    SELECT v.vec_id, v.e, c.cell,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |                              ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cell) AS rn
+         |    FROM e v, c${r - 1} c) WHERE rn = 1),
+         |c$r AS MATERIALIZED (
+         |  SELECT cell, list(cd ORDER BY d) AS ce FROM (
+         |    SELECT cell, d,
+         |           sum(floor(e[d] * $QuantScale + 0.5))::BIGINT / ($QuantScale * count(*)) AS cd
+         |    FROM a$r, LATERAL (SELECT unnest(range(1, len(e) + 1)) AS d) u
+         |    GROUP BY cell, d)
+         |  GROUP BY cell)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT vec_id::INT AS cell, e AS ce FROM e WHERE vec_id < $NumCells),
+       |$rounds,
        |scored AS (
-       |  SELECT e.vec_id, e.embedding, c.cell,
-       |         list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) AS cscore
-       |  FROM embeddings e, c),
+       |  SELECT v.vec_id, v.e AS embedding, c.cell,
+       |         list_cosine_similarity(v.e, c.ce) AS cscore
+       |  FROM e v, c$LloydRounds c),
        |ranked AS (
        |  SELECT vec_id, embedding, cell,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell) AS crank
@@ -286,7 +352,7 @@ object Similarity {
        |  WHERE crank <= $NProbe AND vec_id < $NumQueries),
        |cand AS (
        |  SELECT query_id, m.vec_id, m.cell,
-       |         round(list_cosine_similarity(qe::DOUBLE[], m.embedding::DOUBLE[]), 6) AS score
+       |         round(list_cosine_similarity(qe, m.embedding), 6) AS score
        |  FROM probes p JOIN members m USING (cell)
        |  WHERE m.vec_id != p.query_id),
        |r AS (
@@ -297,6 +363,7 @@ object Similarity {
        |SELECT query_id, vec_id, cell, score, rank
        |FROM r WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
+  }
 
   private def planeSqlLiteral(p: Int): String =
     planes(p).map(w => if (w == w.toLong.toDouble) s"${w.toLong}.0" else w.toString)
