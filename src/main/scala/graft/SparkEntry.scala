@@ -79,6 +79,9 @@ object SparkEntry {
     "d15_stratified_sample" -> (llm.TextPrep.stratifiedSample(_, _)),
     "d16_distinct_sketch"   -> (llm.TextStats.distinctSketch(_, _)),
     "d17_embed_quantize"    -> (llm.Similarity.embedQuantize(_, _)),
+    "d18_decontaminate"     -> (llm.Curation.decontaminate(_, _)),
+    "d19_span_dedup"        -> (llm.Curation.spanDedup(_, _)),
+    "d20_lang_mix"          -> (llm.Curation.langMix(_, _)),
     "t07_pii_scrub"         -> (llm.TextPrep.piiScrub(_, _)),
     "t08_chunking"          -> (llm.TextPrep.chunk(_, _)),
     "t09_packing"           -> (llm.TextPrep.pack(_, _)),
@@ -316,6 +319,9 @@ object SparkEntry {
     "d13_split_assign"      -> llm.Sampling.oracleSplitAssign,
     "d14_curated_corpus"    -> llm.Pipeline.oracleCuratedCorpus,
     "d15_stratified_sample" -> llm.TextPrep.oracleStratifiedSample,
+    "d18_decontaminate"     -> llm.Curation.oracleDecontaminate,
+    "d19_span_dedup"        -> llm.Curation.oracleSpanDedup,
+    "d20_lang_mix"          -> llm.Curation.oracleLangMix,
     // d16_distinct_sketch: no oracle — HLL estimates are engine-specific;
     // rows-only check + TextPrepSpec error bound
     "d17_embed_quantize"    -> llm.Similarity.oracleEmbedQuantize,

@@ -1,0 +1,214 @@
+package graft.llm
+
+import graft.tables.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a production training-data pipeline runs
+  * before a training job is allowed to see the data:
+  *
+  *  - d18 benchmark decontamination — flag train docs sharing word
+  *    n-grams with the held-out eval split (the GPT-3-style 13-gram
+  *    collision scan, scaled down to the fixture's short docs);
+  *  - d19 duplicate-span removal — C4-style global dedup at
+  *    sub-document granularity (fixed char chunks standing in for
+  *    lines, which the fixture text lacks): keep the first occurrence
+  *    of every distinct chunk, reassemble what survives;
+  *  - d20 temperature-weighted language mixing — sample each language
+  *    stratum with probability ∝ n^α (α = 0.5), the standard
+  *    multilingual rebalancing step, with integer-snapped weights so
+  *    the decision boundary is bit-deterministic across engines.
+  *
+  * Scale shape: every candidate-generation step is keyed — n-gram
+  * hash equi-joins (with a document-frequency cap bounding hot-key
+  * skew), a chunk-hash window, and broadcast lang dimensions. Nothing
+  * is all-pairs; nothing sorts globally before the presentation sort.
+  */
+object Curation {
+
+  // ---- d18: benchmark decontamination --------------------------------------
+
+  val NgramWords = 8
+  val NgramSeed = 13
+
+  /** N-grams seen in more docs than this are dropped before the join:
+    * boilerplate n-grams (at web scale: license headers, navigation
+    * text) would otherwise each produce |train ∩ h| × |eval ∩ h| join
+    * rows — the classic hot-key blow-up. Dropping them is also
+    * methodologically right: a phrase shared by hundreds of documents
+    * is not evidence of benchmark leakage.
+    */
+  val MaxNgramDf = 100
+
+  /** The distinct 56-bit hashes of a doc's word [[NgramWords]]-grams
+    * (empty for docs with fewer than [[NgramWords]] words — the guard
+    * keeps `sequence` from generating a negative-step range).
+    */
+  private def ngramHashes(text: Column): Column = {
+    val ws = split(text, " ")
+    when(size(ws) >= NgramWords,
+      array_distinct(transform(
+        sequence(lit(1), size(ws) - lit(NgramWords - 1)),
+        i => TextHash.phash(concat_ws(" ", slice(ws, i, lit(NgramWords))), NgramSeed))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** d18 — decontamination scan: for every (train doc, eval doc) pair
+    * sharing at least one [[NgramWords]]-word n-gram, count the shared
+    * distinct n-grams. Splits are the deterministic d13 assignment
+    * ([[Sampling.splitCol]]); the corpus is [[Dedup.corpus]] (docs +
+    * truncated twins) so real contamination exists to find — a twin
+    * landing in `test` while its original landed in `train` is exactly
+    * the leak this scan exists to catch.
+    *
+    * Shuffle budget: one n-gram-hash aggregate (the df cap), then one
+    * equi-join on the hash, then one pair aggregate — all keyed, no
+    * broadcast of the corpus, no all-pairs anything.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Dedup.corpus(spark, dir)
+      .select(col("doc_id"), Sampling.splitCol(col("doc_id")).as("split"),
+        explode(ngramHashes(col("text"))).as("h"))
+    val allowed = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxNgramDf)
+    val t = ex.filter(col("split") === "train").join(allowed, Seq("h"))
+      .select(col("h"), col("doc_id").as("train_id"))
+    val e = ex.filter(col("split") === "test")
+      .select(col("h"), col("doc_id").as("eval_id"))
+    t.join(e, Seq("h"))
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("train_id", "eval_id")
+  }
+
+  private def ngramHashesSql(wsExpr: String): String =
+    s"list_distinct(list_transform(range(1, greatest(len($wsExpr) - ${NgramWords - 1}, 0) + 1), " +
+      s"i -> ${TextHash.phashSql(s"array_to_string(($wsExpr)[i:i + ${NgramWords - 1}], ' ')", NgramSeed)}))"
+
+  val oracleDecontaminate: String =
+    s"""WITH ${Dedup.corpusSql},
+       |ex AS (
+       |  SELECT doc_id, ${Sampling.splitCaseSql("doc_id")} AS split, unnest(hs) AS h
+       |  FROM (SELECT doc_id, ${ngramHashesSql("string_split(text, ' ')")} AS hs FROM corpus)),
+       |allowed AS (SELECT h FROM ex GROUP BY h HAVING count(*) <= $MaxNgramDf)
+       |SELECT t.doc_id AS train_id, e.doc_id AS eval_id, count(*) AS n_shared
+       |FROM ex t JOIN allowed USING (h) JOIN ex e USING (h)
+       |WHERE t.split = 'train' AND e.split = 'test'
+       |GROUP BY 1, 2
+       |ORDER BY train_id, eval_id""".stripMargin
+
+  // ---- d19: duplicate-span (chunk) removal ---------------------------------
+
+  val SpanLen = 120 // non-overlapping char chunks — the "line" analog
+
+  /** d19 — C4-style duplicate-span removal: split every doc into fixed
+    * [[SpanLen]]-char chunks, keep only the FIRST occurrence of each
+    * distinct chunk across the whole corpus (first = smallest
+    * (doc_id, chunk_idx)), and emit per-doc survival stats plus the
+    * md5 of the surviving spans in order (hash-of-hashes — proves the
+    * reassembled text without moving it twice).
+    *
+    * Shuffle budget: chunk explode is map-side; ONE window shuffle on
+    * the chunk hash picks winners; ONE doc-keyed aggregate reassembles.
+    * At 100 TB the chunk-hash shuffle is the canonical global-dedup
+    * exchange — perfectly partitionable, no skew beyond true duplicate
+    * mass.
+    */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val starts = sequence(lit(1), greatest(length(col("text")), lit(1)), lit(SpanLen))
+    val chunks = Dedup.corpus(spark, dir)
+      .select(col("doc_id"), col("text"), explode(starts).as("start"))
+      .select(col("doc_id"),
+        ((col("start") - 1) / SpanLen).cast("int").as("chunk_idx"),
+        md5(col("text").substr(col("start"), lit(SpanLen))).as("chunk_md5"),
+        length(col("text").substr(col("start"), lit(SpanLen))).cast("long").as("chunk_len"))
+    val w = Window.partitionBy("chunk_md5").orderBy("doc_id", "chunk_idx")
+    chunks
+      .withColumn("keep", row_number().over(w) === 1)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        sum(when(col("keep"), col("chunk_len")).otherwise(0L)).as("clean_len"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("keep"), struct(col("chunk_idx"), col("chunk_md5"))))),
+          s => s.getField("chunk_md5")), "")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  val oracleSpanDedup: String =
+    s"""WITH ${Dedup.corpusSql},
+       |chunks AS (
+       |  SELECT doc_id, ((start - 1) // $SpanLen)::INT AS chunk_idx,
+       |         md5(substr(text, start::INT, $SpanLen)) AS chunk_md5,
+       |         length(substr(text, start::INT, $SpanLen))::BIGINT AS chunk_len
+       |  FROM (SELECT doc_id, text,
+       |          unnest(range(1, greatest(length(text), 1) + 1, $SpanLen)) AS start
+       |        FROM corpus)),
+       |flagged AS (
+       |  SELECT *, row_number() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_idx) = 1 AS keep
+       |  FROM chunks)
+       |SELECT doc_id,
+       |  count(*) AS n_chunks,
+       |  sum(keep::INT)::BIGINT AS n_kept,
+       |  coalesce(sum(chunk_len) FILTER (WHERE keep), 0)::BIGINT AS clean_len,
+       |  md5(coalesce(string_agg(chunk_md5, '' ORDER BY chunk_idx) FILTER (WHERE keep), '')) AS clean_md5
+       |FROM flagged
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- d20: temperature-weighted language mixing ---------------------------
+
+  val LangMixSeed = 17
+
+  /** d20 — temperature-weighted language sampling (α = 0.5): keep each
+    * doc of language ℓ with probability p_ℓ = min(1, T·w_ℓ / (S·n_ℓ)),
+    * where w_ℓ = ⌊√n_ℓ⌋, S = Σ w and T = ⌊N/2⌋ — i.e. sample half the
+    * corpus with language shares ∝ √n instead of n, upweighting tail
+    * languages exactly as multilingual pretraining mixes do.
+    *
+    * Determinism: weights are snapped to INTEGERS (⌊√n⌋ — IEEE sqrt is
+    * correctly rounded, so the floor is engine-identical), making S an
+    * integer sum (order-free, unlike a float sum) and p_ℓ a single
+    * division of exact integers — bit-identical in Spark and DuckDB,
+    * so the keep/drop boundary never flips between engines. The keep
+    * decision u < p uses the portable 56-bit doc hash as u ∈ [0,1).
+    *
+    * Scale shape: one tiny lang aggregate + its grand total, both
+    * broadcast back onto the corpus — the q13 dimension pattern; the
+    * corpus itself never shuffles.
+    */
+  def langMix(spark: SparkSession, dir: String): DataFrame = {
+    val langDims = Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      .withColumn("w", floor(sqrt(col("n_lang"))).cast("long"))
+    val totals = langDims.agg(
+      sum("w").as("s"),
+      (sum("n_lang") / 2).cast("long").as("t"))
+    val u = TextHash.phash(col("doc_id").cast("string"), LangMixSeed)
+      .cast("double") / lit(72057594037927936.0) // 2^56
+    Tables.documents(spark, dir)
+      .join(broadcast(langDims), Seq("lang"))
+      .crossJoin(broadcast(totals))
+      .withColumn("p_keep",
+        least(lit(1.0), (col("t") * col("w")).cast("double") / (col("s") * col("n_lang")).cast("double")))
+      .filter(u < col("p_keep"))
+      .select(col("doc_id"), col("lang"), col("n_lang"), col("p_keep"))
+      .orderBy("doc_id")
+  }
+
+  val oracleLangMix: String = {
+    val u = s"CAST(${TextHash.phashSql("doc_id::VARCHAR", LangMixSeed)} AS DOUBLE) / 72057594037927936.0"
+    s"""WITH ld AS (
+       |  SELECT lang, count(*)::BIGINT AS n_lang,
+       |         CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+       |  FROM documents GROUP BY lang),
+       |tot AS (SELECT sum(w)::BIGINT AS s, (sum(n_lang) // 2)::BIGINT AS t FROM ld)
+       |SELECT doc_id, lang, n_lang,
+       |  least(1.0::DOUBLE, CAST(t * w AS DOUBLE) / CAST(s * n_lang AS DOUBLE)) AS p_keep
+       |FROM documents JOIN ld USING (lang) CROSS JOIN tot
+       |WHERE $u < least(1.0::DOUBLE, CAST(t * w AS DOUBLE) / CAST(s * n_lang AS DOUBLE))
+       |ORDER BY doc_id""".stripMargin
+  }
+}

@@ -420,7 +420,7 @@ object Dedup {
 
   // ---- DuckDB oracle builders (same constants as the Spark plans) ----------
 
-  private val corpusSql: String =
+  private[llm] val corpusSql: String =
     s"""corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL

@@ -36,7 +36,7 @@ object Sampling {
       .orderBy("doc_id")
 
   /** The split label as a pure expression of any id column (d14). */
-  private[llm] def splitCol(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[graft] def splitCol(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val bucket = pmod(TextHash.phash(docId.cast("string"), SplitSeed), lit(100L))
     when(bucket < TrainPct, lit("train"))
       .when(bucket < TrainPct + ValPct, lit("val"))

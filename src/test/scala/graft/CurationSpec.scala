@@ -1,0 +1,85 @@
+package graft
+
+import graft.llm.{Curation, Dedup, Sampling}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic + plan-shape contracts for the corpus-curation family
+  * (d18 decontamination, d19 span dedup, d20 language mixing).
+  */
+class CurationSpec extends AnyFunSuite {
+  import SparkTestBase.{Sf, spark}
+
+  test("d18: train-split docs are flagged against their cross-split twins") {
+    import org.apache.spark.sql.functions.col
+    val splits = Sampling.splitAssign(spark, Sf)
+      .withColumn("twin_split",
+        Sampling.splitCol(col("doc_id") + Dedup.TwinIdOffset))
+      .collect().map(r => r.getLong(0) -> (r.getString(3), r.getString(4))).toMap
+    val flagged = Curation.decontaminate(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged.nonEmpty, "the seeded twins must produce contamination pairs")
+    // every flagged pair is (train doc, test doc) under the d13 split
+    flagged.foreach { case (t, e) =>
+      def splitOf(id: Long) = {
+        val base = if (id >= Dedup.TwinIdOffset) id - Dedup.TwinIdOffset else id
+        if (id >= Dedup.TwinIdOffset) splits(base)._2 else splits(base)._1
+      }
+      assert(splitOf(t) == "train" && splitOf(e) == "test", s"pair ($t,$e)")
+    }
+    // an (original in train, twin in test) pair whose shared prefix is
+    // long enough MUST be caught — pick one and demand its presence
+    val leaked = splits.collect {
+      case (id, ("train", "test")) => (id, id + Dedup.TwinIdOffset)
+    }
+    assert(leaked.nonEmpty, "fixture should place some twin across the split boundary")
+    assert(leaked.exists(flagged.contains),
+      s"none of ${leaked.size} cross-split twin pairs was flagged")
+  }
+
+  test("d18: candidate generation is an equi-join on the n-gram hash, never all-pairs") {
+    val plan = Curation.decontaminate(spark, Sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "must not fall back to NLJ")
+  }
+
+  test("d19: a twin's shared prefix chunks are dropped, its stats reflect survival") {
+    val rows = Curation.spanDedup(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val twins = rows.keys.filter(_ >= Dedup.TwinIdOffset)
+    assert(twins.nonEmpty)
+    // every corpus doc appears exactly once, even fully-deduped ones
+    assert(rows.size == Dedup.corpus(spark, Sf).count())
+    // twins duplicate their original's leading chunks, so at least one
+    // twin must lose at least its first chunk to the original
+    val losers = twins.count(t => rows(t)._2 < rows(t)._1)
+    assert(losers > 0, "some twin must have a dropped (duplicate) chunk")
+    // global invariant: each distinct chunk survives exactly once, so
+    // total kept == the corpus's distinct chunk-hash count
+    import org.apache.spark.sql.functions._
+    val distinctChunks = Dedup.corpus(spark, Sf)
+      .select(explode(sequence(lit(1), greatest(length(col("text")), lit(1)),
+        lit(Curation.SpanLen))).as("start"), col("text"))
+      .select(md5(col("text").substr(col("start"), lit(Curation.SpanLen))).as("h"))
+      .distinct().count()
+    assert(rows.values.map(_._2).sum == distinctChunks,
+      "every distinct chunk must be kept exactly once across the corpus")
+  }
+
+  test("d20: tail languages are upweighted relative to proportional sampling") {
+    val docs = graft.tables.Tables.documents(spark, Sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Curation.langMix(spark, Sf).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keepRate = docs.map { case (l, n) => l -> kept.getOrElse(l, 0L).toDouble / n }
+    val maxLang = docs.maxBy(_._2)._1
+    val minLang = docs.minBy(_._2)._1
+    assert(keepRate(minLang) > keepRate(maxLang),
+      s"temperature mixing must keep a higher fraction of $minLang than $maxLang: $keepRate")
+    // overall sample is near the T = N/2 target (hash sampling is
+    // binomial around p; 3-sigma bound at fixture scale)
+    val total = kept.values.sum.toDouble
+    val n = docs.values.sum.toDouble
+    assert(total > 0.35 * n && total < 0.65 * n, s"sampled $total of $n")
+  }
+}
