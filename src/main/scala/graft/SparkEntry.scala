@@ -55,6 +55,7 @@ object SparkEntry {
     "q34_grouping_sets" -> (ops.CoreOps.groupingSetsRevenue(_, _)),
     "q35_bloom_join"    -> (ops.RuntimeFilter.bloomJoinRevenue(_, _)),
     "q36_rest_stage"    -> (ops.RestExtract.restStage(_, _)),
+    "q37_range_join"    -> (ops.RangeJoin.clicksInPurchaseWindows(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -92,6 +93,7 @@ object SparkEntry {
     "m03_image_resize"      -> (llm.Multimodal.imageResize(_, _)),
     "m04_audio_decode"      -> (llm.Multimodal.audioStats(_, _)),
     "m05_video_frames"      -> (llm.Multimodal.videoFrames(_, _)),
+    "m06_image_neardup"     -> (llm.Multimodal.imageNearDup(_, _)),
     "s01_stream_daily"      -> (streaming.DailyIngest.streamDaily(_, _)),
     "s02_sessionize"        -> (streaming.Sessionize.sessions(_, _)),
     "s03_sliding"           -> (streaming.DailyIngest.slidingDaily(_, _)),
@@ -429,6 +431,8 @@ object SparkEntry {
 
     "q35_bloom_join" -> ops.RuntimeFilter.oracleBloomJoin,
     "q36_rest_stage" -> ops.RestExtract.oracleRestStage,
+    "q37_range_join" -> ops.RangeJoin.oracleClicksInPurchaseWindows,
+    "m06_image_neardup" -> llm.Multimodal.oracleImageNearDup,
 
     "t10_repetition" -> llm.TextStats.oracleRepetition,
     "t11_bpe_tokens" -> llm.Bpe.oracleBpeTokens,

@@ -539,4 +539,150 @@ object Multimodal {
        |  ${TextHash.phashSql("text", 5)} AS content_hash
        |FROM documents
        |ORDER BY doc_id""".stripMargin
+
+  // -- m06: perceptual-hash image near-dup ------------------------------------
+
+  /** dHash geometry: resize the DECODED raster to 8x8 with the same
+    * integer nearest-neighbor as m03, then compare the 7 horizontally
+    * adjacent pixel pairs per row -- 56 gradient-sign bits, matching
+    * the engine's 56-bit hash convention (and staying far from signed
+    * BIGINT overflow in the SQL oracle).
+    */
+  val PhashSide = 8
+  val PhashBits = (PhashSide - 1) * PhashSide // 56
+
+  /** Brightness shift applied to the twin images: a uniform +16 with
+    * clamp at 255. dHash is built on gradient SIGNS, so a uniform
+    * shift preserves almost every bit -- only comparisons where both
+    * pixels clamp to 255 can flip -- giving the near-dup detector true
+    * positives at Hamming distance 0-2 while different source images
+    * stay at background distance (~28 expected bits).
+    */
+  val TwinBrightness = 16
+  val ImgTwinOffset: Long = Dedup.TwinIdOffset
+
+  val PhashHammingMax = 6
+  val PhashChunks = 7 // > HammingMax, so >= 1 chunk matches exactly (d05 pigeonhole)
+  val PhashChunkBits = PhashBits / PhashChunks // 8
+
+  case class ImagePhash(doc_id: Long, phash: Long)
+
+  /** Per-image 56-bit dHash, computed from the REAL PNG round trip:
+    * synthesize pixels (twins brightness-shifted), encode with
+    * ImageIO, decode back, resize the decoded raster, take gradient
+    * signs. Entirely partition-parallel -- the phash relation is one
+    * map-side pass, codec cost and all.
+    */
+  private def phashTable(spark: SparkSession, dir: String): Dataset[ImagePhash] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select("doc_id").as[Long]
+      .flatMap(id => Seq(id, id + ImgTwinOffset))
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val base = if (id >= ImgTwinOffset) id - ImgTwinOffset else id
+          val (w, h) = dims(base)
+          val raw = pixelsOf(base, w, h)
+          val px0 = if (id >= ImgTwinOffset) raw.map(p => math.min(255, p + TwinBrightness)) else raw
+          val enc = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          enc.getRaster.setSamples(0, 0, w, h, 0, px0)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(enc, "png", bos)
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+          val src = img.getRaster.getSamples(0, 0, img.getWidth, img.getHeight, 0, null: Array[Int])
+          var hash = 0L
+          var y = 0
+          while (y < PhashSide) {
+            val rowBase = (y * h / PhashSide) * w
+            var x = 0
+            while (x < PhashSide - 1) {
+              val cur = src(rowBase + x * w / PhashSide)
+              val nxt = src(rowBase + (x + 1) * w / PhashSide)
+              if (nxt > cur) hash |= 1L << (y * (PhashSide - 1) + x)
+              x += 1
+            }
+            y += 1
+          }
+          ImagePhash(id, hash)
+        }
+      }
+  }
+
+  /** m06 -- image near-dup pairs via perceptual hash: the multimodal
+    * composition of m02's real-codec decode and d05's pigeonhole
+    * Hamming join. Candidate generation is the 7-chunk equi-join (a
+    * pair within Hamming <= 6 must agree exactly on >= 1 of 7 chunks);
+    * only candidates pay the bit_count verify. No all-pairs anything;
+    * the chunk key shuffles like any hash join.
+    */
+  def imageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = phashTable(spark, dir).toDF()
+      .repartition(col("doc_id")) // spread the codec loop + join input off the single fixture split
+      .persist()
+    val chunkStructs = (0 until PhashChunks).map { c =>
+      struct(lit(c).as("ci"),
+        shiftright(col("phash"), c * PhashChunkBits)
+          .bitwiseAND(lit((1L << PhashChunkBits) - 1)).as("cv"))
+    }
+    val chunks = sigs
+      .select(col("doc_id"), col("phash"), explode(array(chunkStructs: _*)).as("ch"))
+      .select(col("doc_id"), col("phash"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("cast(bit_count(a.phash ^ b.phash) as int)").as("hamming"))
+      .filter(col("hamming") <= PhashHammingMax)
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The oracle replays the whole chain in SQL: pixel synthesis (with
+    * the twin brightness clamp), the 8x8 integer resize, gradient-sign
+    * bits, chunking and the Hamming verify -- so a codec, resize or
+    * join bug all break the hash match.
+    */
+  val oracleImageNearDup: String =
+    s"""WITH ids AS (
+       |  SELECT doc_id FROM documents
+       |  UNION ALL SELECT doc_id + $ImgTwinOffset FROM documents),
+       |geo AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id >= $ImgTwinOffset THEN doc_id - $ImgTwinOffset ELSE doc_id END AS base
+       |  FROM ids),
+       |px AS (
+       |  SELECT g.doc_id,
+       |         (8 + g.base % 9)::INT AS width, (8 + g.base % 7)::INT AS height, t.i,
+       |         CASE WHEN g.doc_id >= $ImgTwinOffset
+       |           THEN least(255, ('0x' || substr(md5(g.base || ':' || (t.i // 16)),
+       |                                           (t.i % 16) * 2 + 1, 2))::BIGINT + $TwinBrightness)
+       |           ELSE ('0x' || substr(md5(g.base || ':' || (t.i // 16)),
+       |                                (t.i % 16) * 2 + 1, 2))::BIGINT END AS px
+       |  FROM geo g,
+       |       LATERAL (SELECT unnest(range((8 + g.base % 9) * (8 + g.base % 7))) AS i) t),
+       |res AS (
+       |  SELECT d.doc_id, d.j, p.px
+       |  FROM (SELECT doc_id, width, height, u.j,
+       |          ((u.j // $PhashSide) * height // $PhashSide) * width
+       |            + ((u.j % $PhashSide) * width // $PhashSide) AS src_i
+       |        FROM (SELECT DISTINCT doc_id, width, height FROM px),
+       |             LATERAL (SELECT unnest(range(${PhashSide * PhashSide})) AS j) u) d
+       |  JOIN px p ON p.doc_id = d.doc_id AND p.i = d.src_i),
+       |sig AS (
+       |  SELECT r1.doc_id,
+       |         sum(CASE WHEN r2.px > r1.px
+       |               THEN (1::BIGINT << ((r1.j // $PhashSide) * ${PhashSide - 1} + (r1.j % $PhashSide)))
+       |               ELSE 0 END)::BIGINT AS phash
+       |  FROM res r1 JOIN res r2 ON r2.doc_id = r1.doc_id AND r2.j = r1.j + 1
+       |  WHERE r1.j % $PhashSide < ${PhashSide - 1}
+       |  GROUP BY r1.doc_id),
+       |chunks AS (
+       |  SELECT doc_id, phash, u.c, (phash >> (u.c * $PhashChunkBits)) & ${(1L << PhashChunkBits) - 1} AS cv
+       |  FROM sig, LATERAL (SELECT unnest(range($PhashChunks)) AS c) u)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       bit_count(xor(a.phash, b.phash))::INT AS hamming
+       |FROM chunks a JOIN chunks b
+       |  ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHammingMax
+       |ORDER BY id_a, id_b""".stripMargin
 }

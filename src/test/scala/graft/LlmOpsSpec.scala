@@ -311,6 +311,22 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("m06 image near-dup: every brightness-shifted twin pair is found at low hamming") {
+    val pairs = Multimodal.imageNearDup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val twinPairs = pairs.filter { case (a, b, _) => b - a == Multimodal.ImgTwinOffset }
+    val nDocs = graft.tables.Tables.documents(spark, Sf).count()
+    assert(twinPairs.length == nDocs,
+      s"expected all $nDocs twin pairs, found ${twinPairs.length}")
+    assert(pairs.forall(_._3 <= Multimodal.PhashHammingMax))
+    // uniform brightness shift preserves gradient signs except where
+    // both pixels clamp: twins sit at hamming 0-2 on this fixture
+    assert(twinPairs.forall(_._3 <= 2), "twin hamming distance drifted")
+    val plan = Multimodal.imageNearDup(spark, Sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "phash candidate generation must stay an equi-join")
+  }
+
   test("resize and frame-sample keep the batch contracts") {
     val resized = Multimodal.resizePartitions(spark, Sf).collect()
     assert(resized.length == 500)

@@ -105,6 +105,12 @@ class PlanSpec extends AnyFunSuite {
       s"all-pairs join in d10:\n$p")
   }
 
+  test("q37: range join runs as a grain-bucketed equi-join, never a nested loop") {
+    val p = planOf("q37_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to an all-pairs plan:\n$p")
+  }
+
   test("d06: candidate scoring stays a broadcast loop over the query set") {
     val p = planOf("d06_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
