@@ -83,11 +83,14 @@ object SparkEntry {
     "d18_decontaminate"     -> (llm.Curation.decontaminate(_, _)),
     "d19_span_dedup"        -> (llm.Curation.spanDedup(_, _)),
     "d20_lang_mix"          -> (llm.Curation.langMix(_, _)),
+    "d21_embed_project"     -> (llm.Similarity.embedProject(_, _)),
+    "d22_countmin_topk"     -> (llm.Sketch.countMinTopK(_, _)),
     "t07_pii_scrub"         -> (llm.TextPrep.piiScrub(_, _)),
     "t08_chunking"          -> (llm.TextPrep.chunk(_, _)),
     "t09_packing"           -> (llm.TextPrep.pack(_, _)),
     "t10_repetition"        -> (llm.TextStats.repetition(_, _)),
     "t11_bpe_tokens"        -> (llm.Bpe.bpeTokens(_, _)),
+    "t12_bigram_lm"         -> (llm.LangModel.bigramFamiliarity(_, _)),
     "m01_media_stats"       -> (llm.Multimodal.mediaStats(_, _)),
     "m02_image_decode"      -> (llm.Multimodal.imageStats(_, _)),
     "m03_image_resize"      -> (llm.Multimodal.imageResize(_, _)),
@@ -324,6 +327,8 @@ object SparkEntry {
     "d18_decontaminate"     -> llm.Curation.oracleDecontaminate,
     "d19_span_dedup"        -> llm.Curation.oracleSpanDedup,
     "d20_lang_mix"          -> llm.Curation.oracleLangMix,
+    "d21_embed_project"     -> llm.Similarity.oracleEmbedProject,
+    "d22_countmin_topk"     -> llm.Sketch.oracleCountMinTopK,
     // d16_distinct_sketch: no oracle — HLL estimates are engine-specific;
     // rows-only check + TextPrepSpec error bound
     "d17_embed_quantize"    -> llm.Similarity.oracleEmbedQuantize,
@@ -436,6 +441,7 @@ object SparkEntry {
 
     "t10_repetition" -> llm.TextStats.oracleRepetition,
     "t11_bpe_tokens" -> llm.Bpe.oracleBpeTokens,
+    "t12_bigram_lm"  -> llm.LangModel.oracleBigramFamiliarity,
 
     "s02_sessionize" -> streaming.Sessionize.oracleSessions,
     "s03_sliding"    -> streaming.DailyIngest.oracleSlidingDaily,

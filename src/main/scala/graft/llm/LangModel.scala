@@ -1,0 +1,101 @@
+package graft.llm
+
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** t12 — corpus-learned bigram language-model familiarity score.
+  *
+  * A production corpus pipeline scores documents against a language
+  * model learned from the corpus itself (the cheap stand-in for a
+  * perplexity filter: docs whose word transitions are rare in the
+  * corpus are boilerplate, menus, or noise). This operator learns the
+  * bigram table from the whole corpus in one pass and scores each doc
+  * by how "familiar" its transitions are.
+  *
+  * Emitted metrics stay INTEGER-exact so the oracle hash-matches:
+  * per-doc `sum(bigram_freq)` and `sum(context_freq)` are BIGINT sums
+  * of corpus counts, and the familiarity ratio is a single int/int
+  * double division (bit-identical across engines) — never a sum of
+  * per-bigram doubles, whose addition order would be
+  * partition-dependent. A log-prob variant would divide per bigram and
+  * sum doubles; the ratio-of-sums form is the order-independent
+  * equivalent signal.
+  *
+  * Scale shape (100 TB): one explode + two hash aggregates build the
+  * count tables (vocab-sized, pre-aggregated so the scoring joins are
+  * keyed one-row-per-key lookups — hot bigrams like "of the" do NOT
+  * fan out), then two shuffle joins on word keys and one per-doc
+  * aggregate. No broadcast assumption on the vocab: at web scale the
+  * bigram table outgrows the driver, so both joins stay shuffled
+  * equi-joins.
+  */
+object LangModel {
+
+  /** Per-doc bigram rows (doc_id, w1, w2); docs with < 2 words keep a
+    * single all-null row (explode_outer) so the final aggregate emits
+    * them with zero counts instead of dropping them.
+    */
+  private def bigramRows(spark: SparkSession, dir: String): DataFrame = {
+    val ws = TextStats.tokens(col("text"))
+    val pairs = when(size(col("ws")) >= 2,
+      transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+                    element_at(col("ws"), i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), explode_outer(pairs).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+  }
+
+  def bigramFamiliarity(spark: SparkSession, dir: String): DataFrame = {
+    val bg = bigramRows(spark, dir)
+    val occ = bg.filter(col("w1").isNotNull)
+    val bc = occ.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+    val cc = occ.groupBy("w1").agg(count(lit(1)).as("cc"))
+    bg.join(bc, Seq("w1", "w2"), "left")
+      .join(cc, Seq("w1"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(col("w1")).as("n_bigrams"),
+        countDistinct(col("w1"), col("w2")).as("n_distinct"),
+        sum("bc").as("sum_bigram_freq"),
+        sum("cc").as("sum_context_freq"))
+      .withColumn("familiarity",
+        col("sum_bigram_freq").cast("double") / col("sum_context_freq"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin: same bigram extraction (1-based `t[i]`/`t[i+1]`),
+    * same count tables, same ratio-of-BIGINT-sums. `range(1, len(t))`
+    * is empty for len < 2 (DuckDB ranges don't reverse), so short docs
+    * drop out of `bg` and are re-attached by the final LEFT JOIN.
+    */
+  val oracleBigramFamiliarity: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) u),
+      |bc AS (SELECT w1, w2, count(*) AS bc FROM bg GROUP BY 1, 2),
+      |cc AS (SELECT w1, count(*) AS cc FROM bg GROUP BY 1),
+      |agg AS (
+      |  SELECT doc_id,
+      |         count(*) AS n_bigrams,
+      |         count(DISTINCT w1 || ' ' || w2) AS n_distinct,
+      |         sum(bc.bc)::BIGINT AS sum_bigram_freq,
+      |         sum(cc.cc)::BIGINT AS sum_context_freq
+      |  FROM bg
+      |  JOIN bc USING (w1, w2)
+      |  JOIN cc USING (w1)
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(n_bigrams, 0) AS n_bigrams,
+      |  coalesce(n_distinct, 0) AS n_distinct,
+      |  sum_bigram_freq, sum_context_freq,
+      |  sum_bigram_freq::DOUBLE / sum_context_freq AS familiarity
+      |FROM documents d LEFT JOIN agg USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+}

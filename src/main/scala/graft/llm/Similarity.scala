@@ -394,6 +394,56 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // -- Random-projection dimensionality reduction -----------------------------
+
+  val ProjDim = 16
+
+  /** Deterministic Johnson–Lindenstrauss projection matrix (16×64),
+    * derived from the portable hash exactly like [[planes]] — no RNG,
+    * reproducible in the SQL oracle. Weights ∈ [-1, 1], 1/1000
+    * resolution.
+    */
+  val projMatrix: Array[Array[Double]] = Array.tabulate(ProjDim, Dim) { (p, d) =>
+    ((TextHash.jvmHash(s"proj$p,$d", 11) % 2001L) - 1000L) / 1000.0
+  }
+
+  /** d21 — random-projection dimensionality reduction: every 64-dim
+    * embedding maps to a 16-dim JL sketch (`y_p = ⟨e, r_p⟩`, rounded to
+    * 6 before emission like every similarity score). JL projections
+    * approximately preserve pairwise distances, so the sketch is the
+    * cheap pre-filter a 100 TB vector pipeline stores next to (or
+    * instead of) the full vectors.
+    *
+    * Pure map-side: 16 ordered-fold dot products per row, no shuffle,
+    * no UDF — at scale this runs at scan speed and the output is 4×
+    * smaller than the input column. The fold accumulates in index
+    * order, bit-matching DuckDB's sequential `list_dot_product`.
+    */
+  def embedProject(spark: SparkSession, dir: String): DataFrame = {
+    val comps = projMatrix.zipWithIndex.map { case (row, p) =>
+      round(aggregate(
+        zip_with(col("embedding"), typedlit(row.toSeq), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x), 6).as(f"y$p%02d")
+    }
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id") +: comps.toIndexedSeq: _*)
+      .orderBy("vec_id")
+  }
+
+  private def projSqlLiteral(p: Int): String =
+    projMatrix(p).map(w => if (w == w.toLong.toDouble) s"${w.toLong}.0" else w.toString)
+      .mkString("[", ", ", "]::DOUBLE[]")
+
+  val oracleEmbedProject: String = {
+    val comps = (0 until ProjDim).map { p =>
+      f"round(list_dot_product(embedding::DOUBLE[], ${projSqlLiteral(p)}), 6) AS y$p%02d"
+    }.mkString(",\n  ")
+    s"""SELECT vec_id,
+       |  $comps
+       |FROM embeddings
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val oracleEmbedNearDup: String = {
     val bucketExpr = (0 until NumPlanes).map { p =>
       s"CASE WHEN list_dot_product(embedding::DOUBLE[], ${planeSqlLiteral(p)}) > 0 THEN ${1 << p} ELSE 0 END"

@@ -1,0 +1,96 @@
+package graft
+
+import graft.llm.{LangModel, Similarity, Sketch}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic contracts for the round-4 additions: t12 bigram LM
+  * familiarity, d21 random-projection dim reduction, d22 count-min
+  * sketch.
+  */
+class SketchAndLmSpec extends AnyFunSuite {
+  import SparkTestBase.{Sf, spark}
+
+  test("t12: every document scores, counts are consistent, short docs survive") {
+    import spark.implicits._
+    val out = LangModel.bigramFamiliarity(spark, Sf)
+    val nDocs = graft.tables.Tables.documents(spark, Sf).count()
+    assert(out.count() == nDocs, "one score row per document")
+    val bad = out.filter(
+      (col("n_distinct") > col("n_bigrams")) ||
+      (col("sum_bigram_freq") > col("sum_context_freq")) ||
+      (col("familiarity") > 1.0) || (col("familiarity") <= 0.0))
+    assert(bad.isEmpty, s"invariant violations: ${bad.collect().mkString(";")}")
+    // a short-doc corpus must not crash and must emit zero-count rows
+    val shorts = Seq((1L, "one"), (2L, ""), (3L, "two words"), (4L, "a b c"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("t12spec").toString
+    shorts.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = LangModel.bigramFamiliarity(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("t12: familiarity ratio matches a hand-computed micro corpus") {
+    import spark.implicits._
+    // corpus: "a b a b" (doc 1), "a b" (doc 2), "c a" (doc 3)
+    // bigram occurrences: d1: (a,b),(b,a),(a,b); d2: (a,b); d3: (c,a)
+    // bc: (a,b)=3, (b,a)=1, (c,a)=1; cc (w1 occurrences): a=3, b=1, c=1
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c a")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("t12micro").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = LangModel.bigramFamiliarity(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    // doc1: bigrams (a,b),(b,a),(a,b): sum_bc = 3+1+3 = 7, sum_cc = 3+1+3 = 7
+    assert(out(1L) == ((3L, 7L, 7L)))
+    // doc2: (a,b): sum_bc = 3, sum_cc = 3
+    assert(out(2L) == ((1L, 3L, 3L)))
+    // doc3: (c,a): sum_bc = 1, sum_cc = 1
+    assert(out(3L) == ((1L, 1L, 1L)))
+  }
+
+  test("d21: projection is 16 deterministic map-side columns, no shuffle") {
+    val out = Similarity.embedProject(spark, Sf)
+    assert(out.columns.toSeq == "vec_id" +: (0 until Similarity.ProjDim).map(p => f"y$p%02d"))
+    // deterministic across runs
+    val a = out.collect().map(_.toSeq)
+    val b = Similarity.embedProject(spark, Sf).collect().map(_.toSeq)
+    assert(a.sameElements(b))
+    // the only exchange is the presentation sort's range partitioning
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"projection must not shuffle before the presentation sort:\n$plan")
+  }
+
+  test("d21: one component equals the hand-computed dot product") {
+    val first = graft.tables.Tables.embeddings(spark, Sf)
+      .orderBy("vec_id").select("embedding").head.getSeq[Float](0)
+    val expect = BigDecimal(
+      first.zip(Similarity.projMatrix(0)).foldLeft(0.0) { case (acc, (x, w)) => acc + x * w })
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Similarity.embedProject(spark, Sf).orderBy("vec_id").select("y00").head.getDouble(0)
+    assert(got == expect, s"y00 $got != fold $expect")
+  }
+
+  test("d22: CMS never undercounts and is exact without collisions") {
+    val rows = Sketch.countMinTopK(spark, Sf).collect()
+    assert(rows.length == Sketch.TopK)
+    rows.foreach { r =>
+      val (exact, est, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= exact, s"CMS undercounted ${r.getString(0)}: $est < $exact")
+      assert(over == est - exact)
+    }
+    // depth-4 × width-512 over the tiny fixture vocab: at least one of
+    // the top words should read back collision-free (overcount 0) —
+    // and every estimate is bounded by the total token mass
+    val totalTokens = graft.tables.Tables.documents(spark, Sf)
+      .select(explode(graft.llm.TextStats.tokens(col("text"))).as("w"))
+      .count()
+    assert(rows.exists(_.getLong(3) == 0L), "no top word read back collision-free")
+    rows.foreach(r => assert(r.getLong(2) <= totalTokens))
+  }
+}
