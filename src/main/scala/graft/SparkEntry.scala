@@ -56,6 +56,9 @@ object SparkEntry {
     "q35_bloom_join"    -> (ops.RuntimeFilter.bloomJoinRevenue(_, _)),
     "q36_rest_stage"    -> (ops.RestExtract.restStage(_, _)),
     "q37_range_join"    -> (ops.RangeJoin.clicksInPurchaseWindows(_, _)),
+    "q38_window_suite"  -> (ops.WindowOps.windowSuite(_, _)),
+    "q39_multiset_ops"  -> (ops.CoreOps.multisetOps(_, _)),
+    "q40_unpivot"       -> (ops.CoreOps.unpivotDaily(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -437,6 +440,9 @@ object SparkEntry {
     "q35_bloom_join" -> ops.RuntimeFilter.oracleBloomJoin,
     "q36_rest_stage" -> ops.RestExtract.oracleRestStage,
     "q37_range_join" -> ops.RangeJoin.oracleClicksInPurchaseWindows,
+    "q38_window_suite" -> ops.WindowOps.oracleWindowSuite,
+    "q39_multiset_ops" -> ops.CoreOps.oracleMultisetOps,
+    "q40_unpivot"      -> ops.CoreOps.oracleUnpivotDaily,
     "m06_image_neardup" -> llm.Multimodal.oracleImageNearDup,
 
     "t10_repetition" -> llm.TextStats.oracleRepetition,

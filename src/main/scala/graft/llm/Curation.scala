@@ -67,9 +67,13 @@ object Curation {
     * broadcast of the corpus, no all-pairs anything.
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the explode+md5 n-gram leg is the dominant CPU cost
+    // and feeds THREE subtrees (the df cap, the train side, the eval
+    // side) — uncached it would run three times
     val ex = Dedup.corpus(spark, dir)
       .select(col("doc_id"), Sampling.splitCol(col("doc_id")).as("split"),
         explode(ngramHashes(col("text"))).as("h"))
+      .persist()
     val allowed = ex.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxNgramDf)
     val t = ex.filter(col("split") === "train").join(allowed, Seq("h"))

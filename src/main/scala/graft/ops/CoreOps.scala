@@ -401,4 +401,64 @@ object CoreOps {
       .agg(count(lit(1)).as("n"))
       .orderBy("event_type", "k_bucket")
   }
+
+  /** q39 — MULTISET set operations (`intersectAll`/`exceptAll`,
+    * §2.7's bag semantics leg — q20 covers the distinct-set forms):
+    * customer keys of urgent orders vs big orders, multiplicities
+    * preserved. Spark plans these as aggregate+generate over a
+    * count-tagged union — still one keyed shuffle, no distinct
+    * pre-pass.
+    */
+  def multisetOps(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    val big = orders.filter(col("o_totalprice") > 150000.0)
+      .select("o_custkey")
+    urgent.intersectAll(big).withColumn("tag", lit("urgent_and_big_all"))
+      .unionAll(urgent.exceptAll(big).withColumn("tag", lit("urgent_only_all")))
+      .orderBy("o_custkey", "tag")
+  }
+
+  val oracleMultisetOps: String =
+    """WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0)
+      |SELECT o_custkey, 'urgent_and_big_all' AS tag
+      |FROM (SELECT o_custkey FROM urgent INTERSECT ALL SELECT o_custkey FROM big)
+      |UNION ALL
+      |SELECT o_custkey, 'urgent_only_all' AS tag
+      |FROM (SELECT o_custkey FROM urgent EXCEPT ALL SELECT o_custkey FROM big)
+      |ORDER BY o_custkey, tag""".stripMargin
+
+  /** q40 — unpivot (melt): the wide per-day event matrix (q19's shape)
+    * back to long (d, metric, total) rows. `Dataset.unpivot` is a
+    * single Expand over the wide relation — map-side, no shuffle
+    * beyond the wide aggregation itself. The wide side coalesces
+    * nulls to 0 first, so Spark's keep-null melt and DuckDB's
+    * drop-null UNPIVOT agree row-for-row.
+    */
+  def unpivotDaily(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val typeCols = types.map(t =>
+      coalesce(round(sum(when(col("event_type") === t, col("value"))), 2), lit(0.0)).as(t))
+    val wide = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(typeCols.head, typeCols.tail: _*)
+    wide.unpivot(Array(col("d")), types.map(col).toArray, "metric", "total")
+      .orderBy("d", "metric")
+  }
+
+  val oracleUnpivotDaily: String =
+    """WITH wide AS (
+      |  SELECT (ts::TIMESTAMP)::DATE AS d,
+      |    coalesce(round(sum(value) FILTER (event_type = 'click'), 2), 0.0)    AS click,
+      |    coalesce(round(sum(value) FILTER (event_type = 'error'), 2), 0.0)    AS error,
+      |    coalesce(round(sum(value) FILTER (event_type = 'purchase'), 2), 0.0) AS purchase,
+      |    coalesce(round(sum(value) FILTER (event_type = 'signup'), 2), 0.0)   AS signup,
+      |    coalesce(round(sum(value) FILTER (event_type = 'view'), 2), 0.0)     AS view
+      |  FROM events
+      |  GROUP BY 1)
+      |SELECT d, metric, total
+      |FROM wide UNPIVOT (total FOR metric IN (click, error, purchase, signup, view))
+      |ORDER BY d, metric""".stripMargin
 }

@@ -58,4 +58,39 @@ object WindowOps {
       .select(col("event_type"), col("d"), col("v"), col("avg7"))
       .orderBy("event_type", "d")
   }
+
+  /** q38 — the rest of the analytic-window surface in one query: lag,
+    * first/last value over an explicit unbounded frame, percent_rank
+    * and cume_dist, per customer in order-date order. ONE window
+    * shuffle on o_custkey serves all six functions (they share the
+    * partition spec; Spark evaluates them in a single Window operator).
+    * percent_rank/cume_dist are int/int divisions — bit-deterministic
+    * across engines, shipped unrounded.
+    */
+  def windowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        lag("o_totalprice", 1).over(ord).as("prev_price"),
+        first("o_totalprice").over(full).as("first_price"),
+        last("o_totalprice").over(full).as("last_price"),
+        percent_rank().over(ord).as("pr"),
+        cume_dist().over(ord).as("cd"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  val oracleWindowSuite: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  first_value(o_totalprice) OVER wf AS first_price,
+      |  last_value(o_totalprice) OVER wf AS last_price,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd
+      |FROM orders
+      |WINDOW
+      |  w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 }

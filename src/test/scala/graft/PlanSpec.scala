@@ -117,4 +117,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("cosine_similarity") || p.contains("cosinesimilarity") ||
            p.toLowerCase.contains("cosine"), s"native expression missing from plan:\n$p")
   }
+
+  test("q38: all six analytic functions share ONE window shuffle") {
+    val p = planOf("q38_window_suite")
+    // two Window operators (running frame + unbounded frame) but only
+    // one hashpartitioning exchange on o_custkey feeding both
+    assert("hashpartitioning\\(o_custkey".r.findAllIn(p).length == 1,
+      s"window suite shuffled more than once on o_custkey:\n$p")
+  }
+
+  test("q40: unpivot is a map-side Expand over the wide aggregate") {
+    val p = planOf("q40_unpivot")
+    assert(p.contains("Expand"), s"unpivot did not plan as Expand:\n$p")
+    // only the wide aggregation's exchange + the presentation sort —
+    // the Expand itself must not add a shuffle
+    assert("hashpartitioning".r.findAllIn(p).length == 1,
+      s"unpivot added a shuffle beyond the wide aggregation:\n$p")
+  }
 }
