@@ -55,12 +55,9 @@ object DailyIngest {
     */
   def streamDaily(spark: SparkSession, dir: String): DataFrame = {
     val ss = StreamEnv.streamSession(spark)
-    // the file-stream source wants a directory: stream the sf dir,
-    // glob-filtered to the events table
-    val raw = ss.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    // the path works as both layouts: a single events.parquet FILE
+    // (driver testdata) or a directory of part files (Amplify output)
+    val raw = StreamEnv.eventsRawStream(ss, dir, eventsRawSchema)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val name = s"stream_daily_${System.nanoTime()}"
     val q = dailyAgg(raw).writeStream
@@ -106,10 +103,7 @@ object DailyIngest {
     // KEEP both — the checkpoint is what makes the next run incremental)
     val fs = org.apache.hadoop.fs.FileSystem.get(ss.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
-    val raw = ss.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val raw = StreamEnv.eventsRawStream(ss, dir, eventsRawSchema)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val q = dailyAgg(raw).writeStream
       .format("parquet")

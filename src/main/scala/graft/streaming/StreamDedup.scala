@@ -27,10 +27,7 @@ object StreamDedup {
     */
   def dedupedDailyCounts(spark: SparkSession, dir: String): DataFrame = {
     val ss = StreamEnv.streamSession(spark)
-    val once = ss.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val once = StreamEnv.eventsRawStream(ss, dir, eventsRawSchema)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val doubled = once.union(once) // the duplicated delivery
     val name = s"stream_dedup_${System.nanoTime()}"

@@ -21,4 +21,22 @@ object StreamEnv {
     ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ss
   }
+
+  /** File-stream source over `<dir>/events.parquet`, accepting BOTH
+    * table layouts: a single parquet file of that name (the driver
+    * testdata — the source's basePath must be a directory, so stream
+    * the parent glob-filtered to the file) or a directory of part
+    * files (any `df.write.parquet` output, e.g. the Amplify stress
+    * fixture — streamed directly).
+    */
+  def eventsRawStream(ss: SparkSession,
+                      dir: String,
+                      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = p.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val reader = ss.readStream.schema(schema)
+    if (fs.getFileStatus(p).isDirectory) reader.parquet(p.toString)
+    else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+  }
 }

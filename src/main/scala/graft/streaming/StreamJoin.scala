@@ -31,10 +31,7 @@ object StreamJoin {
     StructField("props", StringType)))
 
   private def eventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    StreamEnv.eventsRawStream(spark, dir, eventsRawSchema)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
   def purchaseClickJoin(spark: SparkSession, dir: String): DataFrame = {
