@@ -59,6 +59,7 @@ object SparkEntry {
     "q38_window_suite"  -> (ops.WindowOps.windowSuite(_, _)),
     "q39_multiset_ops"  -> (ops.CoreOps.multisetOps(_, _)),
     "q40_unpivot"       -> (ops.CoreOps.unpivotDaily(_, _)),
+    "q41_mode_disc"     -> (ops.CoreOps.modeDisc(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -94,12 +95,14 @@ object SparkEntry {
     "t10_repetition"        -> (llm.TextStats.repetition(_, _)),
     "t11_bpe_tokens"        -> (llm.Bpe.bpeTokens(_, _)),
     "t12_bigram_lm"         -> (llm.LangModel.bigramFamiliarity(_, _)),
+    "t13_novelty"           -> (llm.TextStats.novelty(_, _)),
     "m01_media_stats"       -> (llm.Multimodal.mediaStats(_, _)),
     "m02_image_decode"      -> (llm.Multimodal.imageStats(_, _)),
     "m03_image_resize"      -> (llm.Multimodal.imageResize(_, _)),
     "m04_audio_decode"      -> (llm.Multimodal.audioStats(_, _)),
     "m05_video_frames"      -> (llm.Multimodal.videoFrames(_, _)),
     "m06_image_neardup"     -> (llm.Multimodal.imageNearDup(_, _)),
+    "m07_audio_resample"    -> (llm.Multimodal.audioResample(_, _)),
     "s01_stream_daily"      -> (streaming.DailyIngest.streamDaily(_, _)),
     "s02_sessionize"        -> (streaming.Sessionize.sessions(_, _)),
     "s03_sliding"           -> (streaming.DailyIngest.slidingDaily(_, _)),
@@ -443,11 +446,14 @@ object SparkEntry {
     "q38_window_suite" -> ops.WindowOps.oracleWindowSuite,
     "q39_multiset_ops" -> ops.CoreOps.oracleMultisetOps,
     "q40_unpivot"      -> ops.CoreOps.oracleUnpivotDaily,
+    "q41_mode_disc"    -> ops.CoreOps.oracleModeDisc,
     "m06_image_neardup" -> llm.Multimodal.oracleImageNearDup,
+    "m07_audio_resample" -> llm.Multimodal.oracleAudioResample,
 
     "t10_repetition" -> llm.TextStats.oracleRepetition,
     "t11_bpe_tokens" -> llm.Bpe.oracleBpeTokens,
     "t12_bigram_lm"  -> llm.LangModel.oracleBigramFamiliarity,
+    "t13_novelty"    -> llm.TextStats.oracleNovelty,
 
     "s02_sessionize" -> streaming.Sessionize.oracleSessions,
     "s03_sliding"    -> streaming.DailyIngest.oracleSlidingDaily,

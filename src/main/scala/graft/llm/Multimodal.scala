@@ -685,4 +685,98 @@ object Multimodal {
        |  ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHammingMax
        |ORDER BY id_a, id_b""".stripMargin
+
+  // -- m07: audio downsample (the resize analog for audio) --------------------
+
+  case class ResampledAudio(doc_id: Long, sample_rate: Int, n_samples: Int,
+                            sum_abs: Long, min_s: Int, max_s: Int,
+                            samples_csv: String)
+
+  /** m07 — REAL audio downsample 2:1: decode the WAV binary column
+    * (same real `javax.sound.sampled` path as m04), average each
+    * adjacent sample pair (`(s₂ⱼ + s₂ⱼ₊₁) / 2` — the 2-tap box
+    * filter; TRUNCATING division, matching DuckDB's integer `//`,
+    * which truncates toward zero — measured, not floor),
+    * re-encode the half-rate signal through the codec,
+    * and emit the stats of a SECOND decode — a full
+    * decode→DSP→encode→decode round trip per row, so a header,
+    * endianness or filter bug breaks the oracle hash. An odd trailing
+    * sample is dropped (`n/2` output samples), as any 2:1 decimator
+    * must.
+    *
+    * Scale shape: identical to m03/m04 — partition-parallel
+    * `mapPartitions` over the binary column, no shuffle before the
+    * presentation sort; codec work adds executors at 100 TB.
+    */
+  def audioResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val outRate = AudioRate / 2
+    audioTable(spark, dir).mapPartitions { rows =>
+      val fmt = new javax.sound.sampled.AudioFormat(outRate.toFloat, 16, 1, true, false)
+      rows.map { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        val pcm = in.readAllBytes()
+        val n = in.getFrameLength.toInt / 2
+        val down = new Array[Byte](n * 2)
+        var j = 0
+        while (j < n) {
+          val a = (pcm(4 * j) & 0xff) | (pcm(4 * j + 1) << 8)
+          val b = (pcm(4 * j + 2) & 0xff) | (pcm(4 * j + 3) << 8)
+          val v = (a + b) / 2
+          down(2 * j) = (v & 0xff).toByte
+          down(2 * j + 1) = ((v >> 8) & 0xff).toByte
+          j += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(down), fmt, n.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        // decode AGAIN from the fresh WAV bytes: stats come from what a
+        // downstream consumer of the re-encoded column would read
+        val in2 = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        val rate2 = in2.getFormat.getSampleRate.toInt
+        val pcm2 = in2.readAllBytes()
+        val m = in2.getFrameLength.toInt
+        var sumAbs = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+        val vals = new Array[Int](m)
+        var i = 0
+        while (i < m) {
+          val v = (pcm2(2 * i) & 0xff) | (pcm2(2 * i + 1) << 8)
+          vals(i) = v
+          sumAbs += math.abs(v)
+          if (v < mn) mn = v; if (v > mx) mx = v
+          i += 1
+        }
+        ResampledAudio(r.doc_id, rate2, m, sumAbs, mn, mx, vals.mkString(","))
+      }
+    }.toDF()
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("sum_abs"), col("min_s"), col("max_s"),
+        md5(col("samples_csv")).as("samples_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** The oracle rebuilds the decimated signal from the md5 sample
+    * chain: pair (2j, 2j+1), truncate-divide the sum by 2 (DuckDB's
+    * integer `//` truncates toward zero, like JVM int division).
+    */
+  val oracleAudioResample: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, j,
+       |    (('0x' || substr(md5(doc_id || ':a:' || ((2 * j) // 8)),
+       |                     ((2 * j) % 8) * 4 + 1, 4))::INT - 32768
+       |     + ('0x' || substr(md5(doc_id || ':a:' || ((2 * j + 1) // 8)),
+       |                       ((2 * j + 1) % 8) * 4 + 1, 4))::INT - 32768) // 2 AS v
+       |  FROM documents,
+       |       LATERAL (SELECT unnest(range((160 + doc_id % 97) // 2)) AS j) t)
+       |SELECT doc_id,
+       |  ${AudioRate / 2} AS sample_rate,
+       |  count(*)::INT AS n_samples,
+       |  sum(abs(v))::BIGINT AS sum_abs,
+       |  min(v)::INT AS min_s, max(v)::INT AS max_s,
+       |  md5(string_agg(v::VARCHAR, ',' ORDER BY j)) AS samples_md5
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -416,4 +416,41 @@ object TextStats {
        |SELECT doc_id, min(h) AS fp_min, bit_xor(h) AS fp_xor, count(*) AS n_shingles
        |FROM h GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
+
+  /** t13 — corpus novelty scoring: the fraction of a doc's distinct
+    * 8-char shingles (same t04 hash spine) whose FIRST corpus
+    * occurrence (minimum doc_id) is this doc. High novelty = genuinely
+    * new content; low novelty = mostly restatement of earlier docs —
+    * the per-document complement of d19's span removal, used to rank
+    * crawl snapshots before curation.
+    *
+    * Shuffle budget: the shingle relation aggregates once on the hash
+    * (first-owner per shingle), joins back on the hash (keyed, one row
+    * per distinct (doc, shingle)), and aggregates per doc. The ratio
+    * is int/int — bit-deterministic, shipped unrounded.
+    */
+  def novelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextHash.hashedShingles(col("text"), 0)).as("h"))
+    val firstOwner = sh.groupBy("h").agg(min("doc_id").as("first_doc"))
+    sh.join(firstOwner, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", col("n_novel").cast("double") / col("n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  val oracleNovelty: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, unnest(${TextHash.hashedShinglesSql("text", 0)}) AS h
+       |  FROM documents),
+       |f AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h)
+       |SELECT doc_id,
+       |  count(*) AS n_shingles,
+       |  sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       |  sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::DOUBLE / count(*) AS novelty
+       |FROM sh JOIN f USING (h)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 }

@@ -448,6 +448,63 @@ object CoreOps {
       .orderBy("d", "metric")
   }
 
+  /** q41 — statistical mode + DISCRETE quantiles per group. Neither
+    * engine's native `mode()` defines tie order, so the mode is spelled
+    * as count-desc/value-asc row_number over the pre-aggregated value
+    * histogram — deterministic in both engines. percentile_disc(q) =
+    * smallest value whose cumulative count reaches q·total, tested in
+    * INTEGER arithmetic (`running·k ≥ total·m`), no float thresholds.
+    * Cost: one histogram aggregate (the only shuffle of the raw
+    * relation — value domains are small after grouping), then windows
+    * over the tiny histogram.
+    */
+  def modeDisc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("c"))
+    val wMode = Window.partitionBy("l_returnflag")
+      .orderBy(col("c").desc, col("l_quantity").asc)
+    val mode = counts
+      .withColumn("rn", row_number().over(wMode)).filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("c").as("mode_n"))
+    val wCum = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("l_returnflag")
+    val disc = counts
+      .withColumn("running", sum("c").over(wCum))
+      .withColumn("total", sum("c").over(wTot))
+      .groupBy("l_returnflag")
+      .agg(
+        min(when(col("running") * 2 >= col("total"), col("l_quantity"))).as("p50_disc"),
+        min(when(col("running") * 10 >= col("total") * 9, col("l_quantity"))).as("p90_disc"))
+    mode.join(disc, "l_returnflag").orderBy("l_returnflag")
+  }
+
+  val oracleModeDisc: String =
+    """WITH c AS (
+      |  SELECT l_returnflag, l_quantity, count(*) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |m AS (
+      |  SELECT l_returnflag, l_quantity AS mode_qty, c AS mode_n,
+      |         row_number() OVER (PARTITION BY l_returnflag
+      |                            ORDER BY c DESC, l_quantity) AS rn
+      |  FROM c),
+      |r AS (
+      |  SELECT l_returnflag, l_quantity, c,
+      |         sum(c) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS running,
+      |         sum(c) OVER (PARTITION BY l_returnflag) AS total
+      |  FROM c),
+      |d AS (
+      |  SELECT l_returnflag,
+      |         min(CASE WHEN running * 2 >= total THEN l_quantity END) AS p50_disc,
+      |         min(CASE WHEN running * 10 >= total * 9 THEN l_quantity END) AS p90_disc
+      |  FROM r GROUP BY 1)
+      |SELECT m.l_returnflag, mode_qty, mode_n, p50_disc, p90_disc
+      |FROM m JOIN d USING (l_returnflag)
+      |WHERE rn = 1
+      |ORDER BY 1""".stripMargin
+
   val oracleUnpivotDaily: String =
     """WITH wide AS (
       |  SELECT (ts::TIMESTAMP)::DATE AS d,

@@ -294,6 +294,22 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("m07 audio downsample: 2:1 decimation through a full codec round trip") {
+    val rows = Multimodal.audioResample(spark, Sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == Multimodal.AudioRate / 2)     // rate from the RE-decoded header
+      val n = 160 + (id % 97).toInt
+      assert(r.getInt(2) == n / 2, s"half the frames, odd tail dropped, doc $id")
+      // ground truth: the 2-tap box filter over the md5-chain samples
+      val s = Multimodal.samplesOf(id, n)
+      val down = (0 until n / 2).map(j => (s(2 * j) + s(2 * j + 1)) / 2)
+      assert(r.getLong(3) == down.map(v => math.abs(v).toLong).sum, s"sum_abs doc $id")
+      assert(r.getInt(4) == down.min && r.getInt(5) == down.max, s"min/max doc $id")
+    }
+  }
+
   test("m05 real GIF round trip: container frame count and sampled rasters match") {
     val frames = Multimodal.videoFrames(spark, Sf).collect()
     // every doc contributes ceil(n_frames / stride) sampled frames

@@ -76,6 +76,42 @@ class SketchAndLmSpec extends AnyFunSuite {
     assert(got == expect, s"y00 $got != fold $expect")
   }
 
+  test("t13: the first doc owns all its shingles; nobody exceeds 1.0") {
+    val rows = graft.llm.TextStats.novelty(spark, Sf).collect()
+    val first = rows.minBy(_.getLong(0))
+    assert(first.getDouble(3) == 1.0, "lowest doc_id must have novelty 1.0")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"n_novel > n_shingles for doc ${r.getLong(0)}")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // duplicated content is the point: docs sharing shingles with an
+    // earlier doc must score below 1 somewhere in the fixture
+    assert(rows.exists(_.getDouble(3) < 1.0), "fixture has twins; someone must be non-novel")
+  }
+
+  test("q41: mode and discrete quantiles match a driver-side histogram") {
+    val got = graft.ops.CoreOps.modeDisc(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val hist = graft.tables.Tables.lineitem(spark, Sf)
+      .select("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .groupBy(_._1._1)
+    hist.foreach { case (flag, entries) =>
+      val counts = entries.map { case ((_, q), c) => (q, c) }.sortBy(_._1)
+      val total = counts.map(_._2).sum
+      val mode = counts.minBy { case (q, c) => (-c, q) }
+      def disc(num: Long, den: Long) = { // smallest q with running*den >= total*num
+        var run = 0L
+        counts.find { case (_, c) => run += c; run * den >= total * num }.get._1
+      }
+      val (mq, mn, p50, p90) = got(flag)
+      assert(mq == mode._1 && mn == mode._2, s"mode mismatch for $flag")
+      assert(p50 == disc(1, 2), s"p50 mismatch for $flag")
+      assert(p90 == disc(9, 10), s"p90 mismatch for $flag")
+    }
+  }
+
   test("d22: CMS never undercounts and is exact without collisions") {
     val rows = Sketch.countMinTopK(spark, Sf).collect()
     assert(rows.length == Sketch.TopK)
