@@ -34,6 +34,11 @@ object Bench {
       val err = try { fn(spark, sfDir).count(); None }
                 catch { case e: Throwable => Some(e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200)) }
       spark.catalog.clearCache()
+      // nudge the ContextCleaner: loop queries leave orphaned
+      // localCheckpoint RDD blocks that only a GC cycle releases, and
+      // the resulting memory pressure taxes LATER queries' timings
+      // (d05 measured 3.7x slower mid-suite than isolated)
+      System.gc()
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }

@@ -89,6 +89,7 @@ object SparkEntry {
     "d20_lang_mix"          -> (llm.Curation.langMix(_, _)),
     "d21_embed_project"     -> (llm.Similarity.embedProject(_, _)),
     "d22_countmin_topk"     -> (llm.Sketch.countMinTopK(_, _)),
+    "d23_incremental_dedup" -> (llm.Dedup.incrementalDedup(_, _)),
     "t07_pii_scrub"         -> (llm.TextPrep.piiScrub(_, _)),
     "t08_chunking"          -> (llm.TextPrep.chunk(_, _)),
     "t09_packing"           -> (llm.TextPrep.pack(_, _)),
@@ -335,6 +336,7 @@ object SparkEntry {
     "d20_lang_mix"          -> llm.Curation.oracleLangMix,
     "d21_embed_project"     -> llm.Similarity.oracleEmbedProject,
     "d22_countmin_topk"     -> llm.Sketch.oracleCountMinTopK,
+    "d23_incremental_dedup" -> llm.Dedup.oracleIncrementalDedup,
     // d16_distinct_sketch: no oracle — HLL estimates are engine-specific;
     // rows-only check + TextPrepSpec error bound
     "d17_embed_quantize"    -> llm.Similarity.oracleEmbedQuantize,

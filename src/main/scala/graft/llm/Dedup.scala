@@ -576,4 +576,153 @@ object Dedup {
        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
        |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- d23: incremental dedup (new batch vs existing corpus) ----------------
+
+  /** Exact-copy id offset for d23's incoming fixture (disjoint from
+    * [[TwinIdOffset]]'s near-dup twins).
+    */
+  val IncCopyIdOffset = 2 * TwinIdOffset
+
+  /** d23's "incoming batch": every existing doc's truncated twin (the
+    * near-dup case) plus an EXACT copy of every 5th doc (the exact
+    * case) — so all three verdicts (exact / near / new) occur.
+    */
+  private def incomingBatch(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    d.select(
+        (col("doc_id") + lit(TwinIdOffset)).as("doc_id"),
+        col("text").substr(lit(1), greatest(length(col("text")) - lit(TwinTruncate), lit(20))).as("text"))
+      .unionByName(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + lit(IncCopyIdOffset)).as("doc_id"), col("text")))
+  }
+
+  /** d23 — INCREMENTAL dedup: classify an incoming batch against an
+    * existing corpus without ever comparing incoming docs to each
+    * other — the nightly-crawl production shape (the corpus is
+    * petabytes and already deduped; only new-vs-existing matters).
+    * Verdict per incoming doc: `exact` (same content hash as an
+    * existing doc), `near` (shares an LSH band bucket with an existing
+    * doc AND verified Jaccard ≥ [[JaccardThreshold]]), else `new`;
+    * `dup_of` = the smallest matching existing doc (exact precedence).
+    *
+    * Scale shape: the exact leg is ONE keyed left join on the content
+    * hash. The near leg is d03's band machinery made ASYMMETRIC —
+    * incoming bands equi-join existing bands on (band, band_hash), so
+    * the huge existing corpus is touched once, partitioned by bucket,
+    * and the candidate count scales with the incoming batch, not the
+    * corpus. Nothing is all-pairs; at 100 TB the existing band table
+    * is a materialized staging table maintained across ingests (the
+    * cc_labels pattern).
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    def shingled(df: DataFrame): DataFrame =
+      df.repartition(col("doc_id"))
+        .select(col("doc_id"), TextHash.hashedShingles(col("text"), 0).as("hs"))
+    val existing = Tables.documents(spark, dir).select("doc_id", "text")
+    val incoming = incomingBatch(spark, dir).persist()
+
+    val exactOf = incoming.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(existing.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("exact_of")),
+        Seq("h"), "left")
+      .select("doc_id", "exact_of")
+
+    val shE = shingled(existing).persist()
+    val shI = shingled(incoming).persist()
+    val cand = bandsFrom(shI).as("i")
+      .join(bandsFrom(shE).as("e"),
+        col("i.band") === col("e.band") && col("i.band_hash") === col("e.band_hash"))
+      .select(col("i.doc_id").as("inc_id"), col("e.doc_id").as("ex_id"))
+      .distinct()
+    val nearOf = cand
+      .join(shI.select(col("doc_id").as("inc_id"), col("hs").as("hs_i")), Seq("inc_id"))
+      .join(shE.select(col("doc_id").as("ex_id"), col("hs").as("hs_e")), Seq("ex_id"))
+      .select(col("inc_id"), col("ex_id"),
+        size(array_intersect(col("hs_i"), col("hs_e"))).as("inter"),
+        size(col("hs_i")).as("szi"), size(col("hs_e")).as("sze"))
+      .filter(col("inter").cast("double") / (col("szi") + col("sze") - col("inter"))
+        >= JaccardThreshold)
+      .groupBy(col("inc_id").as("doc_id"))
+      .agg(min("ex_id").as("near_of"))
+
+    exactOf.join(nearOf, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_of").isNotNull, lit("exact"))
+          .when(col("near_of").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("exact_of"), col("near_of")).as("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  /** Parameterized twins of the fixed-name CTE builders above, for the
+    * d23 oracle's two-sided (existing vs incoming) chain.
+    */
+  private def shinglesCte(name: String, src: String): String =
+    s"""$name AS (
+       |  SELECT DISTINCT doc_id, unnest(${hashedShinglesSql("text", 0)}) AS base
+       |  FROM $src)""".stripMargin
+
+  private def minhashCte(name: String, sh: String): String = {
+    val mhCols = (0 until MinhashSeeds)
+      .map(s => s"min(${mixSql("base", s)}) AS mh$s").mkString(",\n         ")
+    s"""$name AS (
+       |  SELECT doc_id,
+       |         $mhCols
+       |  FROM $sh GROUP BY doc_id)""".stripMargin
+  }
+
+  private def bandsCte(name: String, mh: String): String = {
+    val bandSelects = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, ${phashSql(cols, 1)} AS band_hash FROM $mh"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$name AS (
+       |  $bandSelects)""".stripMargin
+  }
+
+  val oracleIncrementalDedup: String =
+    s"""WITH inc AS (
+       |  SELECT doc_id + $TwinIdOffset AS doc_id,
+       |         substr(text, 1, greatest(length(text) - $TwinTruncate, 20)) AS text
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $IncCopyIdOffset AS doc_id, text
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |ex AS (
+       |  SELECT i.doc_id, min(e.doc_id) AS exact_of
+       |  FROM inc i JOIN documents e ON md5(e.text) = md5(i.text)
+       |  GROUP BY 1),
+       |${shinglesCte("she", "documents")},
+       |${shinglesCte("shi", "inc")},
+       |${minhashCte("mhe", "she")},
+       |${minhashCte("mhi", "shi")},
+       |${bandsCte("be", "mhe")},
+       |${bandsCte("bi", "mhi")},
+       |cand AS (
+       |  SELECT DISTINCT i.doc_id AS inc_id, e.doc_id AS ex_id
+       |  FROM bi i JOIN be e ON i.band = e.band AND i.band_hash = e.band_hash),
+       |sze AS (SELECT doc_id, count(*) AS sz FROM she GROUP BY doc_id),
+       |szi AS (SELECT doc_id, count(*) AS sz FROM shi GROUP BY doc_id),
+       |inter AS (
+       |  SELECT inc_id, ex_id, count(*) AS i
+       |  FROM cand
+       |  JOIN shi sa ON sa.doc_id = inc_id
+       |  JOIN she sb ON sb.doc_id = ex_id AND sa.base = sb.base
+       |  GROUP BY 1, 2),
+       |near AS (
+       |  SELECT inc_id AS doc_id, min(ex_id) AS near_of
+       |  FROM inter
+       |  JOIN szi ON szi.doc_id = inc_id
+       |  JOIN sze ON sze.doc_id = ex_id
+       |  WHERE i::DOUBLE / (szi.sz + sze.sz - i) >= $JaccardThreshold
+       |  GROUP BY 1)
+       |SELECT i.doc_id,
+       |  CASE WHEN exact_of IS NOT NULL THEN 'exact'
+       |       WHEN near_of IS NOT NULL THEN 'near'
+       |       ELSE 'new' END AS status,
+       |  coalesce(exact_of, near_of) AS dup_of
+       |FROM inc i
+       |LEFT JOIN ex USING (doc_id)
+       |LEFT JOIN near USING (doc_id)
+       |ORDER BY i.doc_id""".stripMargin
 }

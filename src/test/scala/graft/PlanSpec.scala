@@ -118,6 +118,12 @@ class PlanSpec extends AnyFunSuite {
            p.toLowerCase.contains("cosine"), s"native expression missing from plan:\n$p")
   }
 
+  test("d23: incremental dedup joins incoming to existing on keyed buckets, never all-pairs") {
+    val p = planOf("d23_incremental_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"all-pairs join in d23:\n$p")
+  }
+
   test("q38: all six analytic functions share ONE window shuffle") {
     val p = planOf("q38_window_suite")
     // two Window operators (running frame + unbounded frame) but only

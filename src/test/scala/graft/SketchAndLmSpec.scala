@@ -112,6 +112,25 @@ class SketchAndLmSpec extends AnyFunSuite {
     }
   }
 
+  test("d23: incoming exact copies flag 'exact' against their originals, twins 'near', dup_of always existing") {
+    import graft.llm.Dedup
+    val rows = Dedup.incrementalDedup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+                 if (r.isNullAt(2)) -1L else r.getLong(2)))
+    val (copies, twins) = rows.partition(_._1 >= Dedup.IncCopyIdOffset)
+    assert(copies.nonEmpty && copies.forall { case (id, st, of) =>
+      st == "exact" && of == id - Dedup.IncCopyIdOffset },
+      "every exact copy must resolve to its original")
+    // truncated twins are never byte-identical here; most verify as near
+    assert(twins.forall(t => t._2 == "near" || t._2 == "new"))
+    assert(twins.count(_._2 == "near") > twins.length / 2,
+      "the twin construction should verify as near-dup for most docs")
+    // asymmetry: a dup_of target is ALWAYS an existing-corpus doc
+    rows.filter(_._3 >= 0).foreach { case (id, _, of) =>
+      assert(of < Dedup.TwinIdOffset, s"dup_of $of of $id is not an existing doc")
+    }
+  }
+
   test("d22: CMS never undercounts and is exact without collisions") {
     val rows = Sketch.countMinTopK(spark, Sf).collect()
     assert(rows.length == Sketch.TopK)
