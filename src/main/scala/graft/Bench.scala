@@ -33,13 +33,16 @@ object Bench {
       // a failing query must surface as err, not masquerade as a fast time
       val err = try { fn(spark, sfDir).count(); None }
                 catch { case e: Throwable => Some(e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200)) }
+      // timing stops HERE: cache clearing and the GC nudge are
+      // inter-query hygiene, not part of the measured query
+      val secs = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       // nudge the ContextCleaner: loop queries leave orphaned
       // localCheckpoint RDD blocks that only a GC cycle releases, and
       // the resulting memory pressure taxes LATER queries' timings
       // (d05 measured 3.7x slower mid-suite than isolated)
       System.gc()
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      (name, secs, err)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -112,6 +112,7 @@ object SparkEntry {
     "s06_stream_join"       -> (streaming.StreamJoin.purchaseClickJoin(_, _)),
     "s07_stream_tws"        -> (streaming.StateV2.runningWeekly(_, _)),
     "s08_stream_left_join"  -> (streaming.StreamJoin.purchaseClickLeftJoin(_, _)),
+    "s09_stream_static"     -> (streaming.StreamJoin.streamStaticEnrich(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -464,6 +465,7 @@ object SparkEntry {
     "s06_stream_join"  -> streaming.StreamJoin.oraclePurchaseClickJoin,
     "s07_stream_tws"   -> streaming.StateV2.oracleRunningWeekly,
     "s08_stream_left_join" -> streaming.StreamJoin.oraclePurchaseClickLeftJoin,
+    "s09_stream_static"    -> streaming.StreamJoin.oracleStreamStaticEnrich,
     "q24_csv_stage"  -> ops.Staging.oracleCsvStage,
     "q25_catalog"    -> ops.Staging.oracleCatalog,
     "q26_bucketed_join" -> ops.Staging.oracleBucketedJoin,

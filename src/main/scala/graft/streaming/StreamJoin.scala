@@ -137,4 +137,49 @@ object StreamJoin {
       | AND c.ts::TIMESTAMP BETWEEN p.ts::TIMESTAMP - INTERVAL 1 HOUR
       |                         AND p.ts::TIMESTAMP
       |ORDER BY purchase_id, click_id""".stripMargin
+
+  /** s09 — stream-STATIC enrichment join: the production pattern the
+    * stream-stream legs (s06/s08) don't cover — an unbounded event
+    * stream enriched against a bounded dimension table (here: events ⋈
+    * customer on user_id, then a watermarked daily aggregate per
+    * market segment, append mode). The static side needs no watermark
+    * and no state: Spark re-plans it per micro-batch as an ordinary
+    * broadcast hash join, so the stream never shuffles and the
+    * dimension never buffers — exactly the q13 broadcast-dim shape
+    * carried into the streaming engine.
+    */
+  def streamStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val ss = StreamEnv.streamSession(spark)
+    val dim = ss.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = eventStream(ss, dir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("c_mktsegment"))
+      .agg((round(sum("value"), 2) / count("value")).as("mean_value"),
+           count(lit(1)).as("n"))
+      .select(col("c_mktsegment").as("segment"), to_date(col("w.start")).as("d"),
+              col("mean_value"), col("n"))
+    val name = s"stream_static_${System.nanoTime()}"
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name).orderBy("segment", "d")
+  }
+
+  /** Batch twin + the append-mode watermark tail model (windows closed
+    * once watermark = max(ts) − 1 day passes them), like s01/s04.
+    */
+  val oracleStreamStaticEnrich: String =
+    """SELECT c_mktsegment AS segment, (ts::TIMESTAMP)::DATE AS d,
+      |  round(sum(value), 2) / count(value) AS mean_value,
+      |  count(*) AS n
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2
+      |HAVING d < (SELECT max(ts::TIMESTAMP)::DATE - 1 FROM events)
+      |ORDER BY 1, 2""".stripMargin
 }

@@ -368,6 +368,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(n == slice.count()) // duplicates would double this
   }
 
+  test("s09 stream-static enrichment equals the batch join over closed windows") {
+    import org.apache.spark.sql.functions.{broadcast, count, date_sub, lit, max, round, sum, to_date}
+    val streamRows = graft.streaming.StreamJoin.streamStaticEnrich(spark, Sf).collect()
+    val dim = spark.read.parquet(s"$Sf/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val batch = graft.tables.Tables.events(spark, Sf)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), to_date(col("ts")).as("d"))
+      .agg((round(sum("value"), 2) / count("value")).as("mean_value"),
+           count(lit(1)).as("n"))
+    val maxD = batch.agg(max("d")).head().getDate(0)
+    val batchRows = batch.filter(col("d") < date_sub(lit(maxD), 1))
+      .orderBy("segment", "d").collect()
+    assert(streamRows.nonEmpty && streamRows.length == batchRows.length)
+    streamRows.zip(batchRows).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("streaming daily ingest equals the batch computation (Kappa)") {
     // append-mode drain emits exactly the watermark-closed windows: the
     // batch result minus the last two (still-open) days
