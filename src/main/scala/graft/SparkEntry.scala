@@ -60,6 +60,7 @@ object SparkEntry {
     "q39_multiset_ops"  -> (ops.CoreOps.multisetOps(_, _)),
     "q40_unpivot"       -> (ops.CoreOps.unpivotDaily(_, _)),
     "q41_mode_disc"     -> (ops.CoreOps.modeDisc(_, _)),
+    "q42_json_stage"    -> (ops.Staging.jsonStage(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -450,6 +451,7 @@ object SparkEntry {
     "q39_multiset_ops" -> ops.CoreOps.oracleMultisetOps,
     "q40_unpivot"      -> ops.CoreOps.oracleUnpivotDaily,
     "q41_mode_disc"    -> ops.CoreOps.oracleModeDisc,
+    "q42_json_stage"   -> ops.Staging.oracleJsonStage,
     "m06_image_neardup" -> llm.Multimodal.oracleImageNearDup,
     "m07_audio_resample" -> llm.Multimodal.oracleAudioResample,
 

@@ -72,6 +72,43 @@ object Staging {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** q42 — JSON-lines staging round trip (the third file format next
+    * to parquet and CSV, and the wire format of the reference's REST
+    * extracts): write an orders extract as JSON lines, read it back
+    * with an EXPLICIT schema (`spark.read.json` with inference would
+    * scan twice and silently widen types), aggregate. Dates travel as
+    * ISO strings in JSON and are re-cast on read — the round trip a
+    * real landing zone performs.
+    */
+  val ordersStageSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", StringType)))
+
+  def jsonStage(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stagePath("json_orders", dir)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .write.mode("overwrite").json(stage)
+    spark.read.schema(ordersStageSchema).json(stage)
+      .withColumn("yr", year(to_date(col("o_orderdate"))).cast("int"))
+      .groupBy("o_orderstatus", "yr")
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus", "yr")
+  }
+
+  val oracleJsonStage: String =
+    """SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS yr,
+      |  count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** q25 — catalog DDL round trip (SURVEY §2 S8): `saveAsTable` into
     * the session catalog (external location so the warehouse stays out
     * of the repo tree), then query it back by NAME through `spark.sql`

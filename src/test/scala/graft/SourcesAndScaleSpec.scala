@@ -30,6 +30,18 @@ class SourcesAndScaleSpec extends AnyFunSuite {
     assert(back.filter($"code_commune" === "15024").count() == 1)
   }
 
+  test("q42 JSON-lines staging: real .json files on disk, schema-declared re-read") {
+    graft.ops.Staging.jsonStage(spark, SparkTestBase.Sf).collect() // stages as a side effect
+    val stage = new java.io.File(graft.ops.Staging.stagePath("json_orders", SparkTestBase.Sf))
+    val parts = stage.listFiles().filter(_.getName.endsWith(".json"))
+    assert(parts.nonEmpty, "staged output must be .json part files")
+    val firstLine = scala.io.Source.fromFile(parts.head).getLines().next()
+    assert(firstLine.startsWith("{") && firstLine.contains("\"o_orderkey\""),
+      s"not JSON lines: $firstLine")
+    // dates travel as ISO strings (JSON has no date type)
+    assert(firstLine.matches(""".*"o_orderdate":"\d{4}-\d{2}-\d{2}".*"""), firstLine)
+  }
+
   test("JSON extract → relation with declared schema (S3)") {
     val payload = Seq(
       """{"nom_commune":"Brageac","code_commune":"15024","conso_moyenne_mwh":110.5,"annee":2020}""",
