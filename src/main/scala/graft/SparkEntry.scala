@@ -61,6 +61,7 @@ object SparkEntry {
     "q40_unpivot"       -> (ops.CoreOps.unpivotDaily(_, _)),
     "q41_mode_disc"     -> (ops.CoreOps.modeDisc(_, _)),
     "q42_json_stage"    -> (ops.Staging.jsonStage(_, _)),
+    "q43_orc_stage"     -> (ops.Staging.orcStage(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -114,6 +115,7 @@ object SparkEntry {
     "s07_stream_tws"        -> (streaming.StateV2.runningWeekly(_, _)),
     "s08_stream_left_join"  -> (streaming.StreamJoin.purchaseClickLeftJoin(_, _)),
     "s09_stream_static"     -> (streaming.StreamJoin.streamStaticEnrich(_, _)),
+    "s10_stream_dedup"      -> (streaming.StreamDedup.dedupedDailyCounts(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -452,6 +454,7 @@ object SparkEntry {
     "q40_unpivot"      -> ops.CoreOps.oracleUnpivotDaily,
     "q41_mode_disc"    -> ops.CoreOps.oracleModeDisc,
     "q42_json_stage"   -> ops.Staging.oracleJsonStage,
+    "q43_orc_stage"    -> ops.Staging.oracleOrcStage,
     "m06_image_neardup" -> llm.Multimodal.oracleImageNearDup,
     "m07_audio_resample" -> llm.Multimodal.oracleAudioResample,
 
@@ -468,6 +471,7 @@ object SparkEntry {
     "s07_stream_tws"   -> streaming.StateV2.oracleRunningWeekly,
     "s08_stream_left_join" -> streaming.StreamJoin.oraclePurchaseClickLeftJoin,
     "s09_stream_static"    -> streaming.StreamJoin.oracleStreamStaticEnrich,
+    "s10_stream_dedup"     -> streaming.StreamDedup.oracleDedupedDailyCounts,
     "q24_csv_stage"  -> ops.Staging.oracleCsvStage,
     "q25_catalog"    -> ops.Staging.oracleCatalog,
     "q26_bucketed_join" -> ops.Staging.oracleBucketedJoin,

@@ -109,6 +109,38 @@ object Staging {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** q43 — ORC staging round trip: the columnar alternative to parquet
+    * (bundled with Spark, predicate pushdown and column pruning both
+    * apply), exercised with a pushed filter + pruned projection so the
+    * ORC reader's scan-level behavior — not just the format plumbing —
+    * is on the oracle's hook. Types survive natively (dates stay
+    * dates), unlike the JSON leg.
+    */
+  def orcStage(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stagePath("orc_lineitem", dir)
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_shipdate")
+      .write.mode("overwrite").orc(stage)
+    spark.read.orc(stage)
+      .filter(col("l_returnflag") === "R")
+      .groupBy(year(col("l_shipdate")).cast("int").as("ship_year"))
+      .agg(count(lit(1)).as("n_items"),
+           round(sum("l_extendedprice"), 2).as("total_price"),
+           round(sum("l_quantity"), 2).as("total_qty"))
+      .orderBy("ship_year")
+  }
+
+  val oracleOrcStage: String =
+    """SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+      |  count(*) AS n_items,
+      |  round(sum(l_extendedprice), 2) AS total_price,
+      |  round(sum(l_quantity), 2) AS total_qty
+      |FROM lineitem
+      |WHERE l_returnflag = 'R'
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** q25 — catalog DDL round trip (SURVEY §2 S8): `saveAsTable` into
     * the session catalog (external location so the warehouse stays out
     * of the repo tree), then query it back by NAME through `spark.sql`

@@ -21,9 +21,12 @@ object StreamDedup {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Stream the events table twice (a simulated retry-after-partial-
-    * success) through dropDuplicates-within-watermark, and return the
-    * deduped daily counts. Used by the exactly-once spec.
+  /** s10 — stream the events table twice (a simulated retry-after-
+    * partial-success) through dropDuplicates-within-watermark, and
+    * return the deduped daily counts in APPEND mode (watermark-closed
+    * windows emitted exactly once, state dropped — the only shape that
+    * survives an unbounded stream). Doubling the input and getting the
+    * single-delivery answer back IS the exactly-once claim.
     */
   def dedupedDailyCounts(spark: SparkSession, dir: String): DataFrame = {
     val ss = StreamEnv.streamSession(spark)
@@ -46,10 +49,21 @@ object StreamDedup {
       .select(col("event_type"), to_date(col("w.start")).as("d"), col("n"))
       .writeStream
       .format("memory").queryName(name)
-      .outputMode("complete")
+      .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     ss.table(name).orderBy("event_type", "d")
   }
+
+  /** Batch twin: one delivery's counts over watermark-closed windows —
+    * event_ids are unique per delivery, so the doubled stream deduped
+    * on event_id must equal the raw single-delivery count.
+    */
+  val oracleDedupedDailyCounts: String =
+    """SELECT event_type, (ts::TIMESTAMP)::DATE AS d, count(*) AS n
+      |FROM events
+      |GROUP BY 1, 2
+      |HAVING d < (SELECT max(ts::TIMESTAMP)::DATE - 1 FROM events)
+      |ORDER BY 1, 2""".stripMargin
 }
