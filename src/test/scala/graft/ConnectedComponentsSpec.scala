@@ -29,4 +29,30 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(labels.filter(col("vertex") >= 1000L && col("component") =!= 1000L).isEmpty)
     assert(labels.count() == 51 + 11)
   }
+
+  test("random graphs match a driver-side union-find oracle") {
+    // seeded PRNG: deterministic across runs, varied shapes (sparse,
+    // dense, self-loops, duplicate edges, isolated-by-absence vertices)
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 6) {
+      val n = 20 + rnd.nextInt(60)
+      val m = 1 + rnd.nextInt(3 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // union-find ground truth over the edge-touched vertex set
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra max rb) = ra min rb }
+      val roots = edges.flatMap(e => Seq(e._1, e._2)).distinct.groupBy(find)
+      val truth = roots.flatMap { case (_, members) =>
+        val label = members.min
+        members.map(_ -> label)
+      }
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == truth, s"trial $trial (n=$n m=$m): CC disagrees with union-find")
+    }
+  }
 }
