@@ -106,6 +106,7 @@ object SparkEntry {
     "m05_video_frames"      -> (llm.Multimodal.videoFrames(_, _)),
     "m06_image_neardup"     -> (llm.Multimodal.imageNearDup(_, _)),
     "m07_audio_resample"    -> (llm.Multimodal.audioResample(_, _)),
+    "m08_media_sniff"       -> (llm.Multimodal.mediaSniff(_, _)),
     "s01_stream_daily"      -> (streaming.DailyIngest.streamDaily(_, _)),
     "s02_sessionize"        -> (streaming.Sessionize.sessions(_, _)),
     "s03_sliding"           -> (streaming.DailyIngest.slidingDaily(_, _)),
@@ -457,6 +458,7 @@ object SparkEntry {
     "q43_orc_stage"    -> ops.Staging.oracleOrcStage,
     "m06_image_neardup" -> llm.Multimodal.oracleImageNearDup,
     "m07_audio_resample" -> llm.Multimodal.oracleAudioResample,
+    "m08_media_sniff"    -> llm.Multimodal.oracleMediaSniff,
 
     "t10_repetition" -> llm.TextStats.oracleRepetition,
     "t11_bpe_tokens" -> llm.Bpe.oracleBpeTokens,

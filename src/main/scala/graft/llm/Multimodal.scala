@@ -155,17 +155,22 @@ object Multimodal {
     * partition-task lifetime, tight loop inside — the batch shape a
     * production codec stage uses.
     */
+  private def pngBytesOf(id: Long): Array[Byte] = {
+    val (w, h) = dims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSamples(0, 0, w, h, 0, pixelsOf(id, w, h))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   def imageTable(spark: SparkSession, dir: String): Dataset[EncodedImage] = {
     import spark.implicits._
     Tables.documents(spark, dir).select("doc_id").as[Long].mapPartitions { ids =>
       ids.map { id =>
         val (w, h) = dims(id)
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        img.getRaster.setSamples(0, 0, w, h, 0, pixelsOf(id, w, h))
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        EncodedImage(id, bos.toByteArray, w, h)
+        EncodedImage(id, pngBytesOf(id), w, h)
       }
     }
   }
@@ -322,26 +327,28 @@ object Multimodal {
     * counterpart of the ImageIO PNG path. One format object per
     * partition, tight loop inside.
     */
+  private def wavBytesOf(id: Long): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(AudioRate.toFloat, 16, 1, true, false)
+    val s = samplesOf(id, audioLen(id))
+    val pcm = new Array[Byte](s.length * 2)
+    var i = 0
+    while (i < s.length) { // little-endian per the WAV format declared above
+      pcm(2 * i) = (s(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((s(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, s.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   def audioTable(spark: SparkSession, dir: String): Dataset[EncodedAudio] = {
     import spark.implicits._
     Tables.documents(spark, dir).select("doc_id").as[Long].mapPartitions { ids =>
-      val fmt = new javax.sound.sampled.AudioFormat(AudioRate.toFloat, 16, 1, true, false)
-      ids.map { id =>
-        val s = samplesOf(id, audioLen(id))
-        val pcm = new Array[Byte](s.length * 2)
-        var i = 0
-        while (i < s.length) { // little-endian per the WAV format declared above
-          pcm(2 * i) = (s(i) & 0xff).toByte
-          pcm(2 * i + 1) = ((s(i) >> 8) & 0xff).toByte
-          i += 1
-        }
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt, s.length.toLong)
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(
-          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        EncodedAudio(id, bos.toByteArray)
-      }
+      ids.map(id => EncodedAudio(id, wavBytesOf(id)))
     }
   }
 
@@ -443,31 +450,37 @@ object Multimodal {
     * bijective (a bare TYPE_BYTE_GRAY would leave palette construction
     * to the writer), so the container round-trips losslessly.
     */
+  private def gifBytesOf(id: Long, icm: java.awt.image.IndexColorModel): Array[Byte] = {
+    val (w, h) = videoDims(id)
+    val bos = new java.io.ByteArrayOutputStream()
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.prepareWriteSequence(null)
+    var f = 0
+    while (f < frameCount(id)) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      img.getRaster.setSamples(0, 0, w, h, 0, framePixelsOf(id, f, w, h))
+      wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    wr.endWriteSequence()
+    ios.close()
+    wr.dispose()
+    bos.toByteArray
+  }
+
+  private def grayIcm(): java.awt.image.IndexColorModel = {
+    val gray = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+  }
+
   def videoTable(spark: SparkSession, dir: String): Dataset[EncodedVideo] = {
     import spark.implicits._
     Tables.documents(spark, dir).select("doc_id").as[Long].mapPartitions { ids =>
-      val gray = Array.tabulate(256)(_.toByte)
-      val icm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
-      ids.map { id =>
-        val (w, h) = videoDims(id)
-        val bos = new java.io.ByteArrayOutputStream()
-        val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-        wr.setOutput(ios)
-        wr.prepareWriteSequence(null)
-        var f = 0
-        while (f < frameCount(id)) {
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
-          img.getRaster.setSamples(0, 0, w, h, 0, framePixelsOf(id, f, w, h))
-          wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-          f += 1
-        }
-        wr.endWriteSequence()
-        ios.close()
-        wr.dispose()
-        EncodedVideo(id, bos.toByteArray)
-      }
+      val icm = grayIcm()
+      ids.map(id => EncodedVideo(id, gifBytesOf(id, icm)))
     }
   }
 
@@ -758,6 +771,106 @@ object Multimodal {
         md5(col("samples_csv")).as("samples_md5"))
       .orderBy("doc_id")
   }
+
+  // -- m08: heterogeneous media sniff + dispatch ------------------------------
+
+  case class SniffedMedia(doc_id: Long, detected: String, n_units: Int, metric: Long)
+
+  /** m08 — format sniffing over a MIXED binary column: each doc
+    * carries ONE of the three real formats (doc_id mod 3 → PNG / WAV /
+    * GIF), and the reader knows nothing about the assignment — it
+    * detects the format from the blob's magic bytes (\x89PNG, RIFF,
+    * GIF8) and dispatches to the matching real decoder. This is the
+    * actual shape of a 100 TB media lake: heterogeneous blobs in one
+    * column, format resolved per row at scan time, one codec-specific
+    * metric emitted per kind (pixel sum / |sample| sum / frame-0 pixel
+    * sum). The oracle re-derives the assignment arithmetically and
+    * replays each kind's synthesis chain — a sniffing bug mislabels a
+    * row and breaks the hash.
+    */
+  def mediaSniff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobs = Tables.documents(spark, dir).select("doc_id").as[Long].mapPartitions { ids =>
+      val icm = grayIcm()
+      ids.map { id =>
+        val bytes = (id % 3) match {
+          case 0 => pngBytesOf(id)
+          case 1 => wavBytesOf(id)
+          case _ => gifBytesOf(id, icm)
+        }
+        (id, bytes)
+      }
+    }
+    blobs.mapPartitions { rows =>
+      rows.map { case (id, b) =>
+        val detected =
+          if (b.length >= 4 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+          else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') "wav"
+          else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') "gif"
+          else "unknown"
+        detected match {
+          case "png" =>
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+            val px = img.getRaster.getSamples(0, 0, img.getWidth, img.getHeight, 0, null: Array[Int])
+            SniffedMedia(id, detected, px.length, px.foldLeft(0L)(_ + _))
+          case "wav" =>
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(b))
+            val pcm = in.readAllBytes()
+            val n = in.getFrameLength.toInt
+            var sumAbs = 0L
+            var i = 0
+            while (i < n) {
+              sumAbs += math.abs((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)); i += 1
+            }
+            SniffedMedia(id, detected, n, sumAbs)
+          case "gif" =>
+            val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+            rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(b)))
+            val n = rd.getNumImages(true)
+            val f0 = rd.read(0)
+            val px = f0.getRaster.getSamples(0, 0, f0.getWidth, f0.getHeight, 0, null: Array[Int])
+            rd.dispose()
+            SniffedMedia(id, detected, n, px.foldLeft(0L)(_ + _))
+          case _ => SniffedMedia(id, detected, 0, 0L)
+        }
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  val oracleMediaSniff: String =
+    s"""WITH png AS (
+       |  SELECT doc_id, 'png' AS detected,
+       |         ((8 + doc_id % 9) * (8 + doc_id % 7))::INT AS n_units,
+       |         sum(('0x' || substr(md5(doc_id || ':' || (i // 16)),
+       |                             (i % 16) * 2 + 1, 2))::BIGINT)::BIGINT AS metric
+       |  FROM documents,
+       |       LATERAL (SELECT unnest(range((8 + doc_id % 9) * (8 + doc_id % 7))) AS i) t
+       |  WHERE doc_id % 3 = 0
+       |  GROUP BY doc_id),
+       |wav AS (
+       |  SELECT doc_id, 'wav' AS detected,
+       |         (160 + doc_id % 97)::INT AS n_units,
+       |         sum(abs(('0x' || substr(md5(doc_id || ':a:' || (i // 8)),
+       |                                 (i % 8) * 4 + 1, 4))::INT - 32768))::BIGINT AS metric
+       |  FROM documents,
+       |       LATERAL (SELECT unnest(range(160 + doc_id % 97)) AS i) t
+       |  WHERE doc_id % 3 = 1
+       |  GROUP BY doc_id),
+       |gif AS (
+       |  SELECT doc_id, 'gif' AS detected,
+       |         (4 + doc_id % 5)::INT AS n_units,
+       |         sum(('0x' || substr(md5(doc_id || ':v:0:' || (i // 16)),
+       |                             (i % 16) * 2 + 1, 2))::BIGINT)::BIGINT AS metric
+       |  FROM documents,
+       |       LATERAL (SELECT unnest(range((6 + doc_id % 5) * (5 + doc_id % 6))) AS i) t
+       |  WHERE doc_id % 3 = 2
+       |  GROUP BY doc_id)
+       |SELECT * FROM png
+       |UNION ALL SELECT * FROM wav
+       |UNION ALL SELECT * FROM gif
+       |ORDER BY doc_id""".stripMargin
 
   /** The oracle rebuilds the decimated signal from the md5 sample
     * chain: pair (2j, 2j+1), truncate-divide the sum by 2 (DuckDB's

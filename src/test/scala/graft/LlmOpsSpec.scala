@@ -294,6 +294,18 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("m08 sniffs every blob's format from magic bytes and dispatches the right decoder") {
+    val rows = Multimodal.mediaSniff(spark, Sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val expect = (r.getLong(0) % 3) match {
+        case 0 => "png"; case 1 => "wav"; case _ => "gif"
+      }
+      assert(r.getString(1) == expect, s"doc ${r.getLong(0)} misdetected as ${r.getString(1)}")
+      assert(r.getInt(2) > 0 && r.getLong(3) > 0L)
+    }
+  }
+
   test("m07 audio downsample: 2:1 decimation through a full codec round trip") {
     val rows = Multimodal.audioResample(spark, Sf).collect()
     assert(rows.length == 500)
