@@ -62,6 +62,9 @@ object SparkEntry {
     "q41_mode_disc"     -> (ops.CoreOps.modeDisc(_, _)),
     "q42_json_stage"    -> (ops.Staging.jsonStage(_, _)),
     "q43_orc_stage"     -> (ops.Staging.orcStage(_, _)),
+    "q44_compact"       -> (ops.Staging.compact(_, _)),
+    "q45_schema_merge"  -> (ops.Staging.schemaMerge(_, _)),
+    "q46_profile"       -> (ops.CoreOps.profile(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -456,6 +459,9 @@ object SparkEntry {
     "q41_mode_disc"    -> ops.CoreOps.oracleModeDisc,
     "q42_json_stage"   -> ops.Staging.oracleJsonStage,
     "q43_orc_stage"    -> ops.Staging.oracleOrcStage,
+    "q44_compact"      -> ops.Staging.oracleCompact,
+    "q45_schema_merge" -> ops.Staging.oracleSchemaMerge,
+    "q46_profile"      -> ops.CoreOps.oracleProfile,
     "m06_image_neardup" -> llm.Multimodal.oracleImageNearDup,
     "m07_audio_resample" -> llm.Multimodal.oracleAudioResample,
     "m08_media_sniff"    -> llm.Multimodal.oracleMediaSniff,

@@ -505,6 +505,47 @@ object CoreOps {
       |WHERE rn = 1
       |ORDER BY 1""".stripMargin
 
+  /** q46 — data-quality profiling: per-column null and distinct counts
+    * over lineitem in ONE aggregate pass, stacked to long (column,
+    * n_rows, n_null, n_distinct) rows — the audit a pipeline runs
+    * before trusting a new extract. Multiple exact distincts plan as a
+    * single Expand + aggregate (one shuffle, k× map output for k
+    * columns); at 100 TB you'd swap `count_distinct` for
+    * `approx_count_distinct` (d16's trade) column by column — the plan
+    * shape is identical.
+    */
+  private val ProfileCols =
+    Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate")
+
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val metricCols = ProfileCols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+      count_distinct(col(c)).as(s"dist_$c")))
+    val wide = Tables.lineitem(spark, dir)
+      .agg(count(lit(1)).as("n_rows"), metricCols: _*)
+    val stacked = ProfileCols.map(c =>
+      struct(lit(c).as("column"), col("n_rows"),
+        col(s"null_$c").as("n_null"), col(s"dist_$c").as("n_distinct")))
+    wide.select(explode(array(stacked: _*)).as("p"))
+      .select("p.*")
+      .orderBy("column")
+  }
+
+  val oracleProfile: String = {
+    val metrics = ProfileCols.map(c =>
+      s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_$c, " +
+      s"count(DISTINCT $c) AS dist_$c").mkString(",\n         ")
+    val legs = ProfileCols.map(c =>
+      s"""SELECT '$c' AS "column", n_rows, null_$c AS n_null, dist_$c AS n_distinct FROM a""")
+      .mkString("\n|UNION ALL ")
+    s"""WITH a AS (
+       |  SELECT count(*) AS n_rows,
+       |         $metrics
+       |  FROM lineitem)
+       |$legs
+       |ORDER BY "column"""".stripMargin
+  }
+
   val oracleUnpivotDaily: String =
     """WITH wide AS (
       |  SELECT (ts::TIMESTAMP)::DATE AS d,

@@ -141,6 +141,81 @@ object Staging {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** q44 — small-file compaction: the daily-ingest reality at 100 TB is
+    * thousands of tiny files per partition (one per task per
+    * micro-batch); listing and opening them dominates scan time long
+    * before byte throughput does. This op simulates the problem (events
+    * written as 64 splinter files), then compacts with
+    * `coalesce(target)` + `sortWithinPartitions(ts)` — a narrow,
+    * shuffle-free rewrite that also lays rows out in time order so
+    * min/max row-group stats make later time-range scans prunable. The
+    * query reads the COMPACTED table; the spec asserts the file count
+    * actually collapsed.
+    */
+  val CompactTarget = 4
+
+  def compact(spark: SparkSession, dir: String): DataFrame = {
+    val splintered = stagePath("events_splinter", dir)
+    val compacted = stagePath("events_compact", dir)
+    Tables.events(spark, dir)
+      .repartition(64) // the small-file problem, manufactured
+      .write.mode("overwrite").parquet(splintered)
+    spark.read.parquet(splintered)
+      .coalesce(CompactTarget) // narrow: no shuffle, just fewer write tasks
+      .sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(compacted)
+    spark.read.parquet(compacted)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           round(sum("value"), 2).as("total"),
+           min(to_date(col("ts"))).as("first_d"),
+           max(to_date(col("ts"))).as("last_d"))
+      .orderBy("event_type")
+  }
+
+  val oracleCompact: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(sum(value), 2) AS total,
+      |  min((ts::TIMESTAMP)::DATE) AS first_d,
+      |  max((ts::TIMESTAMP)::DATE) AS last_d
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  /** q45 — schema evolution: a landing zone accumulates extracts whose
+    * schema GREW over time (the reference added columns to its extracts
+    * across script versions); the reader must see one union schema with
+    * nulls where the old files lack the new column. Two generations of
+    * an orders extract are staged (v1 without `o_orderpriority`), read
+    * back with `mergeSchema`, and aggregated with an explicit
+    * null-bucket — the production pattern for evolving parquet lakes
+    * without a rewrite.
+    */
+  def schemaMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = stagePath("orders_evolving", dir)
+    val orders = Tables.orders(spark, dir)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$base/gen=1")
+    orders.filter(col("o_orderkey") % 2 =!= 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$base/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(base)
+      .groupBy(coalesce(col("o_orderpriority"), lit("<pre-schema>")).as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("priority")
+  }
+
+  val oracleSchemaMerge: String =
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-schema>'
+      |            ELSE o_orderpriority END AS priority,
+      |  count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** q25 — catalog DDL round trip (SURVEY §2 S8): `saveAsTable` into
     * the session catalog (external location so the warehouse stays out
     * of the repo tree), then query it back by NAME through `spark.sql`

@@ -42,6 +42,31 @@ class SourcesAndScaleSpec extends AnyFunSuite {
     assert(firstLine.matches(""".*"o_orderdate":"\d{4}-\d{2}-\d{2}".*"""), firstLine)
   }
 
+  test("q44 compaction actually collapses the file count, data intact") {
+    graft.ops.Staging.compact(spark, SparkTestBase.Sf).collect()
+    def parts(tag: String) =
+      new java.io.File(graft.ops.Staging.stagePath(tag, SparkTestBase.Sf))
+        .listFiles().count(_.getName.endsWith(".parquet"))
+    val before = parts("events_splinter")
+    val after = parts("events_compact")
+    assert(before > 32, s"splinter fixture should be many files, got $before")
+    assert(after <= graft.ops.Staging.CompactTarget, s"compacted to $after files")
+    // identical content either side of the rewrite
+    val a = spark.read.parquet(graft.ops.Staging.stagePath("events_splinter", SparkTestBase.Sf)).count()
+    val b = spark.read.parquet(graft.ops.Staging.stagePath("events_compact", SparkTestBase.Sf)).count()
+    assert(a == b)
+  }
+
+  test("q45 mergeSchema read sees one union schema across generations") {
+    graft.ops.Staging.schemaMerge(spark, SparkTestBase.Sf).collect()
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(graft.ops.Staging.stagePath("orders_evolving", SparkTestBase.Sf))
+    assert(merged.columns.contains("o_orderpriority"))
+    // the old generation reads as null in the evolved column
+    import org.apache.spark.sql.functions.col
+    assert(merged.filter(col("o_orderpriority").isNull).count() > 0)
+  }
+
   test("JSON extract → relation with declared schema (S3)") {
     val payload = Seq(
       """{"nom_commune":"Brageac","code_commune":"15024","conso_moyenne_mwh":110.5,"annee":2020}""",
