@@ -65,6 +65,8 @@ object SparkEntry {
     "q44_compact"       -> (ops.Staging.compact(_, _)),
     "q45_schema_merge"  -> (ops.Staging.schemaMerge(_, _)),
     "q46_profile"       -> (ops.CoreOps.profile(_, _)),
+    "q47_scd2_dim"      -> (ops.Warehouse.scd2Dim(_, _)),
+    "q48_incr_agg"      -> (ops.Warehouse.incrementalAgg(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -95,6 +97,7 @@ object SparkEntry {
     "d21_embed_project"     -> (llm.Similarity.embedProject(_, _)),
     "d22_countmin_topk"     -> (llm.Sketch.countMinTopK(_, _)),
     "d23_incremental_dedup" -> (llm.Dedup.incrementalDedup(_, _)),
+    "d24_semdedup"          -> (llm.Similarity.semDedup(_, _)),
     "t07_pii_scrub"         -> (llm.TextPrep.piiScrub(_, _)),
     "t08_chunking"          -> (llm.TextPrep.chunk(_, _)),
     "t09_packing"           -> (llm.TextPrep.pack(_, _)),
@@ -102,6 +105,7 @@ object SparkEntry {
     "t11_bpe_tokens"        -> (llm.Bpe.bpeTokens(_, _)),
     "t12_bigram_lm"         -> (llm.LangModel.bigramFamiliarity(_, _)),
     "t13_novelty"           -> (llm.TextStats.novelty(_, _)),
+    "t14_boilerplate"       -> (llm.Curation.boilerplate(_, _)),
     "m01_media_stats"       -> (llm.Multimodal.mediaStats(_, _)),
     "m02_image_decode"      -> (llm.Multimodal.imageStats(_, _)),
     "m03_image_resize"      -> (llm.Multimodal.imageResize(_, _)),
@@ -345,6 +349,8 @@ object SparkEntry {
     "d21_embed_project"     -> llm.Similarity.oracleEmbedProject,
     "d22_countmin_topk"     -> llm.Sketch.oracleCountMinTopK,
     "d23_incremental_dedup" -> llm.Dedup.oracleIncrementalDedup,
+    "d24_semdedup"          -> llm.Similarity.oracleSemDedup,
+    "t14_boilerplate"       -> llm.Curation.oracleBoilerplate,
     // d16_distinct_sketch: no oracle — HLL estimates are engine-specific;
     // rows-only check + TextPrepSpec error bound
     "d17_embed_quantize"    -> llm.Similarity.oracleEmbedQuantize,
@@ -462,6 +468,8 @@ object SparkEntry {
     "q44_compact"      -> ops.Staging.oracleCompact,
     "q45_schema_merge" -> ops.Staging.oracleSchemaMerge,
     "q46_profile"      -> ops.CoreOps.oracleProfile,
+    "q47_scd2_dim"     -> ops.Warehouse.oracleScd2Dim,
+    "q48_incr_agg"     -> ops.Warehouse.oracleIncrementalAgg,
     "m06_image_neardup" -> llm.Multimodal.oracleImageNearDup,
     "m07_audio_resample" -> llm.Multimodal.oracleAudioResample,
     "m08_media_sniff"    -> llm.Multimodal.oracleMediaSniff,

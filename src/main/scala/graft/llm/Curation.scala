@@ -162,6 +162,76 @@ object Curation {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ---- t14: boilerplate (high-document-frequency span) removal -------------
+
+  /** A chunk occurring in at least this many DISTINCT docs is
+    * boilerplate. At web scale this is the CCNet/RefinedWeb line-level
+    * filter: navigation text, cookie banners and license headers recur
+    * across many pages, and — unlike true duplicate content (d19) —
+    * must be dropped from EVERY document, first occurrence included.
+    */
+  val BoilerMinDf = 2
+
+  /** t14 — boilerplate removal: split docs into the same fixed
+    * [[SpanLen]]-char chunks as d19, count each distinct chunk's
+    * document frequency, and remove every occurrence of chunks whose
+    * df ≥ [[BoilerMinDf]]. Complements d19 exactly: span dedup keeps
+    * the FIRST copy of duplicated content, boilerplate removal keeps
+    * NONE of it.
+    *
+    * Shuffle budget: one chunk-hash aggregate (the df table) + one
+    * equi-join back on the chunk hash (AQE reuses the partitioning —
+    * both sides key on chunk_md5) + one doc-keyed reassembly
+    * aggregate. No window, no all-pairs, skew bounded by the hottest
+    * chunk's true occurrence count.
+    */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val starts = sequence(lit(1), greatest(length(col("text")), lit(1)), lit(SpanLen))
+    val chunks = Dedup.corpus(spark, dir)
+      .select(col("doc_id"), col("text"), explode(starts).as("start"))
+      .select(col("doc_id"),
+        ((col("start") - 1) / SpanLen).cast("int").as("chunk_idx"),
+        md5(col("text").substr(col("start"), lit(SpanLen))).as("chunk_md5"),
+        length(col("text").substr(col("start"), lit(SpanLen))).cast("long").as("chunk_len"))
+    val df = chunks.groupBy("chunk_md5")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    chunks.join(df, Seq("chunk_md5"))
+      .withColumn("keep", col("df") < BoilerMinDf)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_boiler"),
+        sum(when(col("keep"), col("chunk_len")).otherwise(0L)).as("clean_len"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("keep"), struct(col("chunk_idx"), col("chunk_md5"))))),
+          s => s.getField("chunk_md5")), "")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  val oracleBoilerplate: String =
+    s"""WITH ${Dedup.corpusSql},
+       |chunks AS (
+       |  SELECT doc_id, ((start - 1) // $SpanLen)::INT AS chunk_idx,
+       |         md5(substr(text, start::INT, $SpanLen)) AS chunk_md5,
+       |         length(substr(text, start::INT, $SpanLen))::BIGINT AS chunk_len
+       |  FROM (SELECT doc_id, text,
+       |          unnest(range(1, greatest(length(text), 1) + 1, $SpanLen)) AS start
+       |        FROM corpus)),
+       |df AS (
+       |  SELECT chunk_md5, count(DISTINCT doc_id) AS df
+       |  FROM chunks GROUP BY chunk_md5),
+       |flagged AS (
+       |  SELECT c.*, df < $BoilerMinDf AS keep
+       |  FROM chunks c JOIN df USING (chunk_md5))
+       |SELECT doc_id,
+       |  count(*) AS n_chunks,
+       |  sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_boiler,
+       |  coalesce(sum(chunk_len) FILTER (WHERE keep), 0)::BIGINT AS clean_len,
+       |  md5(coalesce(string_agg(chunk_md5, '' ORDER BY chunk_idx) FILTER (WHERE keep), '')) AS clean_md5
+       |FROM flagged
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // ---- d20: temperature-weighted language mixing ---------------------------
 
   val LangMixSeed = 17

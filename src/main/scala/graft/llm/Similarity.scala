@@ -311,13 +311,14 @@ object Similarity {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
-  /** The oracle replays the SAME Lloyd rounds in SQL (materialized
-    * CTEs — each round references the previous one from two places) —
-    * quantized-integer centroid sums make the centroid doubles
-    * bit-identical to the Spark loop's, so assignment and scores
-    * hash-match.
+  /** The SQL replay of the [[lloydCentroids]] rounds (materialized
+    * CTEs — each round references the previous one from two places),
+    * down to the `ranked`/`members` assignment relations — shared by
+    * the d08 and d24 oracles. Quantized-integer centroid sums make the
+    * centroid doubles bit-identical to the Spark loop's, so assignment
+    * and scores hash-match.
     */
-  val oracleAnnIvf: String = {
+  private val lloydMembersSql: String = {
     val rounds = (1 to LloydRounds).map { r =>
       s"""a$r AS MATERIALIZED (
          |  SELECT vec_id, e, cell FROM (
@@ -333,7 +334,7 @@ object Similarity {
          |    GROUP BY cell, d)
          |  GROUP BY cell)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS MATERIALIZED (
+    s"""e AS MATERIALIZED (
        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |c0 AS MATERIALIZED (
        |  SELECT vec_id::INT AS cell, e AS ce FROM e WHERE vec_id < $NumCells),
@@ -346,7 +347,11 @@ object Similarity {
        |  SELECT vec_id, embedding, cell,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell) AS crank
        |  FROM scored),
-       |members AS (SELECT vec_id, embedding, cell FROM ranked WHERE crank = 1),
+       |members AS (SELECT vec_id, embedding, cell FROM ranked WHERE crank = 1)""".stripMargin
+  }
+
+  val oracleAnnIvf: String = {
+    s"""WITH $lloydMembersSql,
        |probes AS (
        |  SELECT vec_id AS query_id, embedding AS qe, cell FROM ranked
        |  WHERE crank <= $NProbe AND vec_id < $NumQueries),
@@ -443,6 +448,65 @@ object Similarity {
        |FROM embeddings
        |ORDER BY vec_id""".stripMargin
   }
+
+  // -- SemDeDup: cluster-scoped semantic dedup --------------------------------
+
+  /** d24 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * dedup scoped to k-means clusters. Every embedding is assigned to
+    * its nearest [[lloydCentroids]] centroid (the d08 assignment);
+    * pairwise cosine runs ONLY within a cell, and a vector is dropped
+    * when a same-cell vector with a smaller id scores ≥
+    * [[NearDupThreshold]] (the d01 min-id-canonical rule, applied to
+    * semantic rather than exact duplicates).
+    *
+    * Scale shape — the published method's reason for existing: the
+    * cluster key bounds the quadratic term. The self-join is an
+    * EQUI-join on `cell` (never corpus×corpus), so cost is Σ|cell|²
+    * and the cell is the shuffle/cluster key; doubling the corpus with
+    * the same k doubles per-cell mass, not the pair space. Emits every
+    * vector with its cell, same-cell duplicate count, and keep flag.
+    */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = lloydCentroids(spark, dir).toDF("cell", "ce")
+    val wCell = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("cell"))
+    // feeds both sides of the self-join plus the final projection —
+    // uncached the centroid-assignment window would run three times
+    val members = emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosineSimilarity(col("embedding"), col("ce")).as("cscore"))
+      .withColumn("crank", row_number().over(wCell))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .persist()
+    val dups = members.as("a")
+      .join(members.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(cosineSimilarity(col("a.embedding"), col("b.embedding")), 6)
+        >= NearDupThreshold)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(count(lit(1)).as("dup_count"))
+    members.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("dup_count"), lit(0L)).as("n_dups"),
+        col("dup_count").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
+  val oracleSemDedup: String =
+    s"""WITH $lloydMembersSql,
+       |dups AS (
+       |  SELECT b.vec_id, count(*) AS dup_count
+       |  FROM members a JOIN members b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= $NearDupThreshold
+       |  GROUP BY b.vec_id)
+       |SELECT m.vec_id, m.cell,
+       |  coalesce(dup_count, 0)::BIGINT AS n_dups,
+       |  (dup_count IS NULL) AS keep
+       |FROM members m LEFT JOIN dups USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
 
   val oracleEmbedNearDup: String = {
     val bucketExpr = (0 until NumPlanes).map { p =>

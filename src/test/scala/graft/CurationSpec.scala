@@ -36,6 +36,30 @@ class CurationSpec extends AnyFunSuite {
       s"none of ${leaked.size} cross-split twin pairs was flagged")
   }
 
+  test("t14: boilerplate removal drops ALL occurrences, so it never keeps more than d19") {
+    val d19 = Curation.spanDedup(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap // doc_id -> n_kept
+    val t14 = Curation.boilerplate(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap // doc -> (n_chunks, n_boiler)
+    assert(t14.keySet == d19.keySet, "both ops cover the same corpus")
+    // keep-none semantics can only remove MORE than keep-first semantics
+    t14.foreach { case (doc, (chunks, boiler)) =>
+      assert(chunks - boiler <= d19(doc), s"doc $doc kept more than span dedup")
+    }
+    // and strictly more somewhere: the FIRST copy of a duplicated chunk
+    // survives d19 but not t14
+    val t14Kept = t14.values.map { case (c, b) => c - b }.sum
+    assert(t14Kept < d19.values.sum, "boilerplate must also drop first occurrences")
+    // long docs share whole 120-char chunks with their twin (truncation
+    // only clips the tail), so SOME original+twin pair co-flags. Not
+    // ALL: a twin whose truncation lands mid-chunk shares nothing with
+    // its original but can still match another doc's aligned prefix.
+    val boiler = t14.filter(_._2._2 > 0).keySet
+    val coFlagged = boiler.filter(_ >= Dedup.TwinIdOffset)
+      .map(_ - Dedup.TwinIdOffset).intersect(boiler)
+    assert(coFlagged.nonEmpty, "no original+twin pair was co-flagged")
+  }
+
   test("d18: candidate generation is an equi-join on the n-gram hash, never all-pairs") {
     val plan = Curation.decontaminate(spark, Sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
