@@ -98,6 +98,7 @@ object SparkEntry {
     "d22_countmin_topk"     -> (llm.Sketch.countMinTopK(_, _)),
     "d23_incremental_dedup" -> (llm.Dedup.incrementalDedup(_, _)),
     "d24_semdedup"          -> (llm.Similarity.semDedup(_, _)),
+    "d25_containment"       -> (llm.Dedup.containmentPairs(_, _)),
     "t07_pii_scrub"         -> (llm.TextPrep.piiScrub(_, _)),
     "t08_chunking"          -> (llm.TextPrep.chunk(_, _)),
     "t09_packing"           -> (llm.TextPrep.pack(_, _)),
@@ -124,6 +125,7 @@ object SparkEntry {
     "s08_stream_left_join"  -> (streaming.StreamJoin.purchaseClickLeftJoin(_, _)),
     "s09_stream_static"     -> (streaming.StreamJoin.streamStaticEnrich(_, _)),
     "s10_stream_dedup"      -> (streaming.StreamDedup.dedupedDailyCounts(_, _)),
+    "s11_stream_upsert"     -> (streaming.StreamUpsert.dailyUpsert(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -350,6 +352,7 @@ object SparkEntry {
     "d22_countmin_topk"     -> llm.Sketch.oracleCountMinTopK,
     "d23_incremental_dedup" -> llm.Dedup.oracleIncrementalDedup,
     "d24_semdedup"          -> llm.Similarity.oracleSemDedup,
+    "d25_containment"       -> llm.Dedup.oracleContainmentPairs,
     "t14_boilerplate"       -> llm.Curation.oracleBoilerplate,
     // d16_distinct_sketch: no oracle — HLL estimates are engine-specific;
     // rows-only check + TextPrepSpec error bound
@@ -488,6 +491,7 @@ object SparkEntry {
     "s08_stream_left_join" -> streaming.StreamJoin.oraclePurchaseClickLeftJoin,
     "s09_stream_static"    -> streaming.StreamJoin.oracleStreamStaticEnrich,
     "s10_stream_dedup"     -> streaming.StreamDedup.oracleDedupedDailyCounts,
+    "s11_stream_upsert"    -> streaming.StreamUpsert.oracleDailyUpsert,
     "q24_csv_stage"  -> ops.Staging.oracleCsvStage,
     "q25_catalog"    -> ops.Staging.oracleCatalog,
     "q26_bucketed_join" -> ops.Staging.oracleBucketedJoin,

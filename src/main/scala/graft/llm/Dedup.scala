@@ -115,13 +115,14 @@ object Dedup {
   def lshJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     jaccardPairsRaw(spark, dir)._1.orderBy("id_a", "id_b")
 
-  /** Returns the verified pair relation plus the two persisted inputs
-    * (doc shingles, bands) so callers that materialize to a staging
-    * table ([[clusterLabels]]) can release the caches afterwards; d03
-    * consumes the pairs lazily and leaves release to the session's
-    * cache clearing.
+  /** LSH band candidates scored with the raw overlap integers
+    * (|A∩B|, |A|, |B|) — the shared verify leg behind d03 (symmetric
+    * Jaccard) and d25 (asymmetric containment). Returns the scored
+    * relation plus the two persisted inputs (doc shingles, bands) so
+    * callers that materialize to a staging table ([[clusterLabels]])
+    * can release the caches afterwards.
     */
-  private def jaccardPairsRaw(spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
+  private def candScoredRaw(spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     // one persisted shingle-hash pass feeds band generation AND both
     // sides of the verify join
     val docs = docShingles(spark, dir).persist()
@@ -132,16 +133,53 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val pairs = cand
+    val scored = cand
       .join(docs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
       .join(docs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("hs_a"), col("hs_b"))).as("inter"),
         size(col("hs_a")).as("sza"), size(col("hs_b")).as("szb"))
+    (scored, Seq(docs, bands))
+  }
+
+  private def jaccardPairsRaw(spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
+    val (scored, deps) = candScoredRaw(spark, dir)
+    val pairs = scored
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
-    (pairs, Seq(docs, bands))
+    (pairs, deps)
+  }
+
+  /** Containment at or above this marks one doc as (near-)contained in
+    * the other. Truncated twins sit at exactly 1.0: every shingle
+    * window of a PREFIX is a window of the full doc.
+    */
+  val ContainmentThreshold = 0.9
+
+  /** d25 — containment (asymmetric-Jaccard) pairs: for each LSH
+    * candidate pair, the fraction of EACH side's shingles present in
+    * the other (|A∩B|/|A| and |A∩B|/|B|), kept when either side is ≥
+    * [[ContainmentThreshold]]-contained. Catches the snippet/quote/
+    * truncation shape symmetric Jaccard under-scores: a short doc
+    * inside a long one has low Jaccard (the union is dominated by the
+    * long side) but containment 1.0 on the short side.
+    *
+    * Same scale shape as d03 (one band self-join on the bucket key,
+    * one array-move per doc); the honest caveat is RECALL, not cost:
+    * MinHash bands sample the UNION, so a contained doc much smaller
+    * than its container may never share a band — production
+    * containment search replaces the band key with a one-sided scheme
+    * (prefix filtering / asymmetric minhash), same join layout.
+    */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val (scored, _) = candScoredRaw(spark, dir)
+    scored
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / col("sza")).as("cont_a"),
+        (col("inter").cast("double") / col("szb")).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= ContainmentThreshold)
+      .orderBy("id_a", "id_b")
   }
 
   /** d11 — near-dup CLUSTERS: connected components of the verified
@@ -465,10 +503,11 @@ object Dedup {
        |SELECT doc_id, band, band_hash FROM bands
        |ORDER BY doc_id, band""".stripMargin
 
-  /** CTE chain ending in `pairs(id_a, id_b, jaccard)` — the verified
-    * near-dup pair relation shared by the d03 and d11 oracles.
+  /** CTE chain ending in `inter(id_a, id_b, i)` + `sizes(doc_id, sz)`
+    * — the LSH-candidate overlap integers shared by the d03/d11
+    * (Jaccard) and d25 (containment) oracles.
     */
-  private[llm] val pairsCteSql: String =
+  private val candInterCteSql: String =
     s"""$corpusSql,
        |$corpusShinglesSql,
        |$minhashSql,
@@ -483,13 +522,30 @@ object Dedup {
        |  FROM cand
        |  JOIN sh sa ON sa.doc_id = id_a
        |  JOIN sh sb ON sb.doc_id = id_b AND sa.base = sb.base
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** CTE chain ending in `pairs(id_a, id_b, jaccard)` — the verified
+    * near-dup pair relation shared by the d03 and d11 oracles.
+    */
+  private[llm] val pairsCteSql: String =
+    s"""$candInterCteSql,
        |pairs AS (
        |  SELECT id_a, id_b, i::DOUBLE / (za.sz + zb.sz - i) AS jaccard
        |  FROM inter
        |  JOIN sizes za ON za.doc_id = id_a
        |  JOIN sizes zb ON zb.doc_id = id_b
        |  WHERE i::DOUBLE / (za.sz + zb.sz - i) >= $JaccardThreshold)""".stripMargin
+
+  val oracleContainmentPairs: String =
+    s"""WITH $candInterCteSql
+       |SELECT id_a, id_b,
+       |  i::DOUBLE / za.sz AS cont_a,
+       |  i::DOUBLE / zb.sz AS cont_b
+       |FROM inter
+       |JOIN sizes za ON za.doc_id = id_a
+       |JOIN sizes zb ON zb.doc_id = id_b
+       |WHERE greatest(i::DOUBLE / za.sz, i::DOUBLE / zb.sz) >= $ContainmentThreshold
+       |ORDER BY id_a, id_b""".stripMargin
 
   val oracleLshJaccardPairs: String =
     s"""WITH $pairsCteSql

@@ -28,6 +28,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(missed.length <= longDocs.length / 20, s"missed ${missed.length}/${longDocs.length}")
   }
 
+  test("d25: twins are FULLY contained in their original (cont = 1.0 on the twin side)") {
+    val cont = Dedup.containmentPairs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    // pairs are ordered and scores are valid ratios
+    cont.foreach { case ((a, b), (ca, cb)) =>
+      assert(a < b)
+      assert(ca > 0.0 && ca <= 1.0 && cb > 0.0 && cb <= 1.0)
+      assert(math.max(ca, cb) >= Dedup.ContainmentThreshold)
+    }
+    // every shingle window of a prefix is a window of the full doc, so a
+    // caught (original, twin) pair must report cont_b == 1.0 exactly
+    val twinPairs = cont.filter { case ((a, b), _) => b == a + Dedup.TwinIdOffset }
+    assert(twinPairs.nonEmpty, "no original/twin containment pair found")
+    twinPairs.foreach { case ((a, _), (_, cb)) =>
+      assert(cb == 1.0, s"twin of $a must be exactly contained, got $cb")
+    }
+  }
+
   test("jaccard values are valid and pairs are ordered") {
     Dedup.lshJaccardPairs(spark, Sf).collect().foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
