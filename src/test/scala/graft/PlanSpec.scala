@@ -124,6 +124,25 @@ class PlanSpec extends AnyFunSuite {
       s"all-pairs join in d23:\n$p")
   }
 
+  test("d25: containment candidates are band-keyed equi-joins, never all-pairs") {
+    val p = planOf("d25_containment")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"all-pairs join in d25:\n$p")
+  }
+
+  test("t14: boilerplate df join is hash-keyed on the chunk, never all-pairs") {
+    val p = planOf("t14_boilerplate")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"all-pairs join in t14:\n$p")
+  }
+
+  test("q47: the SCD2 version chain is ONE window over the union, no nested loop") {
+    val p = planOf("q47_scd2_dim")
+    assert("Window".r.findAllIn(p).length >= 1, p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"SCD2 merge fell back to an all-pairs plan:\n$p")
+  }
+
   test("q38: all six analytic functions share ONE window shuffle") {
     val p = planOf("q38_window_suite")
     // two Window operators (running frame + unbounded frame) but only
