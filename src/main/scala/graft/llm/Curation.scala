@@ -187,12 +187,16 @@ object Curation {
     */
   def boilerplate(spark: SparkSession, dir: String): DataFrame = {
     val starts = sequence(lit(1), greatest(length(col("text")), lit(1)), lit(SpanLen))
+    // persisted: the explode+md5 chunk leg feeds TWO subtrees (the df
+    // aggregate and the join-back) — uncached it would scan and hash
+    // the corpus twice (the d18 lesson)
     val chunks = Dedup.corpus(spark, dir)
       .select(col("doc_id"), col("text"), explode(starts).as("start"))
       .select(col("doc_id"),
         ((col("start") - 1) / SpanLen).cast("int").as("chunk_idx"),
         md5(col("text").substr(col("start"), lit(SpanLen))).as("chunk_md5"),
         length(col("text").substr(col("start"), lit(SpanLen))).cast("long").as("chunk_len"))
+      .persist()
     val df = chunks.groupBy("chunk_md5")
       .agg(countDistinct(col("doc_id")).as("df"))
     chunks.join(df, Seq("chunk_md5"))

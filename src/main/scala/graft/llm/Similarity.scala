@@ -118,7 +118,23 @@ object Similarity {
     * rows come back to the driver each round (the CC-loop scalar
     * pattern — rounds are driver-sequenced, never per-row driver work).
     */
+  /** Centroids are deterministic per input dir, and BOTH d08 (IVF
+    * probe) and d24 (SemDeDup) assign against them — train once per
+    * (process, dir), assign many times (the clusterLabels staging
+    * pattern, driver-side because k×dim doubles are tiny).
+    */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]()
+
   private[llm] def lloydCentroids(spark: SparkSession, dir: String): Seq[(Int, Seq[Double])] = {
+    val cached = centroidCache.get(dir)
+    if (cached != null) return cached
+    val computed = lloydCentroidsUncached(spark, dir)
+    centroidCache.put(dir, computed)
+    computed
+  }
+
+  private def lloydCentroidsUncached(spark: SparkSession, dir: String): Seq[(Int, Seq[Double])] = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
