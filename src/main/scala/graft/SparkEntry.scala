@@ -67,6 +67,7 @@ object SparkEntry {
     "q46_profile"       -> (ops.CoreOps.profile(_, _)),
     "q47_scd2_dim"      -> (ops.Warehouse.scd2Dim(_, _)),
     "q48_incr_agg"      -> (ops.Warehouse.incrementalAgg(_, _)),
+    "q49_recursive_cte" -> (ops.CoreOps.recursiveHierarchy(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -473,6 +474,7 @@ object SparkEntry {
     "q46_profile"      -> ops.CoreOps.oracleProfile,
     "q47_scd2_dim"     -> ops.Warehouse.oracleScd2Dim,
     "q48_incr_agg"     -> ops.Warehouse.oracleIncrementalAgg,
+    "q49_recursive_cte" -> ops.CoreOps.oracleRecursiveHierarchy,
     "m06_image_neardup" -> llm.Multimodal.oracleImageNearDup,
     "m07_audio_resample" -> llm.Multimodal.oracleAudioResample,
     "m08_media_sniff"    -> llm.Multimodal.oracleMediaSniff,

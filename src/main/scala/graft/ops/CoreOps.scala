@@ -537,6 +537,49 @@ object CoreOps {
       .orderBy("column")
   }
 
+  /** q49 — recursive CTE (the Spark 4 `WITH RECURSIVE` surface; DuckDB
+    * states the identical recursion): hierarchy traversal over a
+    * deterministic binary tree on the dense part keys (parent(k) =
+    * k div 2, root = 1), emitting each part's depth, ancestor-chain
+    * length, and the retail-price total along its chain.
+    *
+    * Scale shape: each recursion round is one keyed self-reference of
+    * the previous frontier — rows shrink geometrically and the depth
+    * bound is log₂(maxkey) (~11 here), so the plan is O(log n) keyed
+    * stages, never a driver loop; the ancestor→part join is a plain
+    * equi-join on the part key.
+    */
+  def recursiveHierarchy(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("part_v")
+    spark.sql(
+      """WITH RECURSIVE anc(key, anc_key, depth) AS (
+        |  SELECT p_partkey, p_partkey, 0 FROM part_v
+        |  UNION ALL
+        |  SELECT key, anc_key DIV 2, depth + 1 FROM anc WHERE anc_key > 1
+        |)
+        |SELECT a.key AS p_partkey,
+        |       max(a.depth) AS depth,
+        |       count(*) AS chain_len,
+        |       round(sum(p.p_retailprice), 2) AS chain_price
+        |FROM anc a JOIN part_v p ON a.anc_key = p.p_partkey
+        |GROUP BY a.key
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
+  val oracleRecursiveHierarchy: String =
+    """WITH RECURSIVE anc(key, anc_key, depth) AS (
+      |  SELECT p_partkey, p_partkey, 0 FROM part
+      |  UNION ALL
+      |  SELECT key, anc_key // 2, depth + 1 FROM anc WHERE anc_key > 1
+      |)
+      |SELECT a.key AS p_partkey,
+      |  max(a.depth)::INT AS depth,
+      |  count(*) AS chain_len,
+      |  round(sum(p.p_retailprice), 2) AS chain_price
+      |FROM anc a JOIN part p ON a.anc_key = p.p_partkey
+      |GROUP BY a.key
+      |ORDER BY p_partkey""".stripMargin
+
   val oracleProfile: String = {
     val metrics = ProfileCols.map(c =>
       s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_$c, " +

@@ -22,6 +22,20 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(qs.keySet -- SparkEntry.oracleSql.keySet == noOracle)
   }
 
+  test("q49: recursive CTE walks each key to the root in exactly floor(log2(key)) steps") {
+    val rows = CoreOps.recursiveHierarchy(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val key = r.getLong(0)
+      val depth = r.getInt(1)
+      val chainLen = r.getLong(2)
+      val expected =
+        if (key <= 1) 0 else (63 - java.lang.Long.numberOfLeadingZeros(key)).toInt
+      assert(depth == expected, s"key $key depth $depth != $expected")
+      assert(chainLen == depth + 1L, s"key $key chain $chainLen")
+    }
+  }
+
   test("q34 grouping sets: only the declared marginals, and they reconcile") {
     val rows = CoreOps.groupingSetsRevenue(spark, Sf).collect()
     val gids = rows.map(_.getInt(4)).toSet
