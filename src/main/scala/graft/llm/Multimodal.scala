@@ -155,7 +155,37 @@ object Multimodal {
     * partition-task lifetime, tight loop inside — the batch shape a
     * production codec stage uses.
     */
+  /** The doc_id relation that drives every synthetic-blob codec loop,
+    * spread across the cluster first: the fixture table is one parquet
+    * split, and an opaque `mapPartitions` inherits its parallelism —
+    * without the repartition one task pays the whole encode+decode
+    * cost serially (m06 had the same fix; at 100 TB the blobs arrive
+    * pre-partitioned and this hash exchange of bare longs disappears).
+    * The partition count is EXPLICIT: AQE sizes coalescing by shuffle
+    * bytes, and 5000 bare longs is far under the advisory size, so a
+    * bare `repartition(col)` collapses right back to one task — byte
+    * volume is the wrong cost model for a codec-bound stage.
+    */
+  private def docIds(spark: SparkSession, dir: String): Dataset[Long] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select("doc_id")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id")).as[Long]
+  }
+
+  /** Executor-side codec config, run once per JVM (object initializers
+    * are lazy and idempotent; every codec task touches [[ready]]).
+    * ImageIO's default stream cache backs each non-File read/write
+    * with a TEMP FILE — two filesystem round trips per image and a
+    * shared /tmp contention point across 32 codec tasks. Our blobs are
+    * kilobytes; heap-backed streams are strictly better.
+    */
+  private object CodecInit {
+    javax.imageio.ImageIO.setUseCache(false)
+    def ready: Boolean = true
+  }
+
   private def pngBytesOf(id: Long): Array[Byte] = {
+    CodecInit.ready
     val (w, h) = dims(id)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -167,7 +197,7 @@ object Multimodal {
 
   def imageTable(spark: SparkSession, dir: String): Dataset[EncodedImage] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select("doc_id").as[Long].mapPartitions { ids =>
+    docIds(spark, dir).mapPartitions { ids =>
       ids.map { id =>
         val (w, h) = dims(id)
         EncodedImage(id, pngBytesOf(id), w, h)
@@ -187,6 +217,7 @@ object Multimodal {
   def imageStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     imageTable(spark, dir).mapPartitions { rows =>
+      CodecInit.ready
       rows.map { r =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
         val (w, h) = (img.getWidth, img.getHeight)
@@ -217,6 +248,7 @@ object Multimodal {
   def imageResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     imageTable(spark, dir).mapPartitions { rows =>
+      CodecInit.ready
       rows.map { r =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
         val (w, h) = (img.getWidth, img.getHeight)
@@ -322,33 +354,85 @@ object Multimodal {
 
   private def audioLen(docId: Long): Int = 160 + (docId % 97).toInt
 
-  /** Real encoded audio as a binary column: PCM16 mono → WAV (RIFF)
-    * via the JDK's `javax.sound.sampled` — a pure-JVM codec, the audio
-    * counterpart of the ImageIO PNG path. One format object per
-    * partition, tight loop inside.
+  /** Real encoded audio as a binary column: PCM16LE mono in a RIFF/WAVE
+    * container, header written directly (byte-identical to what
+    * `AudioSystem.write(..., Type.WAVE, ...)` emits for this fixed
+    * format — asserted in LlmOpsSpec). The fixture GENERATOR avoids
+    * `AudioSystem` deliberately: every javax.sound entry point funnels
+    * through the JVM-global synchronized provider registry
+    * (`JDK13Services.getProviders`), and 32 generator tasks convoy on
+    * that lock (measured 3× slower than serial). The DECODE side — the
+    * operator under test — stays on the real JDK codec.
     */
-  private def wavBytesOf(id: Long): Array[Byte] = {
-    val fmt = new javax.sound.sampled.AudioFormat(AudioRate.toFloat, 16, 1, true, false)
+  private[graft] def wavBytesOf(id: Long): Array[Byte] = {
     val s = samplesOf(id, audioLen(id))
-    val pcm = new Array[Byte](s.length * 2)
+    val dataLen = s.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                    // PCM, mono
+      .putInt(AudioRate).putInt(AudioRate * 2)    // sample rate, byte rate
+      .putShort(2).putShort(16)                   // block align, bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
-    while (i < s.length) { // little-endian per the WAV format declared above
-      pcm(2 * i) = (s(i) & 0xff).toByte
-      pcm(2 * i + 1) = ((s(i) >> 8) & 0xff).toByte
+    while (i < s.length) {
+      bb.putShort(s(i).toShort)
       i += 1
     }
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, s.length.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    out
   }
 
   def audioTable(spark: SparkSession, dir: String): Dataset[EncodedAudio] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select("doc_id").as[Long].mapPartitions { ids =>
+    docIds(spark, dir).mapPartitions { ids =>
       ids.map(id => EncodedAudio(id, wavBytesOf(id)))
+    }
+  }
+
+  /** Per-partition javax.sound codec handles, resolved through the
+    * public SPI (`javax.sound.sampled.spi.AudioFileReader/Writer`) via
+    * `ServiceLoader` instead of the `AudioSystem` facade: every
+    * AudioSystem entry point re-resolves providers under a JVM-global
+    * `synchronized` registry (`JDK13Services.getProviders`), so 32
+    * decode tasks convoy on one lock (measured: parallel slower than
+    * serial). Resolving once per partition is the real "one codec init
+    * per partition, tight loop inside" batch shape; the codec doing
+    * the work is the same JDK WAV implementation either way.
+    */
+  private def audioReaders(): List[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val b = List.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  private def audioWriters(): List[javax.sound.sampled.spi.AudioFileWriter] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    val b = List.newBuilder[javax.sound.sampled.spi.AudioFileWriter]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  private def readAudio(readers: List[javax.sound.sampled.spi.AudioFileReader],
+                        bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    readers.foreach { r =>
+      try return r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    throw new IllegalArgumentException("no SPI reader recognises the audio container")
+  }
+
+  private def writeWave(writers: List[javax.sound.sampled.spi.AudioFileWriter],
+                        ais: javax.sound.sampled.AudioInputStream,
+                        out: java.io.OutputStream): Unit = {
+    val t = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    writers.find(_.isFileTypeSupported(t, ais)) match {
+      case Some(w) => w.write(ais, t, out)
+      case None    => throw new IllegalArgumentException("no SPI writer supports WAVE")
     }
   }
 
@@ -364,9 +448,9 @@ object Multimodal {
   def audioStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     audioTable(spark, dir).mapPartitions { rows =>
+      val readers = audioReaders() // one codec resolve per partition
       rows.map { r =>
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.media))
+        val in = readAudio(readers, r.media)
         val fmt = in.getFormat
         val n = in.getFrameLength.toInt
         val pcm = in.readAllBytes()
@@ -451,6 +535,7 @@ object Multimodal {
     * to the writer), so the container round-trips losslessly.
     */
   private def gifBytesOf(id: Long, icm: java.awt.image.IndexColorModel): Array[Byte] = {
+    CodecInit.ready
     val (w, h) = videoDims(id)
     val bos = new java.io.ByteArrayOutputStream()
     val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
@@ -478,7 +563,7 @@ object Multimodal {
 
   def videoTable(spark: SparkSession, dir: String): Dataset[EncodedVideo] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select("doc_id").as[Long].mapPartitions { ids =>
+    docIds(spark, dir).mapPartitions { ids =>
       val icm = grayIcm()
       ids.map(id => EncodedVideo(id, gifBytesOf(id, icm)))
     }
@@ -496,6 +581,7 @@ object Multimodal {
   def videoFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     videoTable(spark, dir).mapPartitions { rows =>
+      CodecInit.ready
       rows.flatMap { r =>
         val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
         rd.setInput(javax.imageio.ImageIO.createImageInputStream(
@@ -588,9 +674,10 @@ object Multimodal {
     */
   private def phashTable(spark: SparkSession, dir: String): Dataset[ImagePhash] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select("doc_id").as[Long]
+    docIds(spark, dir)
       .flatMap(id => Seq(id, id + ImgTwinOffset))
       .mapPartitions { ids =>
+        CodecInit.ready
         ids.map { id =>
           val base = if (id >= ImgTwinOffset) id - ImgTwinOffset else id
           val (w, h) = dims(base)
@@ -630,8 +717,8 @@ object Multimodal {
     */
   def imageNearDup(spark: SparkSession, dir: String): DataFrame = {
     val sigs = phashTable(spark, dir).toDF()
-      .repartition(col("doc_id")) // spread the codec loop + join input off the single fixture split
-      .persist()
+      .persist() // already spread by docIds before the codec loop
+
     val chunkStructs = (0 until PhashChunks).map { c =>
       struct(lit(c).as("ci"),
         shiftright(col("phash"), c * PhashChunkBits)
@@ -726,9 +813,10 @@ object Multimodal {
     val outRate = AudioRate / 2
     audioTable(spark, dir).mapPartitions { rows =>
       val fmt = new javax.sound.sampled.AudioFormat(outRate.toFloat, 16, 1, true, false)
+      val readers = audioReaders() // one codec resolve per partition
+      val writers = audioWriters()
       rows.map { r =>
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.media))
+        val in = readAudio(readers, r.media)
         val pcm = in.readAllBytes()
         val n = in.getFrameLength.toInt / 2
         val down = new Array[Byte](n * 2)
@@ -742,14 +830,12 @@ object Multimodal {
           j += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(
+        writeWave(writers,
           new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(down), fmt, n.toLong),
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            new java.io.ByteArrayInputStream(down), fmt, n.toLong), bos)
         // decode AGAIN from the fresh WAV bytes: stats come from what a
         // downstream consumer of the re-encoded column would read
-        val in2 = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bos.toByteArray))
+        val in2 = readAudio(readers, bos.toByteArray)
         val rate2 = in2.getFormat.getSampleRate.toInt
         val pcm2 = in2.readAllBytes()
         val m = in2.getFrameLength.toInt
@@ -790,7 +876,7 @@ object Multimodal {
     */
   def mediaSniff(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val blobs = Tables.documents(spark, dir).select("doc_id").as[Long].mapPartitions { ids =>
+    val blobs = docIds(spark, dir).mapPartitions { ids =>
       val icm = grayIcm()
       ids.map { id =>
         val bytes = (id % 3) match {
@@ -802,6 +888,8 @@ object Multimodal {
       }
     }
     blobs.mapPartitions { rows =>
+      CodecInit.ready
+      val readers = audioReaders() // one codec resolve per partition
       rows.map { case (id, b) =>
         val detected =
           if (b.length >= 4 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
@@ -814,8 +902,7 @@ object Multimodal {
             val px = img.getRaster.getSamples(0, 0, img.getWidth, img.getHeight, 0, null: Array[Int])
             SniffedMedia(id, detected, px.length, px.foldLeft(0L)(_ + _))
           case "wav" =>
-            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(b))
+            val in = readAudio(readers, b)
             val pcm = in.readAllBytes()
             val n = in.getFrameLength.toInt
             var sumAbs = 0L

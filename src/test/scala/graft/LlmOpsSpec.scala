@@ -312,6 +312,31 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("wav fixture generator is byte-identical to AudioSystem.write for the fixed PCM16LE format") {
+    // wavBytesOf writes the RIFF header by hand (the javax.sound entry
+    // points all take a JVM-global provider lock — see its doc); this
+    // pins the claim that the bytes are exactly what the JDK encoder
+    // would have produced, so the decode legs still exercise a real
+    // codec against a real container.
+    (0L to 40L).foreach { id =>
+      val manual = Multimodal.wavBytesOf(id)
+      val n = 160 + (id % 97).toInt
+      val s = Multimodal.samplesOf(id, n)
+      val pcm = new Array[Byte](n * 2)
+      (0 until n).foreach { i =>
+        pcm(2 * i) = (s(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((s(i) >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(Multimodal.AudioRate.toFloat, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      assert(java.util.Arrays.equals(manual, bos.toByteArray), s"doc $id WAV bytes diverge from AudioSystem")
+    }
+  }
+
   test("m08 sniffs every blob's format from magic bytes and dispatches the right decoder") {
     val rows = Multimodal.mediaSniff(spark, Sf).collect()
     assert(rows.length == 500)
