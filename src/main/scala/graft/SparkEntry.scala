@@ -68,6 +68,7 @@ object SparkEntry {
     "q47_scd2_dim"      -> (ops.Warehouse.scd2Dim(_, _)),
     "q48_incr_agg"      -> (ops.Warehouse.incrementalAgg(_, _)),
     "q49_recursive_cte" -> (ops.CoreOps.recursiveHierarchy(_, _)),
+    "q50_lateral_topk"  -> (ops.CoreOps.lateralTopPerGroup(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -100,6 +101,8 @@ object SparkEntry {
     "d23_incremental_dedup" -> (llm.Dedup.incrementalDedup(_, _)),
     "d24_semdedup"          -> (llm.Similarity.semDedup(_, _)),
     "d25_containment"       -> (llm.Dedup.containmentPairs(_, _)),
+    "d26_mixture_sample"    -> (llm.Sampling.mixtureSample(_, _)),
+    "d27_epoch_shuffle"     -> (llm.Sampling.epochShuffle(_, _)),
     "t07_pii_scrub"         -> (llm.TextPrep.piiScrub(_, _)),
     "t08_chunking"          -> (llm.TextPrep.chunk(_, _)),
     "t09_packing"           -> (llm.TextPrep.pack(_, _)),
@@ -108,6 +111,7 @@ object SparkEntry {
     "t12_bigram_lm"         -> (llm.LangModel.bigramFamiliarity(_, _)),
     "t13_novelty"           -> (llm.TextStats.novelty(_, _)),
     "t14_boilerplate"       -> (llm.Curation.boilerplate(_, _)),
+    "t15_quality_logit"     -> (llm.TextStats.qualityLogit(_, _)),
     "m01_media_stats"       -> (llm.Multimodal.mediaStats(_, _)),
     "m02_image_decode"      -> (llm.Multimodal.imageStats(_, _)),
     "m03_image_resize"      -> (llm.Multimodal.imageResize(_, _)),
@@ -116,6 +120,7 @@ object SparkEntry {
     "m06_image_neardup"     -> (llm.Multimodal.imageNearDup(_, _)),
     "m07_audio_resample"    -> (llm.Multimodal.audioResample(_, _)),
     "m08_media_sniff"       -> (llm.Multimodal.mediaSniff(_, _)),
+    "m09_scene_change"      -> (llm.Multimodal.sceneChanges(_, _)),
     "s01_stream_daily"      -> (streaming.DailyIngest.streamDaily(_, _)),
     "s02_sessionize"        -> (streaming.Sessionize.sessions(_, _)),
     "s03_sliding"           -> (streaming.DailyIngest.slidingDaily(_, _)),
@@ -354,6 +359,8 @@ object SparkEntry {
     "d23_incremental_dedup" -> llm.Dedup.oracleIncrementalDedup,
     "d24_semdedup"          -> llm.Similarity.oracleSemDedup,
     "d25_containment"       -> llm.Dedup.oracleContainmentPairs,
+    "d26_mixture_sample"    -> llm.Sampling.oracleMixtureSample,
+    "d27_epoch_shuffle"     -> llm.Sampling.oracleEpochShuffle,
     "t14_boilerplate"       -> llm.Curation.oracleBoilerplate,
     // d16_distinct_sketch: no oracle — HLL estimates are engine-specific;
     // rows-only check + TextPrepSpec error bound
@@ -475,14 +482,17 @@ object SparkEntry {
     "q47_scd2_dim"     -> ops.Warehouse.oracleScd2Dim,
     "q48_incr_agg"     -> ops.Warehouse.oracleIncrementalAgg,
     "q49_recursive_cte" -> ops.CoreOps.oracleRecursiveHierarchy,
+    "q50_lateral_topk"  -> ops.CoreOps.oracleLateralTopPerGroup,
     "m06_image_neardup" -> llm.Multimodal.oracleImageNearDup,
     "m07_audio_resample" -> llm.Multimodal.oracleAudioResample,
     "m08_media_sniff"    -> llm.Multimodal.oracleMediaSniff,
+    "m09_scene_change"   -> llm.Multimodal.oracleSceneChanges,
 
     "t10_repetition" -> llm.TextStats.oracleRepetition,
     "t11_bpe_tokens" -> llm.Bpe.oracleBpeTokens,
     "t12_bigram_lm"  -> llm.LangModel.oracleBigramFamiliarity,
     "t13_novelty"    -> llm.TextStats.oracleNovelty,
+    "t15_quality_logit" -> llm.TextStats.oracleQualityLogit,
 
     "s02_sessionize" -> streaming.Sessionize.oracleSessions,
     "s03_sliding"    -> streaming.DailyIngest.oracleSlidingDaily,

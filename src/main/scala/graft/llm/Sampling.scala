@@ -60,4 +60,93 @@ object Sampling {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
   }
+
+  val MixSeed   = 31
+  val QuotaMult = 4L      // quota per language = min(n, 4·⌊√n⌋)
+  val AcceptDen = 1000000L
+
+  /** d26 — mixture rebalancing (sqrt-temperature language sampling, the
+    * mT5/UniMax shape): head languages are down-sampled toward
+    * `quota = min(n, 4·⌊√n⌋)` while tail languages keep (nearly) all
+    * their mass, flattening the language distribution before training.
+    *
+    * The accept test is a per-million hash THRESHOLD, not a rank:
+    * `h(doc_id) mod 1e6 < quota·1e6 div n`. d15's hash-rank is exact
+    * per stratum but needs a window sort per language — and at 100 TB
+    * the head language is most of the corpus, so that window is one
+    * giant skewed partition. The threshold form needs only the
+    * per-language count (a tiny agg, broadcast back): the fact side is
+    * scan → broadcast-join → map-side filter, no shuffle, no skew, and
+    * still deterministic row-for-row. Integer arithmetic throughout
+    * (⌊√n⌋ via IEEE sqrt is exact below 2^51; truncating div on
+    * positives) so the oracle reproduces membership bit-for-bit.
+    */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang")
+    val quotas = docs.groupBy("lang").agg(count("*").as("n_lang"))
+      .withColumn("quota",
+        least(col("n_lang"), lit(QuotaMult) * floor(sqrt(col("n_lang")))))
+      .withColumn("accept_ppm", expr(s"quota * $AcceptDen div n_lang"))
+    docs.join(broadcast(quotas), Seq("lang"))
+      .where(pmod(TextHash.phash(col("doc_id").cast("string"), MixSeed),
+        lit(AcceptDen)) < col("accept_ppm"))
+      .select("doc_id", "lang", "n_lang", "quota", "accept_ppm")
+      .orderBy("doc_id")
+  }
+
+  val oracleMixtureSample: String = {
+    val h = s"${TextHash.phashSql("d.doc_id::VARCHAR", MixSeed)} % $AcceptDen"
+    s"""WITH c AS (SELECT lang, count(*)::BIGINT AS n_lang FROM documents GROUP BY lang),
+       |q AS (SELECT lang, n_lang,
+       |        least(n_lang, $QuotaMult * floor(sqrt(n_lang))::BIGINT) AS quota
+       |      FROM c),
+       |a AS (SELECT lang, n_lang, quota,
+       |        quota * $AcceptDen // n_lang AS accept_ppm FROM q)
+       |SELECT d.doc_id, d.lang, a.n_lang, a.quota, a.accept_ppm
+       |FROM documents d JOIN a USING (lang)
+       |WHERE $h < a.accept_ppm
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  val ShufSeed = 47
+  val Epochs   = 3
+  val Shards   = 8L
+
+  /** d27 — deterministic epoch reshuffling: each training epoch sees
+    * the corpus in a different pseudorandom order, produced WITHOUT a
+    * global sort. The per-epoch order key is `h(epoch:doc_id)`; the
+    * shard (output file) is `key mod Shards` — map-side, uniform by
+    * construction, no skew — and only the within-shard position needs
+    * a sort, which is exactly the per-output-file local sort every
+    * distributed writer already does. At 100 TB this is the standard
+    * "shuffle by re-keying" pattern: epochs × shards partitions, each
+    * independently sortable, versus an impossible corpus-wide
+    * total-order shuffle per epoch.
+    */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(Epochs - 1))).as("epoch"))
+      .withColumn("okey", TextHash.phash(
+        concat(col("epoch").cast("string"), lit(":"), col("doc_id").cast("string")),
+        ShufSeed))
+      .withColumn("shard", pmod(col("okey"), lit(Shards)))
+    keyed
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("epoch", "shard").orderBy(col("okey"), col("doc_id")))
+        .cast("long"))
+      .select("epoch", "shard", "pos", "doc_id", "okey")
+      .orderBy("epoch", "shard", "pos")
+  }
+
+  val oracleEpochShuffle: String = {
+    val h = TextHash.phashSql("(epoch::VARCHAR || ':' || doc_id::VARCHAR)", ShufSeed)
+    s"""WITH e AS (SELECT doc_id, unnest(range($Epochs)) AS epoch FROM documents),
+       |k AS (SELECT epoch::INT AS epoch, doc_id, $h AS okey FROM e),
+       |s AS (SELECT epoch, doc_id, okey, okey % $Shards AS shard FROM k)
+       |SELECT epoch, shard, row_number() OVER (PARTITION BY epoch, shard
+       |         ORDER BY okey, doc_id) AS pos, doc_id, okey
+       |FROM s ORDER BY epoch, shard, pos""".stripMargin
+  }
 }

@@ -453,4 +453,58 @@ object TextStats {
        |FROM sh JOIN f USING (h)
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
+
+  /** t15 — trained linear quality classifier applied at scan time (the
+    * fasttext-style filter shape: a model trained OFFLINE is shipped as
+    * plain weights and scored map-side next to the scan — no shuffle,
+    * no UDF, no model server). The t02 composite is a hand-tuned rule;
+    * this is the production successor: features → w·x → threshold.
+    *
+    * Everything stays INTEGER so the oracle hash-matches: features are
+    * counts, the two ratio features are per-mille / ×10 integer
+    * divisions (positive operands, so DuckDB's truncating `//` equals
+    * JVM `div`), and the logit is a BIGINT dot product with integer
+    * weights at ×1000 scale. A float sigmoid would be engine-dependent;
+    * the decision boundary (logit > 0) doesn't need it.
+    *
+    * Scale shape (100 TB): pure map-side — runs at scan speed alongside
+    * t01-t03 in one pass; weights are compile-time literals (a real
+    * deployment would broadcast them), so the plan is a single Project.
+    */
+  def qualityLogit(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).as("n_words"),
+        markerCount(toks, Stopwords).as("n_stop"),
+        aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x).as("alnum_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_stop"), col("alnum_chars"),
+        when(col("n_words") > 0, expr("cast(n_stop * 1000 div n_words as int)"))
+          .otherwise(lit(0)).as("stop_pm"),
+        when(col("n_words") > 0, expr("cast(alnum_chars * 10 div n_words as int)"))
+          .otherwise(lit(0)).as("mtl_x10"))
+      .withColumn("logit_x1000",
+        (lit(-3000L) + lit(10L) * col("stop_pm")
+          + lit(4L) * least(col("n_words"), lit(500))
+          + lit(10L) * col("mtl_x10")).cast("long"))
+      .withColumn("keep", col("logit_x1000") > 0)
+      .orderBy("doc_id")
+  }
+
+  val oracleQualityLogit: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |         len($toksSql)::INT AS n_words,
+       |         ${markerCountSql(Stopwords)} AS n_stop,
+       |         list_sum(list_transform($toksSql, t -> length(t)))::INT AS alnum_chars
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, n_words, n_stop, alnum_chars,
+       |    CASE WHEN n_words > 0 THEN (n_stop * 1000 // n_words)::INT ELSE 0 END AS stop_pm,
+       |    CASE WHEN n_words > 0 THEN (alnum_chars * 10 // n_words)::INT ELSE 0 END AS mtl_x10
+       |  FROM f)
+       |SELECT doc_id, n_words, n_stop, alnum_chars, stop_pm, mtl_x10,
+       |  (-3000 + 10 * stop_pm + 4 * least(n_words, 500) + 10 * mtl_x10)::BIGINT AS logit_x1000,
+       |  (-3000 + 10 * stop_pm + 4 * least(n_words, 500) + 10 * mtl_x10) > 0 AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
 }

@@ -566,6 +566,40 @@ object CoreOps {
         |ORDER BY p_partkey""".stripMargin)
   }
 
+  /** q50 — correlated LATERAL subquery (top-k rows PER outer row): for
+    * each nation, its top-3 customers by account balance, written the
+    * way an analyst writes it — an ORDER BY … LIMIT subquery that
+    * references the outer row. Catalyst decorrelates the lateral into a
+    * window rank over an equi-join (`DecorrelateInnerQuery`), so the
+    * plan is the same one-shuffle shape as a hand-written
+    * `row_number() OVER (PARTITION BY …)` — no nested loop, no
+    * per-outer-row re-execution. Ties on balance break on the unique
+    * customer name, keeping the pick deterministic in both engines.
+    */
+  def lateralTopPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_v")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation_v n,
+        |LATERAL (SELECT c_name, c_acctbal
+        |         FROM customer_v c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name
+        |         LIMIT 3) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
+  }
+
+  val oracleLateralTopPerGroup: String =
+    """SELECT n.n_name, t.c_name, t.c_acctbal
+      |FROM nation n,
+      |LATERAL (SELECT c_name, c_acctbal
+      |         FROM customer c
+      |         WHERE c.c_nationkey = n.n_nationkey
+      |         ORDER BY c_acctbal DESC, c_name
+      |         LIMIT 3) t
+      |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin
+
   val oracleRecursiveHierarchy: String =
     """WITH RECURSIVE anc(key, anc_key, depth) AS (
       |  SELECT p_partkey, p_partkey, 0 FROM part

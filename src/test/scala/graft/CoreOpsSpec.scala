@@ -36,6 +36,47 @@ class CoreOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q50: lateral top-3 equals the window-rank formulation") {
+    val lateral = CoreOps.lateralTopPerGroup(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val n = graft.tables.Tables.nation(spark, Sf)
+    val c = graft.tables.Tables.customer(spark, Sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("n_nationkey").orderBy(col("c_acctbal").desc, col("c_name"))
+    val expected = n.join(c, n("n_nationkey") === c("c_nationkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("n_name", "c_name", "c_acctbal")
+      .orderBy(col("n_name"), col("c_acctbal").desc, col("c_name"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(lateral.nonEmpty)
+    assert(lateral.toSeq == expected.toSeq)
+  }
+
+  test("t15: the integer logit agrees with a driver-side recount and gates keep") {
+    val docs = graft.tables.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = graft.llm.TextStats.qualityLogit(spark, Sf).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val toks = "[a-z0-9]+".r.findAllIn(docs(r.getLong(0)).toLowerCase).toSeq
+      val nWords = toks.length
+      val nStop = toks.count(graft.llm.TextStats.Stopwords.contains)
+      val alnum = toks.map(_.length).sum
+      val stopPm = if (nWords > 0) nStop * 1000 / nWords else 0
+      val mtlX10 = if (nWords > 0) alnum * 10 / nWords else 0
+      val logit = -3000L + 10L * stopPm + 4L * math.min(nWords, 500) + 10L * mtlX10
+      assert(r.getInt(1) == nWords && r.getInt(2) == nStop && r.getInt(3) == alnum)
+      assert(r.getInt(4) == stopPm && r.getInt(5) == mtlX10)
+      assert(r.getLong(6) == logit, s"doc ${r.getLong(0)} logit")
+      assert(r.getBoolean(7) == (logit > 0))
+    }
+    // the boundary actually separates: both classes occur in the fixture
+    val kept = rows.count(_.getBoolean(7))
+    assert(kept > 0 && kept < rows.length, s"degenerate classifier: $kept/${rows.length}")
+  }
+
   test("q34 grouping sets: only the declared marginals, and they reconcile") {
     val rows = CoreOps.groupingSetsRevenue(spark, Sf).collect()
     val gids = rows.map(_.getInt(4)).toSet

@@ -200,6 +200,55 @@ class LlmOpsSpec extends AnyFunSuite {
       again.map(r => (r.getLong(0), r.getString(3)))))
   }
 
+  test("d26 mixture sample: threshold membership is exact and flattens the language mix") {
+    val docs = graft.tables.Tables.documents(spark, Sf)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val byLang = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    def quota(n: Long) = math.min(n, Sampling.QuotaMult * math.sqrt(n.toDouble).toLong)
+    def acceptPpm(n: Long) = quota(n) * Sampling.AcceptDen / n
+    def hash(id: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${Sampling.MixSeed}:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(7).map(b => f"$b%02x").mkString, 16)
+    }
+    val expected = docs.filter { case (id, lang) =>
+      hash(id) % Sampling.AcceptDen < acceptPpm(byLang(lang))
+    }.map(_._1).toSet
+    val rows = Sampling.mixtureSample(spark, Sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == expected)
+    rows.foreach { r =>
+      val n = byLang(r.getString(1))
+      assert(r.getLong(2) == n && r.getLong(3) == quota(n) && r.getLong(4) == acceptPpm(n))
+    }
+    // the temperature actually rebalances: head lang is down-sampled
+    // harder than the tail lang (smaller accept rate), and sampling is
+    // non-degenerate (neither everything nor nothing survives)
+    val head = byLang.maxBy(_._2)._2; val tail = byLang.minBy(_._2)._2
+    assert(acceptPpm(head) < acceptPpm(tail))
+    assert(expected.nonEmpty && expected.size < docs.length)
+  }
+
+  test("d27 epoch shuffle: per-shard positions are dense and epochs permute differently") {
+    val rows = Sampling.epochShuffle(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nDocs = graft.tables.Tables.documents(spark, Sf).count()
+    assert(rows.length == Sampling.Epochs * nDocs)
+    // every epoch covers every doc exactly once across its shards
+    rows.groupBy(_._1).foreach { case (_, es) =>
+      assert(es.map(_._4).distinct.length == nDocs)
+      // positions are 1..k dense per shard, ordered by the hash key
+      es.groupBy(_._2).foreach { case (_, ss) =>
+        val sorted = ss.sortBy(_._3)
+        assert(sorted.map(_._3).toSeq == (1L to ss.length))
+        assert(sorted.map(_._5).toSeq == sorted.map(_._5).sortBy(identity).toSeq)
+      }
+    }
+    // different epochs give a doc different shards/keys somewhere
+    val shardsOf = rows.groupBy(_._4).view.mapValues(_.map(_._2).distinct.length)
+    assert(shardsOf.values.exists(_ > 1), "every doc landed on the same shard in all epochs")
+  }
+
   test("curation pipeline: survivors pass the filters and are cluster/content-unique") {
     import graft.llm.Pipeline
     val rows = Pipeline.curatedCorpus(spark, Sf).collect()
@@ -334,6 +383,30 @@ class LlmOpsSpec extends AnyFunSuite {
           new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
         javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
       assert(java.util.Arrays.equals(manual, bos.toByteArray), s"doc $id WAV bytes diverge from AudioSystem")
+    }
+  }
+
+  test("m09: per-pair diff energy matches the synthetic frame chains, cuts gated exactly") {
+    val rows = Multimodal.sceneChanges(spark, Sf).collect()
+    val docs = graft.tables.Tables.documents(spark, Sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    // one row per consecutive frame pair of every clip
+    assert(rows.length == docs.map(id => (4 + id % 5).toInt - 1).sum)
+    val byDoc = rows.groupBy(_.getLong(0))
+    docs.take(25).foreach { id =>
+      val (w, h) = (6 + (id % 5).toInt, 5 + (id % 6).toInt)
+      val n = 4 + (id % 5).toInt
+      val got = byDoc(id).sortBy(_.getInt(1))
+      assert(got.map(_.getInt(1)).toSeq == (1 until n))
+      got.foreach { r =>
+        val f = r.getInt(1)
+        val a = Multimodal.framePixelsOf(id, f, w, h)
+        val b = Multimodal.framePixelsOf(id, f - 1, w, h)
+        val energy = a.zip(b).map { case (x, y) => math.abs(x - y).toLong }.sum
+        assert(r.getInt(2) == n && r.getInt(3) == w * h)
+        assert(r.getLong(4) == energy, s"doc $id frame $f energy")
+        assert(r.getBoolean(5) == (energy * 3 > w.toLong * h * 256))
+      }
     }
   }
 

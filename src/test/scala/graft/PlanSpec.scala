@@ -159,4 +159,53 @@ class PlanSpec extends AnyFunSuite {
     assert("hashpartitioning".r.findAllIn(p).length == 1,
       s"unpivot added a shuffle beyond the wide aggregation:\n$p")
   }
+
+  test("q50: correlated LATERAL decorrelates to broadcast join + pruned window rank") {
+    val p = planOf("q50_lateral_topk")
+    // the per-outer-row ORDER BY … LIMIT must NOT re-execute per row
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"lateral stayed a nested loop:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation dim not broadcast:\n$p")
+    // top-3-per-key is pruned map-side before the shuffle (partial
+    // WindowGroupLimit), the same shape as a hand-written rank filter
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"missing map-side window group limit:\n$p")
+  }
+
+  test("t15: the quality classifier is a single map-side pass — no shuffle before the sort") {
+    val p = planOf("t15_quality_logit")
+    assert(!p.contains("hashpartitioning"),
+      s"t15 shuffled before the presentation sort:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("SQLUDF"), p)
+  }
+
+  test("d26: mixture accept is a broadcast threshold filter — the corpus never shuffles") {
+    val p = planOf("d26_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"), s"per-lang quotas not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the only exchange is the tiny per-lang count agg; the corpus side
+    // is scan → broadcast-join → filter, with no window/rank sort
+    assert("hashpartitioning".r.findAllIn(p).length == 1,
+      s"d26 shuffled the corpus side:\n$p")
+    assert(!p.toLowerCase.contains("windowgrouplimit") && !p.contains("Window"),
+      s"d26 regressed to a rank-based sample:\n$p")
+  }
+
+  test("d27: epoch shuffle sorts within (epoch, shard) only — never a global order") {
+    val p = planOf("d27_epoch_shuffle")
+    // one exchange: the (epoch, shard) window; the presentation sort is
+    // rangepartitioning and the explode/key/shard derivation is map-side
+    assert("hashpartitioning".r.findAllIn(p).length == 1,
+      s"d27 shuffled beyond the shard window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("m09: frame differencing never shuffles decoded frames") {
+    val p = planOf("m09_scene_change")
+    // one exchange total: the doc_id spread BEFORE the codec loop; the
+    // per-pair diffs stay inside the task (rangepartitioning at the end
+    // is the presentation sort)
+    assert("hashpartitioning".r.findAllIn(p).length <= 1,
+      s"m09 shuffled frame data:\n$p")
+  }
 }
