@@ -69,6 +69,8 @@ object SparkEntry {
     "q48_incr_agg"      -> (ops.Warehouse.incrementalAgg(_, _)),
     "q49_recursive_cte" -> (ops.CoreOps.recursiveHierarchy(_, _)),
     "q50_lateral_topk"  -> (ops.CoreOps.lateralTopPerGroup(_, _)),
+    "q51_gapfill"       -> (ops.WindowOps.gapFill(_, _)),
+    "q52_delta_join"    -> (ops.Warehouse.deltaJoin(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -483,6 +485,8 @@ object SparkEntry {
     "q48_incr_agg"     -> ops.Warehouse.oracleIncrementalAgg,
     "q49_recursive_cte" -> ops.CoreOps.oracleRecursiveHierarchy,
     "q50_lateral_topk"  -> ops.CoreOps.oracleLateralTopPerGroup,
+    "q51_gapfill"       -> ops.WindowOps.oracleGapFill,
+    "q52_delta_join"    -> ops.Warehouse.oracleDeltaJoin,
     "m06_image_neardup" -> llm.Multimodal.oracleImageNearDup,
     "m07_audio_resample" -> llm.Multimodal.oracleAudioResample,
     "m08_media_sniff"    -> llm.Multimodal.oracleMediaSniff,

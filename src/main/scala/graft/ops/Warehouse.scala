@@ -140,4 +140,69 @@ object Warehouse {
       |FROM ev
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  /** How many trailing days of each table count as "new" in q52. */
+  val DeltaJoinDays = 7
+
+  /** q52 — incremental JOIN maintenance (the delta-join sibling of
+    * q48's incremental aggregate): the per-priority joined revenue is
+    * maintained under inserts to BOTH join sides via the classic IVM
+    * decomposition — `(A∪ΔA) ⋈ (B∪ΔB)` splits into the four disjoint
+    * legs `old⋈old ∪ old⋈ΔB ∪ ΔA⋈old ∪ ΔA⋈ΔB`, each partially
+    * aggregated, then merged. Every joined pair lands in exactly one
+    * leg (the split is a partition of each input by its own date), so
+    * the merged state is bit-equal to the oracle's full-join
+    * recompute; the measure is snapped to integer cents first so the
+    * partial sums are order-independent BIGINTs (the q48 argument).
+    *
+    * Scale shape: at 100 TB the `old⋈old` leg IS the stored
+    * materialized state (k rows, k = |priorities|) — recomputed here
+    * only because the fixture has no persisted state. A refresh pays
+    * the three delta legs, and each has a SMALL side: Δ is
+    * days-bounded, so `old⋈ΔB` / `ΔA⋈old` scan the big table once
+    * with a BROADCAST hash join against the delta (plan-asserted) and
+    * `ΔA⋈ΔB` is tiny⋈tiny. Refresh cost is O(scan + |Δ|), never a
+    * re-shuffle of history against history.
+    */
+  def deltaJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("cents"))
+    val anchor = o.agg(date_sub(max(col("o_orderdate")), DeltaJoinDays).as("cutoff"))
+    val ob = o.crossJoin(broadcast(anchor))
+    val lb = l.crossJoin(broadcast(anchor))
+    val oOld = ob.filter(col("o_orderdate") <= col("cutoff")).drop("cutoff")
+    val oNew = ob.filter(col("o_orderdate") > col("cutoff")).drop("cutoff")
+    val lOld = lb.filter(col("l_shipdate") <= col("cutoff")).drop("cutoff")
+    val lNew = lb.filter(col("l_shipdate") > col("cutoff")).drop("cutoff")
+    def leg(os: DataFrame, ls: DataFrame): DataFrame =
+      os.join(ls, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum("cents").as("sum_cents"), count(lit(1)).as("n"))
+    leg(oOld, lOld)                       // the stored-state leg
+      .unionByName(leg(oOld, broadcast(lNew)))  // history ⋈ Δlineitem
+      .unionByName(leg(broadcast(oNew), lOld))  // Δorders ⋈ history
+      .unionByName(leg(broadcast(oNew), lNew))  // Δ ⋈ Δ
+      .groupBy("o_orderpriority")
+      .agg(sum("sum_cents").as("sum_cents"), sum("n").as("n_rows"))
+      .select(col("o_orderpriority"), col("n_rows"), col("sum_cents"),
+        (col("sum_cents").cast("double") / lit(100.0)).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Full-join recompute — the maintained delta-leg state must merge
+    * to exactly this.
+    */
+  val oracleDeltaJoin: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM lineitem)
+      |SELECT o_orderpriority, count(*) AS n_rows, sum(cents)::BIGINT AS sum_cents,
+      |  CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue
+      |FROM orders JOIN li ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 }

@@ -93,4 +93,71 @@ object WindowOps {
       |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** q51 — time-series gap-fill (last observation carried forward):
+    * densify each user's sparse daily purchase series so every calendar
+    * day between their first and last purchase carries the most recent
+    * observed value, with `is_gap` marking the filled rows.
+    *
+    * Written as an INTERVAL EXPLODE, not the textbook dense-calendar
+    * left join + `last(..., ignoreNulls)` window: each observed day
+    * looks at its successor (`lead` over the user window) and emits
+    * `sequence(day, next_day - 1)` — the carried rows are generated
+    * from the run length directly. At 100 TB the difference is one
+    * user-keyed window and zero joins versus building a calendar
+    * spine, shuffling it to align with the observations, and dragging
+    * null-heavy rows through an unbounded-preceding window. The fill
+    * value rides along verbatim (no arithmetic), so the oracle is
+    * hash-exact on doubles.
+    *
+    * The per-day representative is the LAST event of the day —
+    * `max_by(value, (ts, event_id))`, a partial-aggregable map-side
+    * combine (ties beyond the µs timestamp break on event_id).
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(expr("max_by(value, struct(ts, event_id))").as("value"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+    daily
+      .withColumn("next_day", lead("day", 1).over(w))
+      .select(col("user_id"), col("day").as("obs_day"), col("value"),
+        explode(sequence(col("day"),
+          coalesce(date_sub(col("next_day"), 1), col("day")))).as("day"))
+      .select(col("user_id"), col("day"), col("value").as("filled"),
+        (col("day") =!= col("obs_day")).as("is_gap"))
+      .orderBy("user_id", "day")
+  }
+
+  /** The oracle picks the same per-day representative via row_number
+    * (DuckDB's `arg_max` tuple-ordering support is version-dependent;
+    * the rn formulation is unambiguous), then replays the interval
+    * explode with `generate_series`. `ts::TIMESTAMP` truncates the
+    * parquet ns timestamps to µs exactly like the Spark reader.
+    */
+  val oracleGapFill: String =
+    """WITH e AS (
+      |  SELECT user_id, (ts::TIMESTAMP)::DATE AS day, ts::TIMESTAMP AS ts,
+      |         event_id, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |d AS (
+      |  SELECT user_id, day, value FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, day
+      |                 ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM e) WHERE rn = 1),
+      |n AS (
+      |  SELECT user_id, day AS obs_day, value,
+      |         lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+      |  FROM d),
+      |g AS (
+      |  SELECT user_id, obs_day, value,
+      |         unnest(generate_series(obs_day::TIMESTAMP,
+      |           coalesce(next_day::TIMESTAMP - INTERVAL 1 DAY,
+      |                    obs_day::TIMESTAMP),
+      |           INTERVAL 1 DAY))::DATE AS day
+      |  FROM n)
+      |SELECT user_id, day, value AS filled, day != obs_day AS is_gap
+      |FROM g
+      |ORDER BY user_id, day""".stripMargin
 }

@@ -77,6 +77,27 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(kept > 0 && kept < rows.length, s"degenerate classifier: $kept/${rows.length}")
   }
 
+  test("q51 gap-fill: runs are dense, carried values match the last observation") {
+    val rows = ops.WindowOps.gapFill(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, series) =>
+      val days = series.map(_._2).sortBy(_.toEpochDay)
+      // every day between first and last purchase is present exactly once
+      assert(days.distinct.length == days.length)
+      assert(days.last.toEpochDay - days.head.toEpochDay + 1 == days.length)
+      // endpoints are observations, and a gap day carries its
+      // predecessor's value
+      val byDay = series.map(s => s._2 -> s).toMap
+      assert(!byDay(days.head)._4 && !byDay(days.last)._4)
+      series.foreach { case (_, d, v, gap) =>
+        if (gap) assert(v == byDay(d.minusDays(1))._3, s"gap $d broke the carry")
+      }
+    }
+    // the fixture actually exercises filling
+    assert(rows.exists(_._4) && rows.exists(!_._4))
+  }
+
   test("q34 grouping sets: only the declared marginals, and they reconcile") {
     val rows = CoreOps.groupingSetsRevenue(spark, Sf).collect()
     val gids = rows.map(_.getInt(4)).toSet

@@ -179,6 +179,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BatchEvalPython") && !p.contains("SQLUDF"), p)
   }
 
+  test("q51: gap-fill is agg + one user window + explode — no calendar join") {
+    val p = planOf("q51_gapfill")
+    assert(!p.contains("Join"), s"gap-fill regressed to a calendar spine join:\n$p")
+    // two keyed exchanges: the (user, day) partial agg and the user
+    // window; the explode is map-side after the window
+    assert("hashpartitioning".r.findAllIn(p).length <= 2,
+      s"unexpected extra shuffle:\n$p")
+    assert(p.contains("Generate"), s"interval explode missing:\n$p")
+  }
+
+  test("q52: every delta leg joins via broadcast of the small (delta) side") {
+    val p = planOf("q52_delta_join")
+    assert(!p.contains("CartesianProduct"), s"cartesian in delta join:\n$p")
+    // the only nested-loop joins allowed are the 1-row cutoff-anchor
+    // Cross fan-outs (the q48 scalar-anchor pattern) — a leg itself
+    // must never nested-loop
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach(l =>
+      assert(l.contains("Cross"), s"non-anchor NLJ leg:\n$l"))
+    // the three delta legs broadcast their days-bounded side; only the
+    // stored-state leg may shuffle history against history
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"delta legs lost their broadcast:\n$p")
+  }
+
   test("d26: mixture accept is a broadcast threshold filter — the corpus never shuffles") {
     val p = planOf("d26_mixture_sample")
     assert(p.contains("BroadcastHashJoin"), s"per-lang quotas not broadcast:\n$p")
