@@ -71,6 +71,7 @@ object SparkEntry {
     "q50_lateral_topk"  -> (ops.CoreOps.lateralTopPerGroup(_, _)),
     "q51_gapfill"       -> (ops.WindowOps.gapFill(_, _)),
     "q52_delta_join"    -> (ops.Warehouse.deltaJoin(_, _)),
+    "q53_outer_reconcile" -> (ops.CoreOps.outerReconcile(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -487,6 +488,7 @@ object SparkEntry {
     "q50_lateral_topk"  -> ops.CoreOps.oracleLateralTopPerGroup,
     "q51_gapfill"       -> ops.WindowOps.oracleGapFill,
     "q52_delta_join"    -> ops.Warehouse.oracleDeltaJoin,
+    "q53_outer_reconcile" -> ops.CoreOps.oracleOuterReconcile,
     "m06_image_neardup" -> llm.Multimodal.oracleImageNearDup,
     "m07_audio_resample" -> llm.Multimodal.oracleAudioResample,
     "m08_media_sniff"    -> llm.Multimodal.oracleMediaSniff,

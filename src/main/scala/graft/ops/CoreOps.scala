@@ -590,6 +590,56 @@ object CoreOps {
         |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
   }
 
+  /** q53 — FULL OUTER reconciliation (the two-systems audit): per
+    * (user, day), purchase activity from one "system" against error
+    * activity from the other, keeping rows that exist on either side
+    * and tagging each as both / purchase_only / error_only — the daily
+    * ledger-vs-ledger comparison every warehouse runs.
+    *
+    * Scale shape: a full outer join can never broadcast (both sides
+    * must surface unmatched rows), so the plan question is whether it
+    * adds exchanges. Here it doesn't: each leg is already a partial →
+    * final aggregate SHUFFLED ON THE JOIN KEY (user_id, day), so the
+    * sort-merge full outer reuses both legs' partitioning —
+    * plan-asserted as exactly two hash exchanges (one per leg), join
+    * exchange-free. Counts are BIGINTs; `coalesce(.., 0)` pins the
+    * absent side, and the match tag is derived from pre-coalesce
+    * nullness.
+    */
+  def outerReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+    def leg(t: String, n: String): DataFrame =
+      ev.filter(col("event_type") === t)
+        .groupBy("user_id", "day").agg(count(lit(1)).as(n))
+    leg("purchase", "n_purchase")
+      .join(leg("error", "n_error"), Seq("user_id", "day"), "full_outer")
+      .select(col("user_id"), col("day"),
+        when(col("n_purchase").isNotNull && col("n_error").isNotNull, lit("both"))
+          .when(col("n_purchase").isNotNull, lit("purchase_only"))
+          .otherwise(lit("error_only")).as("status"),
+        coalesce(col("n_purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("n_error"), lit(0L)).as("n_error"))
+      .orderBy("user_id", "day")
+  }
+
+  val oracleOuterReconcile: String =
+    """WITH p AS (
+      |  SELECT user_id, (ts::TIMESTAMP)::DATE AS day, count(*) AS n_purchase
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |e AS (
+      |  SELECT user_id, (ts::TIMESTAMP)::DATE AS day, count(*) AS n_error
+      |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+      |SELECT coalesce(p.user_id, e.user_id) AS user_id,
+      |       coalesce(p.day, e.day) AS day,
+      |       CASE WHEN p.user_id IS NOT NULL AND e.user_id IS NOT NULL THEN 'both'
+      |            WHEN p.user_id IS NOT NULL THEN 'purchase_only'
+      |            ELSE 'error_only' END AS status,
+      |       coalesce(n_purchase, 0) AS n_purchase,
+      |       coalesce(n_error, 0) AS n_error
+      |FROM p FULL OUTER JOIN e ON p.user_id = e.user_id AND p.day = e.day
+      |ORDER BY user_id, day""".stripMargin
+
   val oracleLateralTopPerGroup: String =
     """SELECT n.n_name, t.c_name, t.c_acctbal
       |FROM nation n,

@@ -98,6 +98,25 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._4) && rows.exists(!_._4))
   }
 
+  test("q53 full-outer reconcile: statuses match nullness and all three classes occur") {
+    val rows = ops.CoreOps.outerReconcile(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getDate(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // key uniqueness: one row per (user, day) from either side
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+    rows.foreach { case (_, _, status, np, ne) =>
+      status match {
+        case "both"          => assert(np > 0 && ne > 0)
+        case "purchase_only" => assert(np > 0 && ne == 0)
+        case "error_only"    => assert(np == 0 && ne > 0)
+        case other           => fail(s"unknown status $other")
+      }
+    }
+    val classes = rows.map(_._3).toSet
+    assert(classes == Set("both", "purchase_only", "error_only"),
+      s"fixture must exercise every match class, got $classes")
+  }
+
   test("q34 grouping sets: only the declared marginals, and they reconcile") {
     val rows = CoreOps.groupingSetsRevenue(spark, Sf).collect()
     val gids = rows.map(_.getInt(4)).toSet

@@ -203,6 +203,15 @@ class PlanSpec extends AnyFunSuite {
       s"delta legs lost their broadcast:\n$p")
   }
 
+  test("q53: full outer reuses both legs' aggregate partitioning — join adds no exchange") {
+    val p = planOf("q53_outer_reconcile")
+    assert(p.contains("FullOuter"), s"not a full outer join:\n$p")
+    // one hash exchange per aggregated leg; the SMJ consumes both
+    // as-is (the rangepartitioning at the end is the presentation sort)
+    assert("hashpartitioning".r.findAllIn(p).length == 2,
+      s"full outer added an exchange beyond the two leg aggregates:\n$p")
+  }
+
   test("d26: mixture accept is a broadcast threshold filter — the corpus never shuffles") {
     val p = planOf("d26_mixture_sample")
     assert(p.contains("BroadcastHashJoin"), s"per-lang quotas not broadcast:\n$p")
