@@ -118,8 +118,13 @@ object Warehouse {
     def partial(leg: DataFrame): DataFrame =
       leg.groupBy("event_type")
         .agg(sum("cents").as("sum_cents"), count(lit(1)).as("n"))
-    val stored = partial(base.filter(col("d") <= col("cutoff")))
-    val delta = partial(base.filter(col("d") > col("cutoff")))
+    // null-safe split: a null-dated row must land in the STORED leg,
+    // not vanish from both (`d <= cutoff` and `d > cutoff` are both
+    // null-false on a null date, which would silently drop the row
+    // while the oracle's full recompute keeps it)
+    val isNew = coalesce(col("d") > col("cutoff"), lit(false))
+    val stored = partial(base.filter(!isNew))
+    val delta = partial(base.filter(isNew))
     stored.unionByName(delta)
       .groupBy("event_type")
       .agg(sum("sum_cents").as("sum_cents"), sum("n").as("n_rows"))
@@ -174,10 +179,14 @@ object Warehouse {
     val anchor = o.agg(date_sub(max(col("o_orderdate")), DeltaJoinDays).as("cutoff"))
     val ob = o.crossJoin(broadcast(anchor))
     val lb = l.crossJoin(broadcast(anchor))
-    val oOld = ob.filter(col("o_orderdate") <= col("cutoff")).drop("cutoff")
-    val oNew = ob.filter(col("o_orderdate") > col("cutoff")).drop("cutoff")
-    val lOld = lb.filter(col("l_shipdate") <= col("cutoff")).drop("cutoff")
-    val lNew = lb.filter(col("l_shipdate") > col("cutoff")).drop("cutoff")
+    // null-safe splits (the q48 argument): a null-dated row belongs to
+    // the stored leg, not to neither
+    val oIsNew = coalesce(col("o_orderdate") > col("cutoff"), lit(false))
+    val lIsNew = coalesce(col("l_shipdate") > col("cutoff"), lit(false))
+    val oOld = ob.filter(!oIsNew).drop("cutoff")
+    val oNew = ob.filter(oIsNew).drop("cutoff")
+    val lOld = lb.filter(!lIsNew).drop("cutoff")
+    val lNew = lb.filter(lIsNew).drop("cutoff")
     def leg(os: DataFrame, ls: DataFrame): DataFrame =
       os.join(ls, col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderpriority")
