@@ -20,18 +20,6 @@ import org.apache.spark.sql.types._
   */
 object DailyIngest {
 
-  /** Physical parquet schema of events with ts read as raw nanos
-    * (readStream needs an explicit schema; see graft.tables.Tables for
-    * the ns→µs note).
-    */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** The shared (batch = stream) daily aggregation: 1-day tumbling
     * window per event_type, stable mean (see CoreOps.stableAvg).
     */
@@ -57,8 +45,7 @@ object DailyIngest {
     val ss = StreamEnv.streamSession(spark)
     // the path works as both layouts: a single events.parquet FILE
     // (driver testdata) or a directory of part files (Amplify output)
-    val raw = StreamEnv.eventsRawStream(ss, dir, eventsRawSchema)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = StreamEnv.eventsStream(ss, dir)
     val name = s"stream_daily_${System.nanoTime()}"
     val q = dailyAgg(raw).writeStream
       .format("memory")
@@ -103,8 +90,7 @@ object DailyIngest {
     // KEEP both — the checkpoint is what makes the next run incremental)
     val fs = org.apache.hadoop.fs.FileSystem.get(ss.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
-    val raw = StreamEnv.eventsRawStream(ss, dir, eventsRawSchema)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = StreamEnv.eventsStream(ss, dir)
     val q = dailyAgg(raw).writeStream
       .format("parquet")
       .option("path", s"$base/out")

@@ -13,14 +13,6 @@ import org.apache.spark.sql.types._
   */
 object StreamDedup {
 
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** s10 — stream the events table twice (a simulated retry-after-
     * partial-success) through dropDuplicates-within-watermark, and
     * return the deduped daily counts in APPEND mode (watermark-closed
@@ -30,8 +22,7 @@ object StreamDedup {
     */
   def dedupedDailyCounts(spark: SparkSession, dir: String): DataFrame = {
     val ss = StreamEnv.streamSession(spark)
-    val once = StreamEnv.eventsRawStream(ss, dir, eventsRawSchema)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val once = StreamEnv.eventsStream(ss, dir)
     val doubled = once.union(once) // the duplicated delivery
     val name = s"stream_dedup_${System.nanoTime()}"
     val q = doubled

@@ -22,21 +22,32 @@ object StreamEnv {
     ss
   }
 
-  /** File-stream source over `<dir>/events.parquet`, accepting BOTH
+  /** The physical schema of `<dir>/events.parquet` as the batch reader
+    * sees it under this session's confs. `readStream` requires a
+    * declared schema; deriving it from the footer (instead of
+    * hard-coding `ts: Long`) keeps the stream sources working across
+    * BOTH driver testdata generations (raw-nanos INT64 vs
+    * timestamp[us] — see graft.tables.Tables.events).
+    */
+  def eventsPhysicalSchema(ss: SparkSession,
+                           dir: String): org.apache.spark.sql.types.StructType =
+    ss.read.parquet(s"$dir/events.parquet").schema
+
+  /** File-stream source over `<dir>/events.parquet` with `ts`
+    * normalized to canonical microsecond TimestampType, accepting BOTH
     * table layouts: a single parquet file of that name (the driver
     * testdata — the source's basePath must be a directory, so stream
     * the parent glob-filtered to the file) or a directory of part
     * files (any `df.write.parquet` output, e.g. the Amplify stress
     * fixture — streamed directly).
     */
-  def eventsRawStream(ss: SparkSession,
-                      dir: String,
-                      schema: org.apache.spark.sql.types.StructType)
-      : org.apache.spark.sql.DataFrame = {
+  def eventsStream(ss: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
     val fs = p.getFileSystem(ss.sparkContext.hadoopConfiguration)
-    val reader = ss.readStream.schema(schema)
-    if (fs.getFileStatus(p).isDirectory) reader.parquet(p.toString)
-    else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+    val reader = ss.readStream.schema(eventsPhysicalSchema(ss, dir))
+    val raw =
+      if (fs.getFileStatus(p).isDirectory) reader.parquet(p.toString)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+    graft.tables.Tables.normalizeTs(raw)
   }
 }

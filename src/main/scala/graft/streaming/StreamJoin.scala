@@ -22,17 +22,8 @@ import org.apache.spark.sql.types._
   */
 object StreamJoin {
 
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   private def eventStream(spark: SparkSession, dir: String): DataFrame =
-    StreamEnv.eventsRawStream(spark, dir, eventsRawSchema)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    StreamEnv.eventsStream(spark, dir)
 
   def purchaseClickJoin(spark: SparkSession, dir: String): DataFrame = {
     val ss = StreamEnv.streamSession(spark)

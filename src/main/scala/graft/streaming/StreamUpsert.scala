@@ -33,19 +33,15 @@ import org.apache.spark.sql.types._
   */
 object StreamUpsert {
 
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("user_id", LongType),
-    StructField("event_type", StringType), StructField("ts", LongType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   private val stateSchema = StructType(Seq(
     StructField("event_type", StringType), StructField("d", DateType),
     StructField("sum_cents", LongType), StructField("n", LongType)))
 
-  /** Run the upsert loop over an events source stream (raw schema —
-    * nanos `ts`), then read the final state table. The source is a
-    * parameter so the spec can drive the SAME data as N single-file
-    * micro-batches and assert the table converges regardless of split.
+  /** Run the upsert loop over an events source stream (raw physical
+    * `ts`, normalized here), then read the final state table. The
+    * source is a parameter so the spec can drive the SAME data as N
+    * single-file micro-batches and assert the table converges
+    * regardless of split.
     */
   private[graft] def upsertFrom(ss: SparkSession, rawStream: DataFrame,
                                 stateBase: String): DataFrame = {
@@ -58,7 +54,7 @@ object StreamUpsert {
       if (fs.exists(new Path(statePath))) ss.read.schema(stateSchema).parquet(statePath)
       else ss.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
 
-    val raw = rawStream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = graft.tables.Tables.normalizeTs(rawStream)
     val q = raw.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val delta = batch
@@ -88,11 +84,9 @@ object StreamUpsert {
 
   def dailyUpsert(spark: SparkSession, dir: String): DataFrame = {
     val ss = StreamEnv.streamSession(spark)
-    upsertFrom(ss, StreamEnv.eventsRawStream(ss, dir, eventsRawSchema),
+    upsertFrom(ss, StreamEnv.eventsStream(ss, dir),
       graft.ops.Staging.stagePath("stream_upsert", dir))
   }
-
-  private[graft] def rawSchema: StructType = eventsRawSchema
 
   /** The oracle is the plain batch aggregate — the upsert loop must
     * converge to it for ANY micro-batch split of the input.

@@ -30,17 +30,32 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
 
-  /** `events.ts` is physically timestamp[ns] (INT64 TIMESTAMP(NANOS)),
-    * which Spark's parquet reader rejects ([PARQUET_TYPE_ILLEGAL]).
-    * Read nanos as Long (`spark.sql.legacy.parquet.nanosAsLong`) and
-    * truncate to Spark's native microsecond TimestampType, so every
-    * downstream op sees one canonical type. DuckDB oracles see the same
-    * instant at ≥ microsecond granularity (all our uses are ≥ second).
+  /** `events.ts` has shipped in two physical layouts across driver
+    * testdata generations: INT64 TIMESTAMP(NANOS) — which Spark's
+    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]) unless read as raw
+    * Long via `spark.sql.legacy.parquet.nanosAsLong` — and plain
+    * timestamp[us] without timezone, which Spark reads as
+    * TIMESTAMP_NTZ. Don't assume either: normalize whatever the footer
+    * declares to Spark's native microsecond TimestampType, so every
+    * downstream op sees one canonical type. The session timezone is
+    * pinned to UTC (Bench/Verify/tests), so the NTZ→LTZ cast preserves
+    * the wall-clock instant and DuckDB oracles see the same value at
+    * ≥ microsecond granularity (all our uses are ≥ second).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(read(spark, dir, "events"))
+  }
+
+  /** Canonicalize a raw events relation's `ts` to microsecond
+    * TimestampType, dispatching on the physical type the reader saw:
+    * raw nanos Long → truncate to µs; TIMESTAMP_NTZ → reinterpret in
+    * the (UTC) session zone; TimestampType → already canonical.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _                => df
   }
 
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")

@@ -34,9 +34,10 @@ class StreamUpsertSpec extends AnyFunSuite {
     val staged = graft.ops.Staging.stagePath("upsert_split_src", Sf)
     val fs = org.apache.hadoop.fs.FileSystem.get(ss.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(staged), true)
-    ss.read.schema(StreamUpsert.rawSchema).parquet(s"$Sf/events.parquet")
+    val physSchema = StreamEnv.eventsPhysicalSchema(ss, Sf)
+    ss.read.schema(physSchema).parquet(s"$Sf/events.parquet")
       .repartition(6).write.parquet(staged)
-    val src = ss.readStream.schema(StreamUpsert.rawSchema)
+    val src = ss.readStream.schema(physSchema)
       .option("maxFilesPerTrigger", 1).parquet(staged)
     val got = StreamUpsert.upsertFrom(ss, src,
         graft.ops.Staging.stagePath("upsert_split_state", Sf))
