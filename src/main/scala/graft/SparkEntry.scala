@@ -72,6 +72,7 @@ object SparkEntry {
     "q51_gapfill"       -> (ops.WindowOps.gapFill(_, _)),
     "q52_delta_join"    -> (ops.Warehouse.deltaJoin(_, _)),
     "q53_outer_reconcile" -> (ops.CoreOps.outerReconcile(_, _)),
+    "q54_zorder_probe"  -> (ops.ZOrder.boxProbe(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -106,6 +107,7 @@ object SparkEntry {
     "d25_containment"       -> (llm.Dedup.containmentPairs(_, _)),
     "d26_mixture_sample"    -> (llm.Sampling.mixtureSample(_, _)),
     "d27_epoch_shuffle"     -> (llm.Sampling.epochShuffle(_, _)),
+    "d28_soft_dedup"        -> (llm.Dedup.softDedup(_, _)),
     "t07_pii_scrub"         -> (llm.TextPrep.piiScrub(_, _)),
     "t08_chunking"          -> (llm.TextPrep.chunk(_, _)),
     "t09_packing"           -> (llm.TextPrep.pack(_, _)),
@@ -364,6 +366,7 @@ object SparkEntry {
     "d25_containment"       -> llm.Dedup.oracleContainmentPairs,
     "d26_mixture_sample"    -> llm.Sampling.oracleMixtureSample,
     "d27_epoch_shuffle"     -> llm.Sampling.oracleEpochShuffle,
+    "d28_soft_dedup"        -> llm.Dedup.oracleSoftDedup,
     "t14_boilerplate"       -> llm.Curation.oracleBoilerplate,
     // d16_distinct_sketch: no oracle — HLL estimates are engine-specific;
     // rows-only check + TextPrepSpec error bound
@@ -489,6 +492,7 @@ object SparkEntry {
     "q51_gapfill"       -> ops.WindowOps.oracleGapFill,
     "q52_delta_join"    -> ops.Warehouse.oracleDeltaJoin,
     "q53_outer_reconcile" -> ops.CoreOps.oracleOuterReconcile,
+    "q54_zorder_probe"  -> ops.ZOrder.oracleBoxProbe,
     "m06_image_neardup" -> llm.Multimodal.oracleImageNearDup,
     "m07_audio_resample" -> llm.Multimodal.oracleAudioResample,
     "m08_media_sniff"    -> llm.Multimodal.oracleMediaSniff,

@@ -332,6 +332,52 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** d28 — soft dedup: duplicate-aware training WEIGHTS instead of the
+    * keep-one decision. d12 drops near-dups outright; the softer
+    * curation policy keeps every document and down-weights each by its
+    * cluster multiplicity (`weight = 1 / cluster_size`), so a cluster
+    * contributes one document's worth of loss mass regardless of how
+    * many copies crawled in — duplication stops biasing the training
+    * distribution without discarding text (the knob sits between "keep
+    * all" and d12's "keep best"). Σ weight = #clusters by construction.
+    *
+    * Cost at scale: the labels are the staged once-per-corpus relation
+    * ([[clusterLabels]]); on top of it this is ONE keyed shuffle
+    * (cluster-size window) and map-side arithmetic. Weight is an IEEE
+    * division of 1.0 by a small integer — bit-identical in any engine.
+    */
+  def softDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    clusterLabels(spark, dir)
+      .select(col("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .withColumn("weight", lit(1.0) / col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** d28 oracle — the d11 closure labels with the multiplicity weight.
+    * `lazy` because [[pairsCteSql]] is declared later in the file and a
+    * strict val here would capture it uninitialized (null).
+    */
+  lazy val oracleSoftDedup: String =
+    s"""WITH RECURSIVE $pairsCteSql,
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+       |labeled AS (
+       |  SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+       |SELECT doc_id, cluster_id,
+       |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |       1.0::DOUBLE / count(*) OVER (PARTITION BY cluster_id) AS weight
+       |FROM labeled
+       |ORDER BY doc_id""".stripMargin
+
   /** Dev-only stage timer for d03 (used by [[graft.Scratch]]). */
   def d03Profile(spark: SparkSession, dir: String): Seq[(String, Double, Long)] = {
     val out = scala.collection.mutable.Buffer[(String, Double, Long)]()

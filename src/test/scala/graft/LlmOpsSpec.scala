@@ -169,6 +169,22 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d28 soft dedup: weights are exact multiplicity inverses summing to #clusters") {
+    val hard = Dedup.dedupClusters(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val soft = Dedup.softDedup(spark, Sf).collect()
+    assert(soft.length == hard.size, "soft dedup keeps EVERY document")
+    soft.foreach { r =>
+      val (id, cluster, size, w) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert((cluster, size) == hard(id), "labels/sizes must agree with d11")
+      assert(w == 1.0 / size, "weight is the exact IEEE inverse of multiplicity")
+    }
+    val nClusters = hard.values.map(_._1).toSet.size.toDouble
+    val mass = soft.map(r => r.getDouble(3)).sum
+    assert(math.abs(mass - nClusters) < 1e-6,
+      s"total loss mass $mass must equal cluster count $nClusters")
+  }
+
   test("vocab top-k is sorted by freq desc and consistent with tf-idf's df") {
     val vocab = TextStats.vocabTopK(spark, Sf).collect()
     // the synthetic fixture's shared vocabulary is ~31 words — all of it fits in the top-100
