@@ -64,12 +64,14 @@ object Bpe {
     * rewrites the table, repeats. A driver loop of vocab-sized
     * aggregates — ONE action per round (the argmax collect), like the
     * CC loop's convergence scalar. Only the corpus-wide word count is
-    * checkpointed; the per-round rewrite is a literal-replace
-    * projection over that tiny relation, so re-deriving round i's
-    * state from the checkpoint costs i string replaces per word type —
-    * linear plan growth, no per-round action (unlike the CC loop,
-    * rounds here reference the previous round ONCE, so there is no
-    * exponential-lineage hazard to truncate).
+    * checkpointed up front; each round's rewrite is then eagerly
+    * re-checkpointed so round i's aggregate always reads a 1-replace-
+    * deep plan. (Rounds reference the previous round ONCE, so unlike
+    * the CC loop there is no exponential-lineage hazard — but without
+    * truncation round i re-derives i stacked replaces and recompiles
+    * an i-deep codegen stage, and 16 growing compiles dominated the
+    * bench cost of the whole query. The checkpoint is a vocab-sized
+    * materialization — microscopic next to a codegen compile.)
     */
   def learnMerges(spark: SparkSession, dir: String): Seq[Merge] = {
     var vocab = Tables.documents(spark, dir)
@@ -90,7 +92,7 @@ object Bpe {
       else {
         val m = Merge(best(0).getString(0), best(0).getString(1))
         merges += m
-        vocab = vocab.select(applyMerge(col("s"), m).as("s"), col("freq"))
+        vocab = vocab.select(applyMerge(col("s"), m).as("s"), col("freq")).localCheckpoint()
       }
     }
     merges.toSeq
