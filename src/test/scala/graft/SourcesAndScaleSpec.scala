@@ -13,6 +13,27 @@ class SourcesAndScaleSpec extends AnyFunSuite {
   import SparkTestBase.{spark, Sf}
   import spark.implicits._
 
+  test("normalizeTs canonicalizes every shipped ts layout to µs TimestampType") {
+    import java.sql.Timestamp
+    val instant = Timestamp.valueOf("1997-06-15 12:34:56.789")
+    val micros = instant.getTime * 1000L + 789000L % 1000L // ms → µs (sub-ms zero here)
+    // raw-nanos Long layout (pre-2026-08-13 testdata generations)
+    val asLong = spark.range(1).select((lit(micros) * 1000L).as("ts"))
+    val fromLong = graft.tables.Tables.normalizeTs(asLong)
+    assert(fromLong.schema("ts").dataType == TimestampType)
+    assert(fromLong.head().getTimestamp(0) == instant)
+    // TIMESTAMP_NTZ layout (current generation); session tz is UTC so
+    // the wall clock IS the instant
+    val asNtz = spark.range(1).select(
+      lit(instant).cast(TimestampNTZType).as("ts"))
+    val fromNtz = graft.tables.Tables.normalizeTs(asNtz)
+    assert(fromNtz.schema("ts").dataType == TimestampType)
+    assert(fromNtz.head().getTimestamp(0) == instant)
+    // already-canonical layout passes through untouched
+    val asTs = spark.range(1).select(lit(instant).as("ts"))
+    assert(graft.tables.Tables.normalizeTs(asTs).head().getTimestamp(0) == instant)
+  }
+
   test("CSV staging round-trip with declared schema (S4/S5)") {
     // the reference caches extracts as CSV and re-reads with explicit
     // dtypes (reference `0_insert_conso_an_ville_in_bq.py:29-47`);
