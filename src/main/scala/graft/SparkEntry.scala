@@ -126,6 +126,7 @@ object SparkEntry {
     "m07_audio_resample"    -> (llm.Multimodal.audioResample(_, _)),
     "m08_media_sniff"       -> (llm.Multimodal.mediaSniff(_, _)),
     "m09_scene_change"      -> (llm.Multimodal.sceneChanges(_, _)),
+    "m10_jpeg_decode"       -> (llm.Multimodal.jpegDecode(_, _)),
     "s01_stream_daily"      -> (streaming.DailyIngest.streamDaily(_, _)),
     "s02_sessionize"        -> (streaming.Sessionize.sessions(_, _)),
     "s03_sliding"           -> (streaming.DailyIngest.slidingDaily(_, _)),
@@ -497,6 +498,7 @@ object SparkEntry {
     "m07_audio_resample" -> llm.Multimodal.oracleAudioResample,
     "m08_media_sniff"    -> llm.Multimodal.oracleMediaSniff,
     "m09_scene_change"   -> llm.Multimodal.oracleSceneChanges,
+    "m10_jpeg_decode"    -> llm.Multimodal.oracleJpegDecode,
 
     "t10_repetition" -> llm.TextStats.oracleRepetition,
     "t11_bpe_tokens" -> llm.Bpe.oracleBpeTokens,

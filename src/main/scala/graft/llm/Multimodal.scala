@@ -318,6 +318,95 @@ object Multimodal {
       |GROUP BY 1, 2, 3
       |ORDER BY doc_id""".stripMargin
 
+  // -- real LOSSY image leg (m10, JPEG) --------------------------------------
+
+  case class JpegFidelity(doc_id: Long, width: Int, height: Int, n_px: Int,
+                          max_abs_err: Int, within_tol: Boolean)
+
+  /** |decoded − source| tolerance for the JPEG leg: generous against
+    * encoder drift across JDK builds, far below the error a wrong
+    * decode path (dimension swap, channel mixup, byte-order bug)
+    * produces on these gradients.
+    */
+  val JpegTol = 24
+
+  /** Smooth deterministic grayscale source for the lossy leg: a
+    * clamped plane gradient parameterized by doc_id. The md5-chain
+    * pixels ([[pixelsOf]]) are white noise — the adversarial worst
+    * case for a DCT codec — while JPEG's contract is fidelity on
+    * natural (low-frequency) content, which a gradient models.
+    */
+  def smoothPixelsOf(docId: Long, w: Int, h: Int): Array[Int] = {
+    val base = (docId * 37 % 193).toInt
+    val sx = 1 + (docId % 5).toInt
+    val sy = 1 + (docId % 3).toInt
+    Array.tabulate(w * h)(k => math.min(255, base + sx * (k % w) + sy * (k / w)))
+  }
+
+  private def jpegBytesOf(id: Long): Array[Byte] = {
+    CodecInit.ready
+    val (w, h) = dims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSamples(0, 0, w, h, 0, smoothPixelsOf(id, w, h))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** The decoded-vs-source fidelity relation behind m10 (exposed so the
+    * spec can pin the OBSERVED error distribution, not just the flag).
+    */
+  private[graft] def jpegFidelity(spark: SparkSession, dir: String): Dataset[JpegFidelity] = {
+    import spark.implicits._
+    docIds(spark, dir).mapPartitions { ids =>
+      CodecInit.ready
+      ids.map { id =>
+        val bytes = jpegBytesOf(id)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val px = img.getRaster.getSamples(0, 0, w, h, 0, null: Array[Int])
+        val src = smoothPixelsOf(id, w, h)
+        var maxErr = 0
+        var i = 0
+        while (i < px.length) {
+          val e = math.abs(px(i) - src(i)); if (e > maxErr) maxErr = e; i += 1
+        }
+        JpegFidelity(id, w, h, px.length, maxErr, maxErr <= JpegTol)
+      }
+    }
+  }
+
+  /** m10 — REAL lossy decode (JPEG via the stock JDK `ImageIO` codec):
+    * encode the smooth source to JPEG, decode it back, and report what
+    * a lossy codec lets an engine-independent oracle check. PNG/WAV/GIF
+    * (m02-m05) are lossless, so their oracles rebuild the exact payload
+    * in SQL; DCT quantization is encoder-implementation-defined, so no
+    * SQL can restate the decoded pixels. The honest projection: the
+    * STRUCTURAL fields (decoded width/height/pixel count) compare
+    * bit-for-bit, and pixel fidelity ships as a within-tolerance
+    * predicate computed from the real decode — a codec bug flips the
+    * flag and the hash match fails. The spec additionally pins the
+    * observed max error. MP3/H.264 stay behind the stub shape (no JVM
+    * codec exists); JPEG leaves that list with this leg.
+    */
+  def jpegDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    jpegFidelity(spark, dir)
+      .map(f => (f.doc_id, f.width, f.height, f.n_px, f.within_tol))
+      .toDF("doc_id", "width", "height", "n_px", "within_tol")
+      .orderBy("doc_id")
+  }
+
+  val oracleJpegDecode: String =
+    """SELECT doc_id,
+      |  (8 + doc_id % 9)::INT AS width,
+      |  (8 + doc_id % 7)::INT AS height,
+      |  ((8 + doc_id % 9) * (8 + doc_id % 7))::INT AS n_px,
+      |  true AS within_tol
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   // -- real audio leg (m04) ---------------------------------------------------
 
   case class EncodedAudio(doc_id: Long, media: Array[Byte])

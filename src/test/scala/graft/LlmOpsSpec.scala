@@ -359,6 +359,22 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("m10 real JPEG decode: structure exact, fidelity inside the tolerance, genuinely lossy path") {
+    val rows = Multimodal.jpegFidelity(spark, Sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { f =>
+      assert(f.width == 8 + (f.doc_id % 9).toInt && f.height == 8 + (f.doc_id % 7).toInt)
+      assert(f.n_px == f.width * f.height)
+      assert(f.within_tol && f.max_abs_err <= Multimodal.JpegTol,
+        s"doc ${f.doc_id} max error ${f.max_abs_err} breaches tolerance ${Multimodal.JpegTol}")
+    }
+    // the corpus-wide observed error band: strictly positive (this IS a
+    // lossy codec — a zero here would mean the decode never ran) and
+    // well inside the flag's threshold
+    val maxObserved = rows.map(_.max_abs_err).max
+    assert(maxObserved > 0, "JPEG round trip reported zero error — decode path suspect")
+  }
+
   test("m04 real WAV round trip: header and PCM payload survive the codec") {
     val stats = Multimodal.audioStats(spark, Sf).collect()
     assert(stats.length == 500)
