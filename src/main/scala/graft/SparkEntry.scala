@@ -108,6 +108,7 @@ object SparkEntry {
     "d26_mixture_sample"    -> (llm.Sampling.mixtureSample(_, _)),
     "d27_epoch_shuffle"     -> (llm.Sampling.epochShuffle(_, _)),
     "d28_soft_dedup"        -> (llm.Dedup.softDedup(_, _)),
+    "d29_bloom_dedup"       -> (llm.Dedup.bloomIncrementalDedup(_, _)),
     "t07_pii_scrub"         -> (llm.TextPrep.piiScrub(_, _)),
     "t08_chunking"          -> (llm.TextPrep.chunk(_, _)),
     "t09_packing"           -> (llm.TextPrep.pack(_, _)),
@@ -368,6 +369,7 @@ object SparkEntry {
     "d26_mixture_sample"    -> llm.Sampling.oracleMixtureSample,
     "d27_epoch_shuffle"     -> llm.Sampling.oracleEpochShuffle,
     "d28_soft_dedup"        -> llm.Dedup.oracleSoftDedup,
+    "d29_bloom_dedup"       -> llm.Dedup.oracleBloomIncrementalDedup,
     "t14_boilerplate"       -> llm.Curation.oracleBoilerplate,
     // d16_distinct_sketch: no oracle — HLL estimates are engine-specific;
     // rows-only check + TextPrepSpec error bound

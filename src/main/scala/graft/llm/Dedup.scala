@@ -756,6 +756,71 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d29 — Bloom-gated exact incremental dedup: classify an incoming
+    * batch against the corpus WITHOUT joining the corpus per row. d23
+    * shuffles batch and corpus into a hash join — correct, but at
+    * 100 TB the corpus side of that shuffle is the pipeline's whole
+    * I/O budget, every day, for a batch that is a fraction of a
+    * percent of it. The at-scale shape is sideways information
+    * passing (the q35 pattern aimed at dedup): ONE distributed pass
+    * folds the corpus' content keys into a Bloom sketch (~1.7 GB at
+    * 1e9 keys / 1 ppm — broadcastable where the corpus never is);
+    * the batch probes it map-side; only might-contain rows (true
+    * dups + the fpp sliver) reach the exact-verify join, whose
+    * existing side is pre-filtered by the SAME semi-join keys. Rows
+    * the sketch rejects are DEFINITELY new — a Bloom filter has no
+    * false negatives — and never shuffle at all.
+    *
+    * Result-invariant by construction: false positives die in the
+    * exact join (left-join miss → 'new'), so the oracle is the plain
+    * content-equality join with the sketch invisible — like q35, the
+    * sketch accelerates, never decides.
+    */
+  def bloomIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.BloomExpressions
+    val existing = Tables.documents(spark, dir).select("doc_id", "text")
+    val nExisting = existing.count()
+    val bloom = existing
+      .select(TextHash.phash(col("text"), 0).as("k"))
+      .stat.bloomFilter("k", nExisting, 0.001)
+    val probed = incomingBatch(spark, dir)
+      .withColumn("might",
+        BloomExpressions.mightContain(bloom, TextHash.phash(col("text"), 0)))
+      .persist()
+    val verified = probed.filter(col("might"))
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(existing.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("dup_of")),
+        Seq("h"), "left")
+      .select("doc_id", "dup_of")
+    val definitelyNew = probed.filter(!col("might"))
+      .select(col("doc_id"), lit(null).cast("long").as("dup_of"))
+    verified.unionByName(definitelyNew)
+      .select(col("doc_id"),
+        when(col("dup_of").isNotNull, lit("dup")).otherwise(lit("new")).as("status"),
+        col("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  /** d29 oracle — the sketch is invisible: plain content-equality
+    * classification of the same incoming batch.
+    */
+  val oracleBloomIncrementalDedup: String =
+    s"""WITH inc AS (
+       |  SELECT doc_id + $TwinIdOffset AS doc_id,
+       |         substr(text, 1, greatest(length(text) - $TwinTruncate, 20)) AS text
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $IncCopyIdOffset AS doc_id, text
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |ex AS (
+       |  SELECT md5(text) AS h, min(doc_id) AS dup_of
+       |  FROM documents GROUP BY 1)
+       |SELECT i.doc_id,
+       |       CASE WHEN e.dup_of IS NOT NULL THEN 'dup' ELSE 'new' END AS status,
+       |       e.dup_of
+       |FROM inc i LEFT JOIN ex e ON md5(i.text) = e.h
+       |ORDER BY i.doc_id""".stripMargin
+
   /** Parameterized twins of the fixed-name CTE builders above, for the
     * d23 oracle's two-sided (existing vs incoming) chain.
     */

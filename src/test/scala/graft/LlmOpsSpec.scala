@@ -185,6 +185,24 @@ class LlmOpsSpec extends AnyFunSuite {
       s"total loss mass $mass must equal cluster count $nClusters")
   }
 
+  test("d29 bloom dedup: classification matches d23's exact leg; sketch probe is in the plan") {
+    val got = Dedup.bloomIncrementalDedup(spark, Sf)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"),
+      "the corpus sketch probe must gate the batch, not a full corpus join")
+    val rows = got.collect()
+    assert(rows.length == 600) // 500 twins + 100 exact copies
+    // exact copies (doc_id % 5 == 0 shifted by the copy offset) are dups
+    // of their source; truncated twins are textually different → new
+    rows.foreach { r =>
+      val (id, status) = (r.getLong(0), r.getString(1))
+      if (id >= Dedup.IncCopyIdOffset) { // exact-copy leg
+        assert(status == "dup" && r.getLong(2) == id - Dedup.IncCopyIdOffset,
+          s"copy $id must be a dup of its source")
+      } else assert(status == "new", s"truncated twin $id must classify new")
+    }
+  }
+
   test("vocab top-k is sorted by freq desc and consistent with tf-idf's df") {
     val vocab = TextStats.vocabTopK(spark, Sf).collect()
     // the synthetic fixture's shared vocabulary is ~31 words — all of it fits in the top-100
