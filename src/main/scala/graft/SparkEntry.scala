@@ -73,6 +73,7 @@ object SparkEntry {
     "q52_delta_join"    -> (ops.Warehouse.deltaJoin(_, _)),
     "q53_outer_reconcile" -> (ops.CoreOps.outerReconcile(_, _)),
     "q54_zorder_probe"  -> (ops.ZOrder.boxProbe(_, _)),
+    "q55_stats_agg"     -> (ops.ZOrder.metadataAgg(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -496,6 +497,7 @@ object SparkEntry {
     "q52_delta_join"    -> ops.Warehouse.oracleDeltaJoin,
     "q53_outer_reconcile" -> ops.CoreOps.oracleOuterReconcile,
     "q54_zorder_probe"  -> ops.ZOrder.oracleBoxProbe,
+    "q55_stats_agg"     -> ops.ZOrder.oracleMetadataAgg,
     "m06_image_neardup" -> llm.Multimodal.oracleImageNearDup,
     "m07_audio_resample" -> llm.Multimodal.oracleAudioResample,
     "m08_media_sniff"    -> llm.Multimodal.oracleMediaSniff,

@@ -121,4 +121,53 @@ object ZOrder {
       |  AND o_orderdate >= TIMESTAMP '1997-01-01'
       |  AND o_orderdate < TIMESTAMP '1999-01-01'
       |ORDER BY o_orderkey""".stripMargin
+
+  // -- q55: file-statistics index → metadata-only aggregation ---------------
+
+  /** Per-file statistics index over the z-ordered staging table: one
+    * row per data file with count / min / max / exact cents sum —
+    * what parquet footers and a Delta/Iceberg stats manifest already
+    * hold per file. Built ONCE per (process, dir) with a single scan
+    * (at 100 TB you would not even scan: the footers are written with
+    * the data; this build stands in for reading them) and staged as
+    * its own tiny table. The price sum is folded in integer CENTS so
+    * the per-file partials re-aggregate associatively — a double sum
+    * would depend on file order.
+    */
+  private[graft] def statsIndex(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val loc = Staging.stagePath("orders_stats_index", dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
+      stageZOrdered(spark, dir)
+        .groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"),
+          sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")).as("cents"))
+        .write.mode("overwrite").parquet(loc)
+    }
+    spark.read.parquet(loc)
+  }
+
+  /** q55 — a corpus-wide aggregate answered ENTIRELY from the stats
+    * index: count, min, max and the exact total re-aggregate from the
+    * per-file partials (count/min/max/sum are all algebraic — partial
+    * states merge losslessly), so the query's input is O(files), not
+    * O(rows). The spec asserts the executed plan scans ONLY the index
+    * table; the 100 TB reading is a metadata-only query — the same
+    * reason `SELECT count(*)` on a Delta table never touches data.
+    */
+  def metadataAgg(spark: SparkSession, dir: String): DataFrame =
+    statsIndex(spark, dir)
+      .agg(sum("n_rows").as("n_rows"),
+        min("min_price").as("min_price"),
+        max("max_price").as("max_price"),
+        (sum("cents").cast("double") / 100.0).as("total_price"))
+
+  val oracleMetadataAgg: String =
+    """SELECT count(*) AS n_rows,
+      |  min(o_totalprice) AS min_price,
+      |  max(o_totalprice) AS max_price,
+      |  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::DOUBLE / 100.0 AS total_price
+      |FROM orders""".stripMargin
 }

@@ -69,6 +69,24 @@ class ZOrderSpec extends AnyFunSuite {
     assert(dDay <= dTot / 2, "date-sorted layout does prune its own sort dimension")
   }
 
+  test("q55: metadata aggregate reads ONLY the stats index, and partials re-merge exactly") {
+    val agg = ZOrder.metadataAgg(spark, Sf)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("orders_stats_index"),
+      "the aggregate must source from the stats index table")
+    assert(!plan.contains("orders_zorder"),
+      "a metadata-only query must never scan the data files")
+    val r = agg.head()
+    val direct = graft.tables.Tables.orders(spark, Sf)
+      .agg(count(lit(1)), min("o_totalprice"), max("o_totalprice"),
+        (sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")).cast("double") / 100.0))
+      .head()
+    assert(r.getLong(0) == direct.getLong(0))
+    assert(r.getDouble(1) == direct.getDouble(1) && r.getDouble(2) == direct.getDouble(2))
+    assert(r.getDouble(3) == direct.getDouble(3),
+      "cents partials must re-aggregate to the exact full-scan total")
+  }
+
   test("q54: morton key interleaves bits exactly") {
     // 0b1111 × 0b0000 → odd bit positions only; symmetric for b
     val got = spark.range(1)
