@@ -783,10 +783,14 @@ object Dedup {
     val bloom = existing
       .select(TextHash.phash(col("text"), 0).as("k"))
       .stat.bloomFilter("k", nExisting, 0.001)
+    // NOT persisted: both legs below re-derive this map-side projection
+    // from the documents scan (cheap), and a persist here would live
+    // past the query — the unbounded-cache-accumulation trap ADVICE
+    // flagged on the CC loop (releasing it mid-query is unsafe in
+    // Spark 4: uncache lazily invalidates dependent plans).
     val probed = incomingBatch(spark, dir)
       .withColumn("might",
         BloomExpressions.mightContain(bloom, TextHash.phash(col("text"), 0)))
-      .persist()
     val verified = probed.filter(col("might"))
       .select(col("doc_id"), md5(col("text")).as("h"))
       .join(existing.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("dup_of")),
