@@ -20,7 +20,13 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     args.foreach { n =>
-      if (n == "d03stages") {
+      if (n == "rmstage") {
+        // dev helper: drop the per-process staged tables so the next
+        // query re-pays staging — isolates staging cost from warmup
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File("/tmp/graft_stage")).deleteRecursively()
+        println("[scratch] rmstage: cleared /tmp/graft_stage")
+      } else if (n == "d03stages") {
         llm.Dedup.d03Profile(spark, dir).foreach { case (stage, secs, rows) =>
           println(f"[scratch] d03/$stage: $rows rows in $secs%.2f s")
         }

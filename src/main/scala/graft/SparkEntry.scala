@@ -74,6 +74,7 @@ object SparkEntry {
     "q53_outer_reconcile" -> (ops.CoreOps.outerReconcile(_, _)),
     "q54_zorder_probe"  -> (ops.ZOrder.boxProbe(_, _)),
     "q55_stats_agg"     -> (ops.ZOrder.metadataAgg(_, _)),
+    "q56_approx_quantiles" -> (ops.CoreOps.approxQuantiles(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -498,6 +499,7 @@ object SparkEntry {
     "q53_outer_reconcile" -> ops.CoreOps.oracleOuterReconcile,
     "q54_zorder_probe"  -> ops.ZOrder.oracleBoxProbe,
     "q55_stats_agg"     -> ops.ZOrder.oracleMetadataAgg,
+    "q56_approx_quantiles" -> ops.CoreOps.oracleApproxQuantiles,
     "m06_image_neardup" -> llm.Multimodal.oracleImageNearDup,
     "m07_audio_resample" -> llm.Multimodal.oracleAudioResample,
     "m08_media_sniff"    -> llm.Multimodal.oracleMediaSniff,

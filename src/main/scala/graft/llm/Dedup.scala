@@ -699,6 +699,65 @@ object Dedup {
         .select((col("doc_id") + lit(IncCopyIdOffset)).as("doc_id"), col("text")))
   }
 
+  /** The staged per-(process, corpus dir) incremental-dedup index —
+    * the cc_labels pattern applied to the nightly-ingest shape the d23
+    * doc comment promises: the corpus-side artifacts every incremental
+    * run needs are materialized ONCE per corpus era and re-read by
+    * every subsequent batch, so a nightly run pays batch-sized work
+    * only, never a corpus pass.
+    *
+    * Artifacts:
+    *  - `ci_shingles` — (doc_id, hs): each doc's sorted shingle-hash
+    *    array, for the exact-Jaccard verify leg;
+    *  - `ci_bands` — (doc_id, band, band_hash): the LSH band table the
+    *    asymmetric candidate join probes (at 100 TB: a bucketed table
+    *    on (band, band_hash), so the probe shuffles only the batch);
+    *  - `ci_exact` — (h, dup_of): content hash → smallest holder, the
+    *    exact-dup authority for both d23 and d29;
+    *  - `ci_bloom` — the serialized Bloom sketch over the corpus'
+    *    content keys (~1.7 GB at 1e9 keys / 1 ppm) for d29's map-side
+    *    gate.
+    *
+    * In production the index lives in the warehouse and is maintained
+    * incrementally (append the accepted batch's rows after each
+    * ingest); here it is staged per process the same way cc_labels is.
+    */
+  private[llm] def corpusIndex(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, org.apache.spark.util.sketch.BloomFilter) =
+    synchronized {
+      val pExact = graft.ops.Staging.stagePath("ci_exact", dir)
+      val pSh = graft.ops.Staging.stagePath("ci_shingles", dir)
+      val pBands = graft.ops.Staging.stagePath("ci_bands", dir)
+      val pBloom = new java.io.File(graft.ops.Staging.stagePath("ci_bloom", dir))
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      // ci_exact is written LAST, so its _SUCCESS gates the whole set
+      if (!fs.exists(new org.apache.hadoop.fs.Path(pExact, "_SUCCESS"))) {
+        val existing = Tables.documents(spark, dir).select("doc_id", "text")
+        // shingle compute (md5 per shingle) is the expensive leg — run
+        // it once into cache, feed both the shingle and band writes
+        val sh = existing.repartition(col("doc_id"))
+          .select(col("doc_id"), TextHash.hashedShingles(col("text"), 0).as("hs"))
+          .persist()
+        sh.write.mode("overwrite").parquet(pSh)
+        bandsFrom(sh).write.mode("overwrite").parquet(pBands)
+        sh.unpersist()
+        // sizing count is parquet-metadata-only; the key scan is 1 pass
+        val bloom = existing
+          .select(TextHash.phash(col("text"), 0).as("k"))
+          .stat.bloomFilter("k", existing.count(), 0.001)
+        pBloom.getParentFile.mkdirs()
+        val os = new java.io.FileOutputStream(pBloom)
+        try bloom.writeTo(os) finally os.close()
+        existing.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("dup_of"))
+          .write.mode("overwrite").parquet(pExact)
+      }
+      val is = new java.io.FileInputStream(pBloom)
+      val bloom =
+        try org.apache.spark.util.sketch.BloomFilter.readFrom(is) finally is.close()
+      (spark.read.parquet(pExact), spark.read.parquet(pSh),
+        spark.read.parquet(pBands), bloom)
+    }
+
   /** d23 — INCREMENTAL dedup: classify an incoming batch against an
     * existing corpus without ever comparing incoming docs to each
     * other — the nightly-crawl production shape (the corpus is
@@ -708,37 +767,39 @@ object Dedup {
     * doc AND verified Jaccard ≥ [[JaccardThreshold]]), else `new`;
     * `dup_of` = the smallest matching existing doc (exact precedence).
     *
-    * Scale shape: the exact leg is ONE keyed left join on the content
-    * hash. The near leg is d03's band machinery made ASYMMETRIC —
-    * incoming bands equi-join existing bands on (band, band_hash), so
-    * the huge existing corpus is touched once, partitioned by bucket,
-    * and the candidate count scales with the incoming batch, not the
-    * corpus. Nothing is all-pairs; at 100 TB the existing band table
-    * is a materialized staging table maintained across ingests (the
-    * cc_labels pattern).
+    * Scale shape: every corpus-side artifact comes from the staged
+    * [[corpusIndex]] — the corpus is shingled/banded/hashed once per
+    * era, not per run. The exact leg pre-filters the staged hash table
+    * with a BROADCAST of the batch's keys (inner join, corpus streams
+    * map-side and never shuffles), then resolves the verdict in a
+    * batch-sized left join. The near leg equi-joins the staged band
+    * table against the broadcast batch bands, so candidate count
+    * scales with the batch; the Jaccard verify touches only candidate
+    * corpus docs. Nothing is all-pairs, and no per-run corpus shuffle
+    * remains.
     */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    def shingled(df: DataFrame): DataFrame =
-      df.repartition(col("doc_id"))
-        .select(col("doc_id"), TextHash.hashedShingles(col("text"), 0).as("hs"))
-    val existing = Tables.documents(spark, dir).select("doc_id", "text")
+    val (exactIdx, shIdx, bandIdx, _) = corpusIndex(spark, dir)
     val incoming = incomingBatch(spark, dir).persist()
 
-    val exactOf = incoming.select(col("doc_id"), md5(col("text")).as("h"))
-      .join(existing.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("exact_of")),
-        Seq("h"), "left")
+    val incKeys = incoming.select(col("doc_id"), md5(col("text")).as("h"))
+    val exactMatches = exactIdx
+      .join(broadcast(incKeys.select("h").distinct()), Seq("h"))
+      .withColumnRenamed("dup_of", "exact_of")
+    val exactOf = incKeys.join(exactMatches, Seq("h"), "left")
       .select("doc_id", "exact_of")
 
-    val shE = shingled(existing).persist()
-    val shI = shingled(incoming).persist()
-    val cand = bandsFrom(shI).as("i")
-      .join(bandsFrom(shE).as("e"),
+    val shI = incoming.repartition(col("doc_id"))
+      .select(col("doc_id"), TextHash.hashedShingles(col("text"), 0).as("hs"))
+      .persist()
+    val cand = bandIdx.as("e")
+      .join(broadcast(bandsFrom(shI)).as("i"),
         col("i.band") === col("e.band") && col("i.band_hash") === col("e.band_hash"))
       .select(col("i.doc_id").as("inc_id"), col("e.doc_id").as("ex_id"))
       .distinct()
     val nearOf = cand
       .join(shI.select(col("doc_id").as("inc_id"), col("hs").as("hs_i")), Seq("inc_id"))
-      .join(shE.select(col("doc_id").as("ex_id"), col("hs").as("hs_e")), Seq("ex_id"))
+      .join(shIdx.select(col("doc_id").as("ex_id"), col("hs").as("hs_e")), Seq("ex_id"))
       .select(col("inc_id"), col("ex_id"),
         size(array_intersect(col("hs_i"), col("hs_e"))).as("inter"),
         size(col("hs_i")).as("szi"), size(col("hs_e")).as("sze"))
@@ -758,18 +819,20 @@ object Dedup {
 
   /** d29 — Bloom-gated exact incremental dedup: classify an incoming
     * batch against the corpus WITHOUT joining the corpus per row. d23
-    * shuffles batch and corpus into a hash join — correct, but at
-    * 100 TB the corpus side of that shuffle is the pipeline's whole
-    * I/O budget, every day, for a batch that is a fraction of a
-    * percent of it. The at-scale shape is sideways information
-    * passing (the q35 pattern aimed at dedup): ONE distributed pass
-    * folds the corpus' content keys into a Bloom sketch (~1.7 GB at
-    * 1e9 keys / 1 ppm — broadcastable where the corpus never is);
-    * the batch probes it map-side; only might-contain rows (true
-    * dups + the fpp sliver) reach the exact-verify join, whose
-    * existing side is pre-filtered by the SAME semi-join keys. Rows
-    * the sketch rejects are DEFINITELY new — a Bloom filter has no
-    * false negatives — and never shuffle at all.
+    * hash-joins against the staged corpus index — correct, but even a
+    * staged corpus table is a big scan, every day, for a batch that is
+    * a fraction of a percent of it. The at-scale shape is sideways
+    * information passing (the q35 pattern aimed at dedup): the staged
+    * [[corpusIndex]] Bloom sketch over the corpus' content keys
+    * (~1.7 GB at 1e9 keys / 1 ppm — broadcastable where the corpus
+    * never is; built once per corpus era, deserialized per run) is
+    * probed map-side by the batch; only might-contain rows (true dups
+    * + the fpp sliver) reach the exact-verify stage, where the staged
+    * hash table is pre-filtered by a BROADCAST of those probed keys
+    * (inner join — the corpus side streams map-side and never
+    * shuffles) before a batch-sized left join resolves the verdict.
+    * Rows the sketch rejects are DEFINITELY new — a Bloom filter has
+    * no false negatives — and never shuffle at all.
     *
     * Result-invariant by construction: false positives die in the
     * exact join (left-join miss → 'new'), so the oracle is the plain
@@ -778,23 +841,14 @@ object Dedup {
     */
   def bloomIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     import graft.expr.BloomExpressions
-    val existing = Tables.documents(spark, dir).select("doc_id", "text")
-    val nExisting = existing.count()
-    val bloom = existing
-      .select(TextHash.phash(col("text"), 0).as("k"))
-      .stat.bloomFilter("k", nExisting, 0.001)
-    // NOT persisted: both legs below re-derive this map-side projection
-    // from the documents scan (cheap), and a persist here would live
-    // past the query — the unbounded-cache-accumulation trap ADVICE
-    // flagged on the CC loop (releasing it mid-query is unsafe in
-    // Spark 4: uncache lazily invalidates dependent plans).
+    val (exactIdx, _, _, bloom) = corpusIndex(spark, dir)
     val probed = incomingBatch(spark, dir)
       .withColumn("might",
         BloomExpressions.mightContain(bloom, TextHash.phash(col("text"), 0)))
-    val verified = probed.filter(col("might"))
+    val probedKeys = probed.filter(col("might"))
       .select(col("doc_id"), md5(col("text")).as("h"))
-      .join(existing.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("dup_of")),
-        Seq("h"), "left")
+    val matches = exactIdx.join(broadcast(probedKeys.select("h").distinct()), Seq("h"))
+    val verified = probedKeys.join(matches, Seq("h"), "left")
       .select("doc_id", "dup_of")
     val definitelyNew = probed.filter(!col("might"))
       .select(col("doc_id"), lit(null).cast("long").as("dup_of"))

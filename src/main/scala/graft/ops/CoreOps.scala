@@ -189,24 +189,23 @@ object CoreOps {
   /** q16 — statistics surface beyond the reference (distinct counts and
     * exact interpolated percentiles — the reference has neither):
     * per returnflag, distinct part count, quartiles of extendedprice,
-    * sample stddev. Exact `percentile` matches DuckDB `quantile_cont`
-    * (same (n−1)·p linear interpolation); midpoints of 2-decimal data
+    * sample stddev. Quartiles come from the bounded two-pass exact
+    * percentile ([[Percentiles.boundedPercentiles]]) — same values as
+    * the built-in `percentile` (and DuckDB `quantile_cont`) without its
+    * unbounded per-group in-memory buffer; midpoints of 2-decimal data
     * terminate within 4 decimals, so round(…,4) is boundary-safe.
     */
   def statsSurface(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy("l_returnflag")
-      .agg(
+    Percentiles.boundedPercentiles(
+      Tables.lineitem(spark, dir), "l_returnflag", "l_extendedprice",
+      Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)),
+      extraAggs = Seq(
         countDistinct("l_partkey").as("n_parts"),
-        // ONE percentile buffer for all three quartiles: the scalar form
-        // ×3 made every partial/merge serialize the full value multiset
-        // three times (measured 5.5 s → 2.5 s at sf0.1 in-suite)
-        expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("ps"),
-        round(stddev_samp(col("l_extendedprice")), 2).as("sd"))
+        round(stddev_samp(col("l_extendedprice")), 2).as("sd")))
       .select(col("l_returnflag"), col("n_parts"),
-        round(element_at(col("ps"), 1), 4).as("p25"),
-        round(element_at(col("ps"), 2), 4).as("p50"),
-        round(element_at(col("ps"), 3), 4).as("p75"),
+        round(col("p25"), 4).as("p25"),
+        round(col("p50"), 4).as("p50"),
+        round(col("p75"), 4).as("p75"),
         col("sd"))
       .orderBy("l_returnflag")
 
@@ -365,22 +364,21 @@ object CoreOps {
       |ORDER BY event_type, bucket""".stripMargin
 
   /** q30 — exact interpolated percentiles (p50/p90/p99) per event
-    * type: Spark's `percentile` and DuckDB's `quantile_cont` both
-    * compute `lower + (upper − lower) · frac` at rank `p·(n−1)` over
-    * the sorted values — the same two IEEE ops on the same doubles, so
-    * the result is bit-deterministic (gate-verified at all three SFs).
-    * Exact percentile sorts within each group — fine when groups are
-    * bounded (5 types); unbounded groups would switch to
-    * `approx_percentile` (t-digest, no oracle).
+    * type via the bounded two-pass plan
+    * ([[Percentiles.boundedPercentiles]]): interpolation replicates
+    * the `percentile`/`quantile_cont` math (`rank = p·(n−1)`, linear
+    * between the two adjacent sorted values) bit-for-bit, gate-verified
+    * at all three SFs, while every aggregate stays a spillable bounded
+    * hash agg — no per-group value buffer, so the plan survives
+    * unbounded group cardinality at 100 TB. q56 is the sketch twin
+    * (approx_percentile with an oracle-checked error bound).
     */
   def quantiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy("event_type")
-      .agg(
-        expr("percentile(value, 0.5)").as("p50"),
-        expr("percentile(value, 0.9)").as("p90"),
-        expr("percentile(value, 0.99)").as("p99"),
-        count(lit(1)).as("n"))
+    Percentiles.boundedPercentiles(
+      Tables.events(spark, dir), "event_type", "value",
+      Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)),
+      extraAggs = Seq(count(lit(1)).as("n")))
+      .select(col("event_type"), col("p50"), col("p90"), col("p99"), col("n"))
       .orderBy("event_type")
 
   val oracleQuantiles: String =
@@ -389,6 +387,57 @@ object CoreOps {
       |       quantile_cont(value, 0.9) AS p90,
       |       quantile_cont(value, 0.99) AS p99,
       |       count(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** q56 — approx_percentile twin of q30 with an ''oracle-checkable''
+    * error bound (the d16 sketch pattern, hardened): rather than
+    * emitting the sketch values (engine-specific, no DuckDB parity),
+    * the query emits per-group booleans asserting the Greenwald–Khanna
+    * guarantee — the true rank of each returned value is within
+    * `n/accuracy` (+1 for rank-interval discretization) of the target
+    * rank `p·(n−1)`. The oracle is then the constant-`true` table, so
+    * the driver's hash compare becomes a hard gate on the bound: any
+    * out-of-tolerance sketch answer flips a boolean and reds the row.
+    * At 100 TB this is the percentile path to use when group
+    * cardinality is unbounded: fixed-size sketch per group, one pass.
+    */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val acc = 10000
+    val ev = Tables.events(spark, dir)
+    val sk = ev.groupBy("event_type")
+      .agg(
+        expr(s"approx_percentile(value, array(0.5D, 0.9D, 0.99D), $acc)").as("ap"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        posexplode(col("ap")).as(Seq("pos", "apv")))
+      .withColumn("p", element_at(array(lit(0.5), lit(0.9), lit(0.99)), col("pos") + 1))
+    val ranks = ev
+      .join(broadcast(sk.withColumnRenamed("event_type", "et2")),
+        col("event_type") === col("et2"))
+      .groupBy("event_type", "pos", "p", "apv", "n")
+      .agg(
+        sum(when(col("value") < col("apv"), 1L).otherwise(0L)).as("below"),
+        sum(when(col("value") <= col("apv"), 1L).otherwise(0L)).as("at_or_below"))
+    val checked = ranks
+      .withColumn("target", col("p") * (col("n") - 1).cast("double"))
+      .withColumn("err", greatest(lit(0.0),
+        col("below").cast("double") - col("target"),
+        col("target") - (col("at_or_below") - 1).cast("double")))
+      .withColumn("ok", col("err") <= col("n").cast("double") / acc + 1.0)
+    checked.groupBy("event_type")
+      .agg(
+        max("n").as("n"),
+        max(when(col("pos") === 0, col("ok"))).as("ok_p50"),
+        max(when(col("pos") === 1, col("ok"))).as("ok_p90"),
+        max(when(col("pos") === 2, col("ok"))).as("ok_p99"))
+      .orderBy("event_type")
+  }
+
+  val oracleApproxQuantiles: String =
+    """SELECT event_type, count(*) AS n,
+      |       true AS ok_p50, true AS ok_p90, true AS ok_p99
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin

@@ -241,4 +241,22 @@ class PlanSpec extends AnyFunSuite {
     assert("hashpartitioning".r.findAllIn(p).length <= 1,
       s"m09 shuffled frame data:\n$p")
   }
+
+  test("q16/q30: no unbounded Percentile buffer anywhere in the plan") {
+    // the round-4 flagged scale-killer: the built-in `percentile`
+    // aggregate (an ObjectHashAggregate holding the full per-group
+    // value multiset) must not appear — the bounded two-pass plan
+    // (graft.ops.Percentiles) replaces it with spillable hash aggs and
+    // a windowed extraction over boundary buckets only
+    for (q <- Seq("q16_stats", "q30_quantiles")) {
+      val p = planOf(q)
+      assert(!p.contains("percentile("), s"$q regressed to the buffering percentile:\n$p")
+      assert(!p.contains("ObjectHashAggregate"),
+        s"$q contains a non-spillable object-buffer aggregate:\n$p")
+      assert(p.contains("Window"), s"$q lost the windowed extraction pass:\n$p")
+    }
+    // the sketch twin stays a fixed-size approx_percentile — never exact
+    val p56 = planOf("q56_approx_quantiles")
+    assert(p56.contains("approx_percentile"), p56)
+  }
 }
