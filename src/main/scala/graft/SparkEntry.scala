@@ -130,6 +130,7 @@ object SparkEntry {
     "m08_media_sniff"       -> (llm.Multimodal.mediaSniff(_, _)),
     "m09_scene_change"      -> (llm.Multimodal.sceneChanges(_, _)),
     "m10_jpeg_decode"       -> (llm.Multimodal.jpegDecode(_, _)),
+    "m11_mjpeg_frames"      -> (llm.Multimodal.mjpegFrames(_, _)),
     "s01_stream_daily"      -> (streaming.DailyIngest.streamDaily(_, _)),
     "s02_sessionize"        -> (streaming.Sessionize.sessions(_, _)),
     "s03_sliding"           -> (streaming.DailyIngest.slidingDaily(_, _)),
@@ -505,6 +506,7 @@ object SparkEntry {
     "m08_media_sniff"    -> llm.Multimodal.oracleMediaSniff,
     "m09_scene_change"   -> llm.Multimodal.oracleSceneChanges,
     "m10_jpeg_decode"    -> llm.Multimodal.oracleJpegDecode,
+    "m11_mjpeg_frames"   -> llm.Multimodal.oracleMjpegFrames,
 
     "t10_repetition" -> llm.TextStats.oracleRepetition,
     "t11_bpe_tokens" -> llm.Bpe.oracleBpeTokens,

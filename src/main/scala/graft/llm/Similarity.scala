@@ -121,12 +121,25 @@ object Similarity {
   /** Centroids are deterministic per input dir, and BOTH d08 (IVF
     * probe) and d24 (SemDeDup) assign against them — train once per
     * (process, dir), assign many times (the clusterLabels staging
-    * pattern, driver-side because k×dim doubles are tiny).
+    * pattern, driver-side because k×dim doubles are tiny). BOUNDED:
+    * an access-order LRU capped at [[CentroidCacheCap]] dirs, so a
+    * long-lived multi-tenant session cycling through many inputs
+    * re-trains rather than accumulating entries forever.
     */
-  private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]()
+  private[graft] val CentroidCacheCap = 8
+  private val centroidCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Seq[(Int, Seq[Double])]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[(Int, Seq[Double])]]): Boolean =
+        size() > CentroidCacheCap
+    })
 
-  private[llm] def lloydCentroids(spark: SparkSession, dir: String): Seq[(Int, Seq[Double])] = {
+  private[graft] def cachedCentroidDirs: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    centroidCache.synchronized(centroidCache.keySet().asScala.toSet)
+  }
+
+  private[graft] def lloydCentroids(spark: SparkSession, dir: String): Seq[(Int, Seq[Double])] = {
     val cached = centroidCache.get(dir)
     if (cached != null) return cached
     val computed = lloydCentroidsUncached(spark, dir)

@@ -69,6 +69,12 @@ object StatefulCumulative {
   def cumulativeWeekly(spark: SparkSession, dir: String): DataFrame = {
     val ss = StreamEnv.streamSession(spark)
     import ss.implicits._
+    // same store as s07: RocksDB for BOTH arbitrary-state legs — the
+    // provider you'd run at scale (bounded heap: state lives off-heap /
+    // on-disk with incremental checkpoints, where the default HDFS-
+    // backed provider holds every key in executor memory)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val in = stageWeekly(spark, dir, "state")
 
     val stream = ss.readStream

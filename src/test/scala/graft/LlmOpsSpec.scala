@@ -393,6 +393,52 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(maxObserved > 0, "JPEG round trip reported zero error — decode path suspect")
   }
 
+  test("m11 AVI container: idx1 index agrees with a sequential movi walk; corrupt input rejected") {
+    // the reader SEEKS via idx1; this pins that the index the writer
+    // emits lands on exactly the chunks a linear RIFF walk finds
+    for (id <- Seq(0L, 3L, 17L, 101L)) {
+      val bytes = Multimodal.aviBytesOf(id)
+      val (n, w, h, idxFrames) = Multimodal.parseAvi(bytes)
+      assert(n == 4 + (id % 5).toInt && w == 6 + (id % 5).toInt && h == 5 + (id % 6).toInt)
+      // sequential walk: find movi, collect 00dc payload positions
+      var sequential = List.empty[(Int, Int)]
+      var pos = 12
+      while (pos + 8 <= bytes.length) {
+        val cid = new String(bytes, pos, 4, "US-ASCII")
+        val len = (bytes(pos + 4) & 0xff) | ((bytes(pos + 5) & 0xff) << 8) |
+          ((bytes(pos + 6) & 0xff) << 16) | ((bytes(pos + 7) & 0xff) << 24)
+        if (cid == "LIST" && new String(bytes, pos + 8, 4, "US-ASCII") == "movi") {
+          var p = pos + 12
+          while (p + 8 <= pos + 8 + len) {
+            val flen = (bytes(p + 4) & 0xff) | ((bytes(p + 5) & 0xff) << 8) |
+              ((bytes(p + 6) & 0xff) << 16) | ((bytes(p + 7) & 0xff) << 24)
+            sequential ::= (p + 8, flen)
+            p += 8 + flen + (flen & 1)
+          }
+        }
+        pos += 8 + len + (len & 1)
+      }
+      assert(idxFrames.toList == sequential.reverse,
+        s"idx1 seek targets diverge from the linear walk for doc $id")
+      // every indexed payload is a JPEG (SOI marker)
+      idxFrames.foreach { case (at, _) =>
+        assert((bytes(at) & 0xff) == 0xff && (bytes(at + 1) & 0xff) == 0xd8)
+      }
+    }
+    val bad = Multimodal.aviBytesOf(1L).clone()
+    bad(8) = 'X'.toByte // break the 'AVI ' fourcc
+    intercept[IllegalArgumentException](Multimodal.parseAvi(bad))
+  }
+
+  test("m11 sampled frames: real lossy decode inside tolerance on every sampled frame") {
+    val df = Multimodal.mjpegFrames(spark, Sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every-2nd sampling: frame 0 always present, odd frames never
+    assert(rows.forall(_.getInt(1) % Multimodal.FrameStride == 0))
+    assert(rows.forall(_.getBoolean(6)), "a sampled frame breached JPEG tolerance")
+  }
+
   test("m04 real WAV round trip: header and PCM payload survive the codec") {
     val stats = Multimodal.audioStats(spark, Sf).collect()
     assert(stats.length == 500)

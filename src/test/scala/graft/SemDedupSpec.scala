@@ -39,4 +39,16 @@ class SemDedupSpec extends AnyFunSuite {
       .findFirstIn(plan).isDefined,
       s"self-join must hash/merge on the cell key:\n$plan")
   }
+
+  test("centroid cache: per-dir entries, cache hits return the same object, bounded LRU") {
+    val dirA = Sf                       // sf0.001
+    val dirB = "/root/testdata/sf0.01"  // distinct dir, same tables
+    val a1 = Similarity.lloydCentroids(spark, dirA)
+    val b1 = Similarity.lloydCentroids(spark, dirB)
+    assert(Set(dirA, dirB).subsetOf(Similarity.cachedCentroidDirs))
+    // second call is a cache hit — identical object, no retrain
+    assert(Similarity.lloydCentroids(spark, dirA) eq a1)
+    assert(Similarity.lloydCentroids(spark, dirB) eq b1)
+    assert(Similarity.cachedCentroidDirs.size <= Similarity.CentroidCacheCap)
+  }
 }

@@ -16,7 +16,7 @@ class SourcesAndScaleSpec extends AnyFunSuite {
   test("normalizeTs canonicalizes every shipped ts layout to µs TimestampType") {
     import java.sql.Timestamp
     val instant = Timestamp.valueOf("1997-06-15 12:34:56.789")
-    val micros = instant.getTime * 1000L + 789000L % 1000L // ms → µs (sub-ms zero here)
+    val micros = instant.getTime * 1000L // getTime carries the .789 ms already
     // raw-nanos Long layout (pre-2026-08-13 testdata generations)
     val asLong = spark.range(1).select((lit(micros) * 1000L).as("ts"))
     val fromLong = graft.tables.Tables.normalizeTs(asLong)
