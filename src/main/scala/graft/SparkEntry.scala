@@ -75,6 +75,7 @@ object SparkEntry {
     "q54_zorder_probe"  -> (ops.ZOrder.boxProbe(_, _)),
     "q55_stats_agg"     -> (ops.ZOrder.metadataAgg(_, _)),
     "q56_approx_quantiles" -> (ops.CoreOps.approxQuantiles(_, _)),
+    "q57_cbo_star"      -> (ops.Staging.cboStarJoin(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -501,6 +502,7 @@ object SparkEntry {
     "q54_zorder_probe"  -> ops.ZOrder.oracleBoxProbe,
     "q55_stats_agg"     -> ops.ZOrder.oracleMetadataAgg,
     "q56_approx_quantiles" -> ops.CoreOps.oracleApproxQuantiles,
+    "q57_cbo_star"      -> ops.Staging.oracleCboStarJoin,
     "m06_image_neardup" -> llm.Multimodal.oracleImageNearDup,
     "m07_audio_resample" -> llm.Multimodal.oracleAudioResample,
     "m08_media_sniff"    -> llm.Multimodal.oracleMediaSniff,

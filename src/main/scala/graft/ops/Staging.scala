@@ -323,4 +323,57 @@ object Staging {
       |WHERE isodow(ts::DATE) = 1
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
+
+  /** q57 — cost-based join reorder (SURVEY §4's one optimizer surface
+    * still only implicit): the three star legs are staged as catalog
+    * tables, `ANALYZE TABLE … COMPUTE STATISTICS [FOR ALL COLUMNS]`
+    * populates row counts + column NDVs, and the query is WRITTEN in
+    * the worst order — fact ⋈ mid-dim ⋈ small-dim left-to-right. With
+    * `spark.sql.cbo.enabled` + `joinReorder.enabled` (scoped to a
+    * child session so the suite's other plans stay on the default
+    * optimizer), Catalyst's DP reorder rewrites the tree smallest-
+    * first: (customer ⋈ nation) builds the tiny enriched-dim
+    * intermediate BEFORE the fact join, instead of dragging every
+    * order row through both joins. PlanSpec asserts the reordered
+    * shape on the optimized logical plan. At 100 TB this is the
+    * difference between an intermediate the size of the fact table
+    * and one the size of the customer dim.
+    */
+  def cboStarJoin(spark: SparkSession, dir: String): DataFrame = {
+    // isolated SQLConf; catalog + cache are shared with the parent
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    ss.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    val stage = stagePath("cbo", dir)
+    ss.sql("DROP TABLE IF EXISTS graft_orders_cbo")
+    ss.sql("DROP TABLE IF EXISTS graft_customer_cbo")
+    ss.sql("DROP TABLE IF EXISTS graft_nation_cbo")
+    Tables.orders(ss, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").option("path", s"$stage/orders")
+      .saveAsTable("graft_orders_cbo")
+    Tables.customer(ss, dir).select("c_custkey", "c_nationkey")
+      .write.mode("overwrite").option("path", s"$stage/customer")
+      .saveAsTable("graft_customer_cbo")
+    Tables.nation(ss, dir).select("n_nationkey", "n_name")
+      .write.mode("overwrite").option("path", s"$stage/nation")
+      .saveAsTable("graft_nation_cbo")
+    ss.sql("ANALYZE TABLE graft_orders_cbo COMPUTE STATISTICS FOR ALL COLUMNS")
+    ss.sql("ANALYZE TABLE graft_customer_cbo COMPUTE STATISTICS FOR ALL COLUMNS")
+    ss.sql("ANALYZE TABLE graft_nation_cbo COMPUTE STATISTICS FOR ALL COLUMNS")
+    ss.sql(
+      """SELECT n_name, round(sum(o_totalprice), 2) AS total, count(*) AS n_orders
+        |FROM graft_orders_cbo
+        |JOIN graft_customer_cbo ON o_custkey = c_custkey
+        |JOIN graft_nation_cbo ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)
+  }
+
+  val oracleCboStarJoin: String =
+    """SELECT n_name, round(sum(o_totalprice), 2) AS total, count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
 }

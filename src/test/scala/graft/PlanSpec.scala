@@ -259,4 +259,17 @@ class PlanSpec extends AnyFunSuite {
     val p56 = planOf("q56_approx_quantiles")
     assert(p56.contains("approx_percentile"), p56)
   }
+
+  test("q57: CBO join reorder builds customer⋈nation BEFORE the fact join") {
+    val df = SparkEntry.queries("q57_cbo_star")(spark, Sf)
+    val opt = df.queryExecution.optimizedPlan
+    val joins = opt.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.size == 2, s"expected a 2-join star, got ${joins.size}:\n$opt")
+    // collect is pre-order, so the last Join is the innermost; written
+    // order was (orders ⋈ customer) ⋈ nation — the statistics must have
+    // flipped the tree so the two dims join first
+    val inner = joins.last.output.map(_.name)
+    assert(inner.forall(n => n.startsWith("c_") || n.startsWith("n_")),
+      s"innermost join should touch only the two dims, got ${inner.mkString(",")}:\n$opt")
+  }
 }
