@@ -161,7 +161,10 @@ object RestExtract {
         HttpResponse.BodyHandlers.ofString()).body()
       val n = if (body.replaceAll("\\s", "") == "[]") 0
               else body.count(_ == '\n') + 1 // fixture emits one object per line
-      if (n > 0)
+      // page 0 is written even when empty ("[]"): an all-empty extract
+      // must stage SOMETHING or the downstream declared-schema read has
+      // no file to glob and fails loudly on a legitimately empty result
+      if (n > 0 || page == 0)
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$stage/page_$page.json"), body.getBytes(UTF_8))
       done = n < pageCap || (query.limit >= 0 && offset + n >= query.limit)
