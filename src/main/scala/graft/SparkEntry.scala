@@ -89,6 +89,7 @@ object SparkEntry {
     "d10_embed_neardup"     -> (llm.Similarity.embedNearDup(_, _)),
     "d11_dedup_clusters"    -> (llm.Dedup.dedupClusters(_, _)),
     "d12_curate"            -> (llm.Dedup.curate(_, _)),
+    "d30_index_ingest"      -> (llm.Dedup.indexIngest(_, _)),
     "t01_lang_id"           -> (llm.TextStats.langId(_, _)),
     "t02_text_quality"      -> (llm.TextStats.quality(_, _)),
     "t03_token_stats"       -> (llm.TextStats.tokenStats(_, _)),
@@ -503,6 +504,7 @@ object SparkEntry {
     "q55_stats_agg"     -> ops.ZOrder.oracleMetadataAgg,
     "q56_approx_quantiles" -> ops.CoreOps.oracleApproxQuantiles,
     "q57_cbo_star"      -> ops.Staging.oracleCboStarJoin,
+    "d30_index_ingest"  -> llm.Dedup.oracleIndexIngest,
     "m06_image_neardup" -> llm.Multimodal.oracleImageNearDup,
     "m07_audio_resample" -> llm.Multimodal.oracleAudioResample,
     "m08_media_sniff"    -> llm.Multimodal.oracleMediaSniff,

@@ -859,6 +859,100 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Batch-2 id offsets for d30 (disjoint from [[TwinIdOffset]] /
+    * [[IncCopyIdOffset]] so the three id spaces never collide).
+    */
+  val ReCopyIdOffset = 4 * TwinIdOffset
+  val ReTwinIdOffset = 5 * TwinIdOffset
+  val NovelIdOffset = 6 * TwinIdOffset
+
+  /** d30 — incremental INDEX MAINTENANCE across ingests: the staged
+    * corpus index is not a one-off artifact but a sequence of
+    * immutable GENERATIONS, each era appending the previous batch's
+    * accepted docs — the claim d23/d29's doc comments make about the
+    * nightly pipeline, made executable and oracle-checked.
+    *
+    * The run: (1) batch 1 ([[incomingBatch]]) is classified exact-only
+    * against the generation-0 staged index; (2) its accepted ('new')
+    * rows — one (hash, min doc_id) authority per novel content — are
+    * UNIONED with gen-0 and written as the generation-1 index (an
+    * immutable new era, never an in-place mutation: d23/d29 keep
+    * reading gen-0 untouched); (3) batch 2 — exact copies of every
+    * 3rd corpus doc under fresh ids PLUS re-offers of batch 1's twin
+    * texts under fresh ids — is classified against generation 1.
+    *
+    * The oracle-visible proof of maintenance: the re-offered twin
+    * texts exist NOWHERE in the original corpus (they are the
+    * truncated variants), so a stale index would classify them 'new';
+    * against gen-1 they resolve to `dup_of` = the batch-1 twin that
+    * introduced the content. Both joins use the d29 broadcast
+    * pre-filter shape — the index side never shuffles.
+    */
+  def indexIngest(spark: SparkSession, dir: String): DataFrame = {
+    val (exactIdx, _, _, _) = corpusIndex(spark, dir)
+    val b1 = incomingBatch(spark, dir)
+    val b1k = b1.select(col("doc_id"), md5(col("text")).as("h"))
+    // classify batch 1; accepted = content hashes unseen in gen-0
+    val matches1 = exactIdx.join(broadcast(b1k.select("h").distinct()), Seq("h"))
+    val accepted = b1k.join(broadcast(matches1.select("h")), Seq("h"), "left_anti")
+      .groupBy("h").agg(min("doc_id").as("dup_of"))
+    // generation 1: immutable era = gen-0 ∪ accepted (hash spaces are
+    // disjoint by construction of `accepted`, so a plain union is the
+    // whole merge)
+    val gen1Path = graft.ops.Staging.stagePath("ci_exact_gen1", dir)
+    exactIdx.unionByName(accepted).write.mode("overwrite").parquet(gen1Path)
+    val gen1 = spark.read.parquet(gen1Path)
+
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    val reCopies = d.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + lit(ReCopyIdOffset)).as("doc_id"), col("text"))
+    val reTwins = b1.filter(col("doc_id") < IncCopyIdOffset) // the twin half
+      .select((col("doc_id") - lit(TwinIdOffset) + lit(ReTwinIdOffset)).as("doc_id"),
+        col("text"))
+    // genuinely novel content (id-salted prefix) — the 'new' branch
+    val novel = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + lit(NovelIdOffset)).as("doc_id"),
+        concat(lit("NOVEL:"), col("doc_id").cast("string"), lit(":"), col("text")).as("text"))
+    val b2k = reCopies.unionByName(reTwins).unionByName(novel)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val matches2 = gen1.join(broadcast(b2k.select("h").distinct()), Seq("h"))
+    b2k.join(broadcast(matches2), Seq("h"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of").isNotNull, lit("dup")).otherwise(lit("new")).as("status"),
+        col("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  val oracleIndexIngest: String =
+    s"""WITH inc1 AS (
+       |  SELECT doc_id + $TwinIdOffset AS doc_id,
+       |         substr(text, 1, greatest(length(text) - $TwinTruncate, 20)) AS text
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $IncCopyIdOffset AS doc_id, text
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |ex0 AS (SELECT md5(text) AS h, min(doc_id) AS dup_of FROM documents GROUP BY 1),
+       |acc AS (
+       |  SELECT md5(text) AS h, min(doc_id) AS dup_of FROM inc1
+       |  WHERE md5(text) NOT IN (SELECT h FROM ex0) GROUP BY 1),
+       |ex1 AS (SELECT * FROM ex0 UNION ALL SELECT * FROM acc),
+       |inc2 AS (
+       |  SELECT doc_id + $ReCopyIdOffset AS doc_id, text
+       |  FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + $ReTwinIdOffset AS doc_id,
+       |         substr(text, 1, greatest(length(text) - $TwinTruncate, 20)) AS text
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $NovelIdOffset AS doc_id,
+       |         'NOVEL:' || doc_id || ':' || text AS text
+       |  FROM documents WHERE doc_id % 7 = 0)
+       |SELECT i.doc_id,
+       |       CASE WHEN e.dup_of IS NOT NULL THEN 'dup' ELSE 'new' END AS status,
+       |       e.dup_of
+       |FROM inc2 i LEFT JOIN ex1 e ON md5(i.text) = e.h
+       |ORDER BY i.doc_id""".stripMargin
+
   /** d29 oracle — the sketch is invisible: plain content-equality
     * classification of the same incoming batch.
     */
