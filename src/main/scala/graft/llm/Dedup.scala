@@ -722,7 +722,7 @@ object Dedup {
     * incrementally (append the accepted batch's rows after each
     * ingest); here it is staged per process the same way cc_labels is.
     */
-  private[llm] def corpusIndex(spark: SparkSession, dir: String)
+  private[graft] def corpusIndex(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, org.apache.spark.util.sketch.BloomFilter) =
     synchronized {
       val pExact = graft.ops.Staging.stagePath("ci_exact", dir)

@@ -203,6 +203,35 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d30 index ingest: gen-0 immutable, gen-1 = gen-0 + accepted, re-offers resolve to batch-1 ids") {
+    val gen0Path = graft.ops.Staging.stagePath("ci_exact", Sf)
+    Dedup.corpusIndex(spark, Sf) // ensure gen-0 staged
+    val gen0Before = spark.read.parquet(gen0Path).count()
+    val rows = Dedup.indexIngest(spark, Sf).collect()
+    // gen-0 is an immutable era — the ingest writes a NEW generation
+    assert(spark.read.parquet(gen0Path).count() == gen0Before,
+      "d30 must never mutate the gen-0 index d23/d29 read")
+    val gen1 = spark.read.parquet(graft.ops.Staging.stagePath("ci_exact_gen1", Sf))
+    assert(gen1.count() > gen0Before, "gen-1 must contain the accepted batch-1 rows")
+    rows.foreach { r =>
+      val (id, status) = (r.getLong(0), r.getString(1))
+      if (id >= Dedup.NovelIdOffset)
+        assert(status == "new", s"salted novel doc $id must classify new")
+      else if (id >= Dedup.ReTwinIdOffset) {
+        // the maintenance proof: content introduced by batch 1 resolves
+        // to the batch-1 twin that brought it in (twin-id space), not
+        // to the corpus and not to 'new'
+        assert(status == "dup" && !r.isNullAt(2), s"re-offered twin $id must be a dup")
+        val dupOf = r.getLong(2)
+        assert(dupOf >= Dedup.TwinIdOffset && dupOf < Dedup.IncCopyIdOffset,
+          s"re-offer $id resolved to $dupOf — not a batch-1 twin id; index not maintained?")
+      } else {
+        assert(status == "dup", s"corpus copy $id must be a dup")
+        assert(r.getLong(2) < Dedup.TwinIdOffset, s"copy $id must resolve into the corpus")
+      }
+    }
+  }
+
   test("vocab top-k is sorted by freq desc and consistent with tf-idf's df") {
     val vocab = TextStats.vocabTopK(spark, Sf).collect()
     // the synthetic fixture's shared vocabulary is ~31 words — all of it fits in the top-100
