@@ -76,6 +76,7 @@ object SparkEntry {
     "q55_stats_agg"     -> (ops.ZOrder.metadataAgg(_, _)),
     "q56_approx_quantiles" -> (ops.CoreOps.approxQuantiles(_, _)),
     "q57_cbo_star"      -> (ops.Staging.cboStarJoin(_, _)),
+    "q58_aqe_skew_join" -> (ops.Skew.aqeSkewJoin(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -505,6 +506,7 @@ object SparkEntry {
     "q56_approx_quantiles" -> ops.CoreOps.oracleApproxQuantiles,
     "q57_cbo_star"      -> ops.Staging.oracleCboStarJoin,
     "d30_index_ingest"  -> llm.Dedup.oracleIndexIngest,
+    "q58_aqe_skew_join" -> ops.Skew.oracleAqeSkewJoin,
     "m06_image_neardup" -> llm.Multimodal.oracleImageNearDup,
     "m07_audio_resample" -> llm.Multimodal.oracleAudioResample,
     "m08_media_sniff"    -> llm.Multimodal.oracleMediaSniff,

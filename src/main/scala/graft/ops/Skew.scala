@@ -58,4 +58,76 @@ object Skew {
       |FROM lineitem l JOIN flags f ON l.l_returnflag = f.l_returnflag
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
+
+  /** q58 — AQE runtime skew-join split: the class-doc division of
+    * labor ("AQE handles most cases at runtime; salting is the
+    * fallback") demonstrated on the runtime half. The same
+    * skewed-fact join as q27 runs UNSALTED as a sort-merge join in a
+    * child session with `spark.sql.adaptive.skewJoin` thresholds
+    * lowered to fixture scale (the default 256 MB partition threshold
+    * never trips on test data); AQE detects the oversized reduce
+    * partition at the stage boundary and splits it along mapper
+    * boundaries into task-sized partial reads, replicating the
+    * matching dim partition. Like q27, the mitigation must be
+    * result-invariant — the oracle is the plain join — and PlanSpec
+    * asserts the skew marker on the executed ADAPTIVE plan.
+    *
+    * At 100 TB the SAME query needs no conf tuning: production skew
+    * trips the default thresholds, and AQE is the first line of
+    * defense precisely because it needs no per-key knowledge —
+    * salting remains the manual override when one key out-sizes even
+    * a split task.
+    */
+  def aqeSkewJoin(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.tables.Tables
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.adaptive.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+    ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512b")
+    // no broadcast: skew splitting only exists on the shuffle-join path
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // 90 % of rows on key 0, the rest spread over ten cold keys
+    // (9,19,…,99) so the cold mass occupies OTHER reduce partitions —
+    // the detector compares the hot partition against the factor ×
+    // median bar, so a query whose keys all share one partition (or
+    // 3 even-ish keys like returnflag) never reads as skewed
+    val hotKey = when(col("l_orderkey") % 10 < 9, lit(0L))
+      .otherwise(col("l_orderkey") % 100).as("hot_key")
+    // AQE splits a skewed reduce partition along MAPPER boundaries —
+    // the single-file fixture is one input split = one mapper, leaving
+    // nothing to split along. The round-robin spread stands in for the
+    // thousands of scan splits a production fact table has anyway.
+    val li = Tables.lineitem(ss, dir)
+      .repartition(8)
+      .select(hotKey, col("l_extendedprice"))
+    // the dim is materialized (localCheckpoint) so the join sees a
+    // plain leaf on that side: OptimizeSkewedJoin only rewrites an SMJ
+    // whose BOTH children are Sort(ShuffleQueryStage) — a distinct's
+    // final aggregate sitting between sort and stage disqualifies the
+    // join. (Production dims are materialized tables anyway.)
+    val dim = li.select(col("hot_key")).distinct()
+      .withColumn("key_label", concat(lit("key_"), col("hot_key")))
+      .localCheckpoint()
+      .hint("merge")
+    li.join(dim, Seq("hot_key"))
+      .groupBy("key_label")
+      .agg(count(lit(1)).as("n_items"),
+           round(sum("l_extendedprice"), 2).as("revenue"))
+      .orderBy("key_label")
+  }
+
+  val oracleAqeSkewJoin: String =
+    """WITH f AS (
+      |  SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0 ELSE l_orderkey % 100 END AS hot_key,
+      |         l_extendedprice
+      |  FROM lineitem),
+      |dim AS (SELECT DISTINCT hot_key, 'key_' || hot_key AS key_label FROM f)
+      |SELECT d.key_label, count(*) AS n_items,
+      |  round(sum(f.l_extendedprice), 2) AS revenue
+      |FROM f JOIN dim d ON f.hot_key = d.hot_key
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
 }

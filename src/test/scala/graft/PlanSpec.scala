@@ -260,6 +260,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p56.contains("approx_percentile"), p56)
   }
 
+  test("q58: AQE detects and splits the skewed join partitions at runtime") {
+    val df = SparkEntry.queries("q58_aqe_skew_join")(spark, Sf)
+    df.collect() // AQE's final plan only exists after execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"skew split only exists on the shuffle-join path:\n$p")
+    assert(p.toLowerCase.contains("skew"),
+      s"no skew-split marker on the executed adaptive plan:\n$p")
+  }
+
   test("q57: CBO join reorder builds customer⋈nation BEFORE the fact join") {
     val df = SparkEntry.queries("q57_cbo_star")(spark, Sf)
     val opt = df.queryExecution.optimizedPlan
