@@ -77,6 +77,7 @@ object SparkEntry {
     "q56_approx_quantiles" -> (ops.CoreOps.approxQuantiles(_, _)),
     "q57_cbo_star"      -> (ops.Staging.cboStarJoin(_, _)),
     "q58_aqe_skew_join" -> (ops.Skew.aqeSkewJoin(_, _)),
+    "s12_stream_ingest" -> (streaming.StreamIngest.bloomIngest(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -507,6 +508,7 @@ object SparkEntry {
     "q57_cbo_star"      -> ops.Staging.oracleCboStarJoin,
     "d30_index_ingest"  -> llm.Dedup.oracleIndexIngest,
     "q58_aqe_skew_join" -> ops.Skew.oracleAqeSkewJoin,
+    "s12_stream_ingest" -> streaming.StreamIngest.oracleBloomIngest,
     "m06_image_neardup" -> llm.Multimodal.oracleImageNearDup,
     "m07_audio_resample" -> llm.Multimodal.oracleAudioResample,
     "m08_media_sniff"    -> llm.Multimodal.oracleMediaSniff,

@@ -690,7 +690,7 @@ object Dedup {
     * near-dup case) plus an EXACT copy of every 5th doc (the exact
     * case) — so all three verdicts (exact / near / new) occur.
     */
-  private def incomingBatch(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def incomingBatch(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select("doc_id", "text")
     d.select(
         (col("doc_id") + lit(TwinIdOffset)).as("doc_id"),

@@ -45,4 +45,21 @@ class StreamUpsertSpec extends AnyFunSuite {
     assert(got == batchTruth(),
       "N-batch merge must be bit-equal to the single-batch result")
   }
+
+  test("s12: one idempotent verdict partition per micro-batch, union equals d29's one-shot result") {
+    import graft.streaming.StreamIngest
+    def asTuples(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) Long.MinValue else r.getLong(2))).toSet
+    val streamed = asTuples(StreamIngest.bloomIngest(spark, Sf).collect())
+    // one verdicts dir per staged micro-batch file
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val base = graft.ops.Staging.stagePath("stream_ingest", Sf)
+    val dirs = fs.globStatus(new org.apache.hadoop.fs.Path(s"$base/verdicts/batch_*"))
+    assert(dirs.length == StreamIngest.NumBatches,
+      s"expected ${StreamIngest.NumBatches} per-batch verdict partitions, got ${dirs.length}")
+    // Kappa: micro-batched classification == the one-shot batch query
+    val oneShot = asTuples(graft.llm.Dedup.bloomIncrementalDedup(spark, Sf).collect())
+    assert(streamed == oneShot, "streaming verdicts diverge from the batch classification")
+  }
 }
