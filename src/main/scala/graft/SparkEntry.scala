@@ -92,6 +92,7 @@ object SparkEntry {
     "d11_dedup_clusters"    -> (llm.Dedup.dedupClusters(_, _)),
     "d12_curate"            -> (llm.Dedup.curate(_, _)),
     "d30_index_ingest"      -> (llm.Dedup.indexIngest(_, _)),
+    "d31_ann_pq"            -> (llm.Pq.annPq(_, _)),
     "t01_lang_id"           -> (llm.TextStats.langId(_, _)),
     "t02_text_quality"      -> (llm.TextStats.quality(_, _)),
     "t03_token_stats"       -> (llm.TextStats.tokenStats(_, _)),
@@ -507,6 +508,7 @@ object SparkEntry {
     "q56_approx_quantiles" -> ops.CoreOps.oracleApproxQuantiles,
     "q57_cbo_star"      -> ops.Staging.oracleCboStarJoin,
     "d30_index_ingest"  -> llm.Dedup.oracleIndexIngest,
+    "d31_ann_pq"        -> llm.Pq.oracleAnnPq,
     "q58_aqe_skew_join" -> ops.Skew.oracleAqeSkewJoin,
     "s12_stream_ingest" -> streaming.StreamIngest.oracleBloomIngest,
     "m06_image_neardup" -> llm.Multimodal.oracleImageNearDup,

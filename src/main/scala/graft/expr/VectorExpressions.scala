@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native Catalyst expression for cosine similarity over two
   * `array<float>` embedding columns — the one deliberate Expression
@@ -100,8 +100,107 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native argmin-by-squared-L2 over a (usually literal) codebook —
+  * the PQ (product-quantization) encode/assign hot path. For each row
+  * it returns the index of the codebook entry with the smallest
+  * ordered-fold squared distance to the subvector (ties → lowest
+  * index). One fused K×dim loop inside whole-stage codegen; the
+  * `zip_with`+`aggregate`-per-code composition this replaces is
+  * interpreted (HigherOrderFunction) and allocates K arrays per row —
+  * measured 2× slower than even the shuffle-heavy window-argmin it
+  * was meant to beat.
+  *
+  * Distance accumulation is double-precision in index order with a
+  * 0.0 seed — bit-identical to the DuckDB oracle's unrolled
+  * left-associated `(a[1]-b[1])*(a[1]-b[1]) + …` sum.
+  */
+case class PqNearestCode(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isFloatArr(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = left.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val cbOk = right.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }
+    if (vecOk && cbOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pq_nearest_code expects (array<float|double>, array<array<double>>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "pq_nearest_code"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val cb = b.asInstanceOf[ArrayData]
+    val vf = isFloatArr(left)
+    var best = 0; var bestD = Double.PositiveInfinity
+    var k = 0
+    while (k < cb.numElements()) {
+      val ce = cb.getArray(k)
+      val n = math.min(v.numElements(), ce.numElements())
+      var d = 0.0; var i = 0
+      while (i < n) {
+        val xv = if (vf) v.getFloat(i).toDouble else v.getDouble(i)
+        val t = xv - ce.getDouble(i)
+        d += t * t
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = k }
+      k += 1
+    }
+    java.lang.Integer.valueOf(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val best  = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val k     = ctx.freshName("k")
+      val ce    = ctx.freshName("ce")
+      val n     = ctx.freshName("n")
+      val d     = ctx.freshName("d")
+      val i     = ctx.freshName("i")
+      val t     = ctx.freshName("t")
+      val getX = if (isFloatArr(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $best = 0;
+         |double $bestD = Double.POSITIVE_INFINITY;
+         |for (int $k = 0; $k < $b.numElements(); $k++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $ce = $b.getArray($k);
+         |  int $n = java.lang.Math.min($a.numElements(), $ce.numElements());
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $t = $getX - $ce.getDouble($i);
+         |    $d += $t * $t;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $best = $k; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column-level cosine similarity between two array<float> columns. */
   def cosineSimilarity(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Index of the nearest codebook entry (squared L2, ties → lowest). */
+  def pqNearestCode(vec: Column, codebook: Column): Column =
+    ColumnBridge.column(PqNearestCode(ColumnBridge.expression(vec), ColumnBridge.expression(codebook)))
 }

@@ -1,0 +1,242 @@
+package graft.llm
+
+import graft.tables.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** d31 — Product-Quantization ANN (IVF-PQ's compression half, Jégou et
+  * al., "Product Quantization for Nearest Neighbor Search", TPAMI
+  * 2011): the billion-vector shape where the corpus embedding column
+  * is too big to scan as floats, so each vector is compressed to
+  * [[PqM]] small codes (here 4 codes over a 64-dim vector → 4 bytes
+  * instead of 256) and queries rank candidates by Asymmetric Distance
+  * Computation — a per-query lookup table of query-subvector ×
+  * codebook-entry partial distances, summed per candidate over its
+  * codes. Nothing about the corpus is touched at query time except
+  * the code columns.
+  *
+  * Scale shape: codebook training touches the corpus [[PqRounds]]
+  * times with a broadcast of M×K tiny centroids (the
+  * [[Similarity.lloydCentroids]] pattern — rounds driver-sequenced,
+  * only M×K×sub doubles ever reach the driver); encoding is one
+  * map-side pass; the ADC scan is an equi-join of the exploded code
+  * column against a BROADCAST lookup table of M×K×|queries| longs,
+  * then an integer sum per (query, candidate) — a map-side join plus
+  * one hash aggregate on (query_id, vec_id), no float math on the
+  * corpus at all. At 100 TB the codes table is ~1/64 the bytes of the
+  * embeddings it stands for, and the LUT is KBs regardless of corpus
+  * size.
+  *
+  * Exactness-for-the-oracle: subvector L2 distances are ordered left
+  * folds over doubles (bit-identical to the DuckDB oracle's unrolled
+  * left-associated sum), centroid updates accumulate
+  * `floor(x·2^20 + 0.5)` integers (the [[Similarity.QuantScale]]
+  * trick — order-independent exact sums, bit-identical centroids),
+  * and ADC partial distances are quantized to longs BEFORE the final
+  * sum so ranking compares exact integers, never engine-ordered float
+  * sums.
+  */
+object Pq {
+
+  /** 4 subspaces × 16 dims over the 64-dim embedding column. */
+  val PqM = 4
+  val PqSub = 16
+
+  /** Codes per subspace codebook (4-bit codes at production scale are
+    * K=16 or 256; 8 keeps the oracle's Lloyd replay tractable).
+    */
+  val PqK = 8
+  val PqRounds = 2
+
+  import Similarity.{NumQueries, QuantScale, TopK}
+
+  /** Ordered left-fold squared-L2 — (((0+t1)+t2)+…), bit-identical to
+    * the oracle's unrolled `t1 + t2 + …` because IEEE `0.0 + t1 ≡ t1`
+    * for the non-negative terms here.
+    */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, t) => acc + t)
+
+  /** (vec_id, m, e) — the m-th 16-dim slice of every vector. Slices
+    * stay `array<float>` (Slice is codegen'd; a per-row
+    * `transform(_, cast)` is an interpreted HigherOrderFunction) —
+    * every consumer widens float→double exactly at use.
+    */
+  private def subvecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("embedding"))
+      .select(col("vec_id"), col("m"),
+        slice(col("embedding"), col("m") * PqSub + 1, lit(PqSub)).as("e"))
+
+  /** Map-side argmin over a driver-held codebook via the native
+    * [[graft.expr.PqNearestCode]] expression — one fused K×dim codegen
+    * loop per row, ties → lowest index, NO join, window, or shuffle;
+    * the returned position is mapped back to the (possibly sparse)
+    * surviving code ids through a literal lookup. This is what keeps
+    * PQ encoding/assignment a pure projection: at 100 TB the corpus is
+    * encoded in one codegen'd map pass.
+    */
+  private def nearest(e: Column, cb: Seq[(Int, Seq[Double])]): Column = {
+    val sorted = cb.sortBy(_._1)
+    val idx = graft.expr.VectorFunctions.pqNearestCode(
+      e, typedlit(sorted.map(_._2)))
+    element_at(typedlit(sorted.map(_._1)), idx + 1)
+  }
+
+  /** The per-row nearest code given the full (m, code, ce) codebook:
+    * a coalesced `when(m = …)` branch per subspace, each branch the
+    * map-side [[nearest]] argmin over that subspace's codes.
+    */
+  private def nearestByM(cb: Seq[(Int, Int, Seq[Double])]): Column = {
+    val byM = cb.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
+    coalesce((0 until PqM).map(m => when(col("m") === m, nearest(col("e"), byM(m)))): _*)
+  }
+
+  /** Per-subspace Lloyd codebooks (m, code, centroid), seeded from the
+    * first [[PqK]] vectors' slices; assignment = min ordered-fold L2
+    * (ties → lowest code), update = exact quantized mean. Cached per
+    * (process, dir) through the same bounded LRU discipline as
+    * [[Similarity.lloydCentroids]].
+    */
+  private val codebookCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Seq[(Int, Int, Seq[Double])]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[(Int, Int, Seq[Double])]]): Boolean =
+        size() > Similarity.CentroidCacheCap
+    })
+
+  private[graft] def pqCodebooks(spark: SparkSession, dir: String): Seq[(Int, Int, Seq[Double])] = {
+    val cached = codebookCache.get(dir)
+    if (cached != null) return cached
+    val computed = pqCodebooksUncached(spark, dir)
+    codebookCache.put(dir, computed)
+    computed
+  }
+
+  private def pqCodebooksUncached(
+      spark: SparkSession, dir: String): Seq[(Int, Int, Seq[Double])] = {
+    import spark.implicits._
+    val sv = subvecs(spark, dir).localCheckpoint() // scanned once, assigned PqRounds times
+    var cb = sv.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("code"), col("e"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble))).toSeq
+    for (_ <- 1 to PqRounds) {
+      val assigned = sv.select(col("m"), col("e"),
+        nearestByM(cb).as("code"))
+      cb = assigned
+        .select(col("m"), col("code"), posexplode(col("e")).as(Seq("d", "x")))
+        .groupBy("m", "code", "d")
+        .agg((sum(floor(col("x") * QuantScale + lit(0.5)).cast("long")) /
+              (lit(QuantScale) * count(lit(1)))).as("cd"))
+        .groupBy("m", "code")
+        .agg(sort_array(collect_list(struct(col("d"), col("cd")))).as("a"))
+        .select(col("m"), col("code"), transform(col("a"), s => s.getField("cd")).as("ce"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
+        .sortBy(t => (t._1, t._2))
+    }
+    cb
+  }
+
+  /** The PQ code table (vec_id, m, code) — the compressed corpus, a
+    * single map-side projection.
+    */
+  private def encoded(spark: SparkSession, dir: String,
+      cb: Seq[(Int, Int, Seq[Double])]): DataFrame =
+    subvecs(spark, dir)
+      .select(col("vec_id"), col("m"), nearestByM(cb).as("code"))
+
+  /** d31 — ADC top-k per query over the PQ-compressed corpus. Output
+    * ranks by the EXACT long sum of quantized partial distances
+    * (ascending, then vec_id); `adist` is that sum rescaled for
+    * readability.
+    */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cb = pqCodebooks(spark, dir)
+    val cbDf = cb.toDF("m", "code", "ce")
+    val codes = encoded(spark, dir, cb)
+    val lut = subvecs(spark, dir).filter(col("vec_id") < NumQueries)
+      .join(broadcast(cbDf), Seq("m"))
+      .select(col("vec_id").as("query_id"), col("m"), col("code"),
+        floor(sqDist(col("e"), col("ce")) * QuantScale + lit(0.5)).cast("long").as("pq"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("adq").asc, col("vec_id"))
+    codes.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("pq").as("adq"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id"),
+        round(col("adq") / lit(QuantScale), 6).as("adist"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  // -- DuckDB oracle ----------------------------------------------------------
+
+  /** Unrolled left-associated squared-L2 over the 16-dim slices —
+    * the same IEEE operation sequence as [[sqDist]]'s fold.
+    */
+  private def sqDistSql(a: String, b: String): String =
+    (1 to PqSub).map(d => s"($a[$d]-$b[$d])*($a[$d]-$b[$d])").mkString(" + ")
+
+  private val distVC = sqDistSql("v.e", "c.ce")
+
+  /** Full SQL replay of training + encoding + ADC: seeds, [[PqRounds]]
+    * Lloyd rounds with the quantized-integer centroid update, argmin
+    * encoding, long-quantized LUT, integer-sum ranking — every ranking
+    * comparison is over exact integers, so the replay hash-matches.
+    */
+  val oracleAnnPq: String = {
+    val ms = (0 until PqM).map(m => s"($m)").mkString(", ")
+    val rounds = (1 to PqRounds).map { r =>
+      s"""a$r AS MATERIALIZED (
+         |  SELECT vec_id, m, e, code FROM (
+         |    SELECT v.vec_id, v.m, v.e, c.code,
+         |           row_number() OVER (PARTITION BY v.vec_id, v.m
+         |                              ORDER BY $distVC ASC, c.code) AS rn
+         |    FROM sv v JOIN cb${r - 1} c USING (m)) WHERE rn = 1),
+         |cb$r AS MATERIALIZED (
+         |  SELECT m, code, list(cd ORDER BY d) AS ce FROM (
+         |    SELECT m, code, d,
+         |           sum(floor(e[d] * $QuantScale + 0.5))::BIGINT / ($QuantScale * count(*)) AS cd
+         |    FROM a$r, LATERAL (SELECT unnest(range(1, len(e) + 1)) AS d) u
+         |    GROUP BY m, code, d)
+         |  GROUP BY m, code)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sv AS MATERIALIZED (
+       |  SELECT vec_id, m,
+       |         list_transform(list_slice(embedding, m * $PqSub + 1, (m + 1) * $PqSub),
+       |                        x -> x::DOUBLE) AS e
+       |  FROM embeddings, (VALUES $ms) t(m)),
+       |cb0 AS MATERIALIZED (
+       |  SELECT m, vec_id::INT AS code, e AS ce FROM sv WHERE vec_id < $PqK),
+       |$rounds,
+       |codes AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT v.vec_id, v.m, c.code,
+       |           row_number() OVER (PARTITION BY v.vec_id, v.m
+       |                              ORDER BY $distVC ASC, c.code) AS rn
+       |    FROM sv v JOIN cb$PqRounds c USING (m)) WHERE rn = 1),
+       |lut AS (
+       |  SELECT v.vec_id AS query_id, v.m AS m, c.code AS code,
+       |         floor(($distVC) * $QuantScale + 0.5)::BIGINT AS pq
+       |  FROM sv v JOIN cb$PqRounds c USING (m)
+       |  WHERE v.vec_id < $NumQueries),
+       |adc AS (
+       |  SELECT query_id, vec_id, sum(pq) AS adq
+       |  FROM codes JOIN lut USING (m, code)
+       |  WHERE vec_id != query_id
+       |  GROUP BY query_id, vec_id),
+       |r AS (
+       |  SELECT query_id, vec_id, round(adq / $QuantScale, 6) AS adist,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY adq ASC, vec_id) AS INT) AS rank
+       |  FROM adc)
+       |SELECT query_id, vec_id, adist, rank
+       |FROM r WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+}

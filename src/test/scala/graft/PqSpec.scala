@@ -1,0 +1,63 @@
+package graft
+
+import graft.expr.VectorFunctions.pqNearestCode
+import graft.llm.Pq
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** d31 product-quantization ANN: the native argmin expression's
+  * semantics, the ADC output contract, and the plan shape (the encode
+  * leg must stay a shuffle-free projection — that IS the PQ value
+  * proposition at scale).
+  */
+class PqSpec extends AnyFunSuite {
+  import SparkTestBase.{spark, Sf}
+  import spark.implicits._
+
+  test("pqNearestCode picks min ordered-fold L2, ties to lowest index") {
+    val cb = Seq(
+      Seq(1.0, 0.0), // d² to (0.6,0) = 0.16
+      Seq(0.0, 0.0), // d² = 0.36
+      Seq(1.0, 0.0)) // duplicate of 0: tie must resolve to index 0
+    val df = Seq((0, Seq(0.6f, 0.0f)), (1, Seq(0.1f, 0.0f)))
+      .toDF("id", "v")
+      .select(col("id"), pqNearestCode(col("v"), typedlit(cb)).as("code"))
+    assert(df.orderBy("id").as[(Int, Int)].collect().toSeq == Seq((0, 0), (1, 1)))
+  }
+
+  test("pqNearestCode agrees between codegen and interpreted eval") {
+    val cb = Seq.tabulate(8)(k => Seq.tabulate(16)(d => math.sin(k * 17 + d).toDouble))
+    val vecs = Seq.tabulate(20)(i => (i, Seq.tabulate(16)(d => math.cos(i * 31 + d).toFloat)))
+    val expected = vecs.map { case (i, v) =>
+      val dists = cb.map(ce => v.zip(ce).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + (x.toDouble - y) * (x.toDouble - y) })
+      (i, dists.zipWithIndex.minBy { case (d, k) => (d, k) }._2)
+    }
+    val got = vecs.toDF("id", "v")
+      .select(col("id"), pqNearestCode(col("v"), typedlit(cb)).as("code"))
+      .orderBy("id").as[(Int, Int)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("d31 output: 10 ranks per query, adist non-decreasing, codes bounded") {
+    val out = Pq.annPq(spark, Sf).collect()
+    assert(out.length == llm.Similarity.NumQueries * llm.Similarity.TopK)
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until llm.Similarity.NumQueries).toSet)
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to llm.Similarity.TopK))
+      val ds = sorted.map(_.getDouble(2)).toSeq
+      assert(ds == ds.sorted, s"adist not monotone: $ds")
+      assert(ds.forall(_ >= 0.0))
+    }
+  }
+
+  test("d31 plan: broadcast ADC join, no cartesian/NLJ anywhere") {
+    val p = Pq.annPq(spark, Sf).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "ADC lookup must ride a broadcast LUT equi-join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "PQ must never go all-pairs")
+  }
+}
