@@ -30,6 +30,10 @@ object Scratch {
         llm.Dedup.d03Profile(spark, dir).foreach { case (stage, secs, rows) =>
           println(f"[scratch] d03/$stage: $rows rows in $secs%.2f s")
         }
+      } else if (n == "d32stages") {
+        llm.Dedup.d32Profile(spark, dir).foreach { case (stage, secs, rows) =>
+          println(f"[scratch] d32/$stage: $rows rows in $secs%.2f s")
+        }
       } else if (timeMode) {
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(n)(spark, dir)

@@ -93,6 +93,8 @@ object SparkEntry {
     "d12_curate"            -> (llm.Dedup.curate(_, _)),
     "d30_index_ingest"      -> (llm.Dedup.indexIngest(_, _)),
     "d31_ann_pq"            -> (llm.Pq.annPq(_, _)),
+    "d32_incremental_cc"    -> (llm.Dedup.incrementalCc(_, _)),
+    "m12_ulaw_decode"       -> (llm.Multimodal.ulawStats(_, _)),
     "t01_lang_id"           -> (llm.TextStats.langId(_, _)),
     "t02_text_quality"      -> (llm.TextStats.quality(_, _)),
     "t03_token_stats"       -> (llm.TextStats.tokenStats(_, _)),
@@ -509,6 +511,8 @@ object SparkEntry {
     "q57_cbo_star"      -> ops.Staging.oracleCboStarJoin,
     "d30_index_ingest"  -> llm.Dedup.oracleIndexIngest,
     "d31_ann_pq"        -> llm.Pq.oracleAnnPq,
+    "d32_incremental_cc" -> llm.Dedup.oracleIncrementalCc,
+    "m12_ulaw_decode"   -> llm.Multimodal.oracleUlawStats,
     "q58_aqe_skew_join" -> ops.Skew.oracleAqeSkewJoin,
     "s12_stream_ingest" -> streaming.StreamIngest.oracleBloomIngest,
     "m06_image_neardup" -> llm.Multimodal.oracleImageNearDup,

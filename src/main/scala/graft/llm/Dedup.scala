@@ -97,7 +97,7 @@ object Dedup {
     * re-hashed into one bucket key each.
     */
   def minhashBands(spark: SparkSession, dir: String): DataFrame =
-    bandsFrom(docShingles(spark, dir)).orderBy("doc_id", "band")
+    ccIndex(spark, dir)._2.orderBy("doc_id", "band")
 
   /** d03 — LSH candidate pairs + exact-Jaccard verification: pairs
     * sharing ≥1 band bucket join back to the two per-doc shingle-hash
@@ -123,10 +123,10 @@ object Dedup {
     * can release the caches afterwards.
     */
   private def candScoredRaw(spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
-    // one persisted shingle-hash pass feeds band generation AND both
-    // sides of the verify join
-    val docs = docShingles(spark, dir).persist()
-    val bands = bandsFrom(docs).persist()
+    // the corpus shingle-hash pass is staged ONCE per (process, dir)
+    // by [[ccIndex]] and shared by d02/d03/d11/d25/d32 — band
+    // generation and both sides of the verify join read the parquet
+    val (docs, bands) = ccIndex(spark, dir)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
@@ -139,7 +139,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("hs_a"), col("hs_b"))).as("inter"),
         size(col("hs_a")).as("sza"), size(col("hs_b")).as("szb"))
-    (scored, Seq(docs, bands))
+    (scored, Seq.empty)
   }
 
   private def jaccardPairsRaw(spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
@@ -268,14 +268,43 @@ object Dedup {
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val cols = pairs.columns
     require(cols.length == 2, s"expected 2 edge columns, got ${cols.mkString(",")}")
-    val e0 = pairs.toDF("u", "v")
-    val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v"))).persist()
+    // AQE is a net loss inside this loop: every round is 3 tiny keyed
+    // joins whose shuffle stages AQE materializes as SEPARATE jobs to
+    // re-plan between — pure scheduling overhead at label-table sizes,
+    // re-paid every round. Scope it off for the loop, and size the
+    // loop's shuffle width from the MEASURED edge count instead (the
+    // coalescing AQE would have done, without its per-stage jobs) —
+    // ~2.6× faster on the round-dominated queries. Both knobs bind
+    // per-plan at analysis time and rounds are driver-sequenced, so
+    // restoring after the loop cannot race this session's plans.
+    val sess = pairs.sparkSession
+    val aqe0 = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val sp0 = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val e0 = pairs.toDF("u", "v")
+      val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v"))).persist()
+      // the count fills the edge cache anyway; it also sizes the loop
+      // width — ~500k edge rows per task, clamped to the session's
+      // configured width so a large graph keeps full parallelism
+      val width = math.max(1L, math.min(sp0.toLong, edges.count() / 500000L + 1L))
+      sess.conf.set("spark.sql.shuffle.partitions", width.toString)
+      connectedComponentsLoop(edges)
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", aqe0)
+      sess.conf.set("spark.sql.shuffle.partitions", sp0)
+    }
+  }
+
+  private def connectedComponentsLoop(edges: DataFrame): DataFrame = {
     var labels = edges.select(col("u").as("vertex")).distinct()
       .select(col("vertex"), col("vertex").as("component"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0
+    val dbg = sys.env.contains("SPARK_GRAFT_CC_DEBUG")
     while (changed > 0 && iter < 25) {
+      val r0 = System.nanoTime()
       // every vertex has ≥1 edge by construction, so the inner join
       // keeps the whole vertex set and nbr is never null
       val nbrMin = edges
@@ -294,6 +323,8 @@ object Dedup {
       changed = next.agg(coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L))).first().getLong(0)
       labels = next.drop("chg")
       iter += 1
+      if (dbg) System.err.println(
+        f"[cc] round $iter: ${(System.nanoTime() - r0) / 1e9}%.2f s, changed=$changed")
     }
     require(changed == 0, s"label propagation did not converge in $iter rounds")
     // labels is lineage-truncated by localCheckpoint, so the edge cache
@@ -1044,4 +1075,261 @@ object Dedup {
        |LEFT JOIN ex USING (doc_id)
        |LEFT JOIN near USING (doc_id)
        |ORDER BY i.doc_id""".stripMargin
+
+  // ---- d32: incremental connected components --------------------------------
+
+  /** Gen-2 id offsets for d32 (disjoint from every other id space). */
+  val G2CopyIdOffset  = 7 * TwinIdOffset
+  val G2ChainIdOffset = 8 * TwinIdOffset
+  val G2NovelIdOffset = 9 * TwinIdOffset
+
+  /** d32's incoming slice, one shape per `doc_id % 3` residue so all
+    * attach behaviors occur: exact copies (jaccard-1 edge to the
+    * source's cluster), deeper truncations (attach through a near-dup
+    * CHAIN — similar to both the source and its twin), and md5-salted
+    * novel texts (guaranteed new singleton clusters — except where the
+    * sources were themselves exact dups, in which case the salted
+    * texts collide too and form a batch-only cluster).
+    */
+  private[graft] def gen2Batch(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    d.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + lit(G2CopyIdOffset)).as("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 3 === 1).select(
+        (col("doc_id") + lit(G2ChainIdOffset)).as("doc_id"),
+        col("text").substr(lit(1),
+          greatest(length(col("text")) - lit(2 * TwinTruncate), lit(20))).as("text")))
+      .unionByName(d.filter(col("doc_id") % 3 === 2).select(
+        (col("doc_id") + lit(G2NovelIdOffset)).as("doc_id"),
+        repeat(md5(col("text")), 4).as("text")))
+  }
+
+  /** Staged union-corpus shingle + band index — the ci_* pattern
+    * applied to the [[corpus]] relation: the corpus is shingled and
+    * banded ONCE per (process, dir) era and shared by every consumer
+    * of the near-dup graph (d02 bands, d03/d25 candidate scoring, the
+    * d11 labels build, d32's incremental batch probe); the md5
+    * shingle loop — the expensive leg — never runs twice. `cc_sh` is
+    * written LAST so its _SUCCESS gates the pair.
+    */
+  private[graft] def ccIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    synchronized {
+      val pSh = graft.ops.Staging.stagePath("cc_sh", dir)
+      val pBands = graft.ops.Staging.stagePath("cc_bands", dir)
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(pSh, "_SUCCESS"))) {
+        val sh = docShingles(spark, dir).persist()
+        bandsFrom(sh).write.mode("overwrite").parquet(pBands)
+        sh.write.mode("overwrite").parquet(pSh)
+        sh.unpersist()
+      }
+      (spark.read.parquet(pSh), spark.read.parquet(pBands))
+    }
+
+  /** Incremental connected components — fold NEW vertices + edges into
+    * an existing CONVERGED labeling without touching the existing
+    * graph's edges. Because a converged label IS the minimum vertex id
+    * of its component, every edge endpoint with a prior label can be
+    * CONTRACTED to that label; [[connectedComponents]] then runs on
+    * the contracted graph — sized by the batch, not the corpus — and
+    * the resulting relabel map (only labels that actually changed)
+    * broadcasts back over the prior labeling in one map-side join.
+    * Components that merge through a batch path collapse to the
+    * smallest involved label: exactly the from-scratch answer, at
+    * batch cost. The corpus-side work is two scans: a broadcast
+    * semi-join picking the touched vertices, and the broadcast
+    * relabel — neither shuffles the prior relation.
+    *
+    * Inputs: `prior` (vertex, label) converged; `newVertices` one
+    * column; `edges` (u, v) where every endpoint is a prior vertex or
+    * a new vertex. Output: (vertex, label) covering prior ∪ new.
+    */
+  def incrementalComponents(
+      prior: DataFrame, newVertices: DataFrame, edges: DataFrame): DataFrame = {
+    val p = prior.toDF("vertex", "label")
+    val e = edges.toDF("u", "v").persist()
+    val endpoints = e.select(col("u").as("vertex"))
+      .unionByName(e.select(col("v").as("vertex"))).distinct()
+    // one materialization of the touched-label set (batch-scale);
+    // both contraction sides then broadcast the checkpointed rows
+    // instead of re-running the semi-join per broadcast exchange
+    val touched = p.join(broadcast(endpoints), Seq("vertex"), "leftsemi")
+      .localCheckpoint()
+    val lu = broadcast(touched).select(col("vertex").as("u"), col("label").as("lu"))
+    val lv = broadcast(touched).select(col("vertex").as("v"), col("label").as("lv"))
+    val contracted = e.join(lu, Seq("u"), "left").join(lv, Seq("v"), "left")
+      .select(coalesce(col("lu"), col("u")).as("cu"), coalesce(col("lv"), col("v")).as("cv"))
+      .filter(col("cu") =!= col("cv"))
+    val cc = connectedComponents(contracted) // already lineage-truncated
+    val relabel = cc.filter(col("vertex") =!= col("component"))
+    val priorOut = p
+      .join(broadcast(relabel.withColumnRenamed("vertex", "label")), Seq("label"), "left")
+      .select(col("vertex"), coalesce(col("component"), col("label")).as("label"))
+    val newOut = newVertices.toDF("vertex")
+      .join(broadcast(relabel), Seq("vertex"), "left")
+      .select(col("vertex"), coalesce(col("component"), col("vertex")).as("label"))
+    priorOut.unionByName(newOut)
+  }
+
+  /** d32 — incremental near-dup cluster maintenance: the staged
+    * [[clusterLabels]] corpus labeling absorbs a new batch
+    * ([[gen2Batch]]) at BATCH cost. Batch↔corpus candidate edges come
+    * from probing the staged [[ccIndex]] band table with a broadcast
+    * of the batch's bands; batch↔batch edges from a band self-join
+    * within the batch; both verified by exact Jaccard against the
+    * staged shingle arrays; [[incrementalComponents]] folds them in.
+    * The oracle recomputes components from scratch over the union
+    * graph — incremental must equal batch-oblivious.
+    */
+  def incrementalCc(spark: SparkSession, dir: String): DataFrame = {
+    val prior = clusterLabels(spark, dir)
+    val (ccSh, ccBands) = ccIndex(spark, dir)
+    val batch = gen2Batch(spark, dir)
+    val bSh = batch.repartition(col("doc_id"))
+      .select(col("doc_id"), TextHash.hashedShingles(col("text"), 0).as("hs"))
+      .localCheckpoint() // feeds bands + two verify legs; truncates the md5 lineage
+    val bBands = bandsFrom(bSh)
+    val bc = ccBands.as("e").join(broadcast(bBands).as("i"),
+        col("i.band") === col("e.band") && col("i.band_hash") === col("e.band_hash"))
+      .select(col("i.doc_id").as("id_a"), col("e.doc_id").as("id_b")).distinct()
+    val bb = bBands.as("a").join(bBands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+    // the batch shingle side broadcasts (batch-sized, MBs); only the
+    // corpus shingle leg of the batch↔corpus verify shuffles, keyed by
+    // the candidate doc ids — the batch↔batch verify never shuffles
+    def verified(cand: DataFrame, shB: DataFrame, broadcastB: Boolean): DataFrame = {
+      val right = shB.select(col("doc_id").as("id_b"), col("hs").as("hb"))
+      cand.join(broadcast(bSh.select(col("doc_id").as("id_a"), col("hs").as("ha"))), Seq("id_a"))
+        .join(if (broadcastB) broadcast(right) else right, Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("ha"), col("hb"))).as("i"),
+          size(col("ha")).as("sa"), size(col("hb")).as("sb"))
+        .filter(col("i").cast("double") / (col("sa") + col("sb") - col("i"))
+          >= JaccardThreshold)
+        .select("id_a", "id_b")
+    }
+    val edges = verified(bc, ccSh, broadcastB = false)
+      .unionByName(verified(bb, bSh, broadcastB = true))
+    incrementalComponents(prior, batch.select("doc_id"), edges)
+      .select(col("vertex").as("doc_id"), col("label"),
+        when(col("vertex") >= G2CopyIdOffset, lit("batch"))
+          .otherwise(lit("corpus")).as("src"))
+      .orderBy("doc_id")
+  }
+
+  /** Dev-only stage timer for d32 (Scratch `d32stages`). */
+  def d32Profile(spark: SparkSession, dir: String): Seq[(String, Double, Long)] = {
+    val out = scala.collection.mutable.Buffer[(String, Double, Long)]()
+    def t(stage: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      out += ((stage, (System.nanoTime() - t0) / 1e9, rows))
+    }
+    t("prior")(clusterLabels(spark, dir).count())
+    t("ccIndex")(ccIndex(spark, dir)._2.count())
+    val (ccSh, ccBands) = ccIndex(spark, dir)
+    val batch = gen2Batch(spark, dir)
+    var bSh: DataFrame = null
+    t("batchShingles") {
+      bSh = batch.repartition(col("doc_id"))
+        .select(col("doc_id"), TextHash.hashedShingles(col("text"), 0).as("hs"))
+        .localCheckpoint()
+      bSh.count()
+    }
+    val bBands = bandsFrom(bSh)
+    val bc = ccBands.as("e").join(broadcast(bBands).as("i"),
+        col("i.band") === col("e.band") && col("i.band_hash") === col("e.band_hash"))
+      .select(col("i.doc_id").as("id_a"), col("e.doc_id").as("id_b")).distinct()
+    val bb = bBands.as("a").join(bBands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+    def verified(cand: DataFrame, shB: DataFrame): DataFrame =
+      cand.join(bSh.select(col("doc_id").as("id_a"), col("hs").as("ha")), Seq("id_a"))
+        .join(shB.select(col("doc_id").as("id_b"), col("hs").as("hb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("ha"), col("hb"))).as("i"),
+          size(col("ha")).as("sa"), size(col("hb")).as("sb"))
+        .filter(col("i").cast("double") / (col("sa") + col("sb") - col("i"))
+          >= JaccardThreshold)
+        .select("id_a", "id_b")
+    val edges = verified(bc, ccSh).unionByName(verified(bb, bSh)).persist()
+    t("edges")(edges.count())
+    var cc: DataFrame = null
+    t("contractedCc") {
+      val p = clusterLabels(spark, dir).toDF("vertex", "label")
+      val endpoints = edges.select(col("id_a").as("vertex"))
+        .unionByName(edges.select(col("id_b").as("vertex"))).distinct()
+      val touched = p.join(broadcast(endpoints), Seq("vertex"), "leftsemi")
+      val lu = broadcast(touched).select(col("vertex").as("id_a"), col("label").as("lu"))
+      val lv = broadcast(touched).select(col("vertex").as("id_b"), col("label").as("lv"))
+      val contracted = edges.join(lu, Seq("id_a"), "left").join(lv, Seq("id_b"), "left")
+        .select(coalesce(col("lu"), col("id_a")).as("cu"),
+          coalesce(col("lv"), col("id_b")).as("cv"))
+        .filter(col("cu") =!= col("cv"))
+      cc = connectedComponents(contracted)
+      cc.count()
+    }
+    t("assemble") {
+      incrementalCc(spark, dir).queryExecution.toRdd.count()
+    }
+    out.toSeq
+  }
+
+  /** d32 oracle — batch-oblivious from-scratch components over the
+    * union graph (corpus ∪ gen-2 batch), same shingle/band/Jaccard
+    * chain, recursive closure labeled by min.
+    */
+  val oracleIncrementalCc: String =
+    s"""WITH RECURSIVE ucorpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $TwinIdOffset AS doc_id,
+       |         substr(text, 1, greatest(length(text) - $TwinTruncate, 20)) AS text
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $G2CopyIdOffset AS doc_id, text
+       |  FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + $G2ChainIdOffset AS doc_id,
+       |         substr(text, 1, greatest(length(text) - ${2 * TwinTruncate}, 20)) AS text
+       |  FROM documents WHERE doc_id % 3 = 1
+       |  UNION ALL
+       |  SELECT doc_id + $G2NovelIdOffset AS doc_id, repeat(md5(text), 4) AS text
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |${shinglesCte("ush", "ucorpus")},
+       |${minhashCte("umh", "ush")},
+       |${bandsCte("ub", "umh")},
+       |ucand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ub a JOIN ub b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |usz AS (SELECT doc_id, count(*) AS sz FROM ush GROUP BY doc_id),
+       |uin AS (
+       |  SELECT id_a, id_b, count(*) AS i
+       |  FROM ucand
+       |  JOIN ush sa ON sa.doc_id = id_a
+       |  JOIN ush sb ON sb.doc_id = id_b AND sa.base = sb.base
+       |  GROUP BY 1, 2),
+       |upairs AS (
+       |  SELECT id_a, id_b
+       |  FROM uin
+       |  JOIN usz za ON za.doc_id = id_a
+       |  JOIN usz zb ON zb.doc_id = id_b
+       |  WHERE i::DOUBLE / (za.sz + zb.sz - i) >= $JaccardThreshold),
+       |uedges AS (
+       |  SELECT id_a AS u, id_b AS v FROM upairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM upairs),
+       |reach(u, v) AS (
+       |  SELECT doc_id, doc_id FROM ucorpus
+       |  UNION
+       |  SELECT e.u, r.v FROM uedges e JOIN reach r ON e.v = r.u),
+       |labeled AS (SELECT u AS doc_id, min(v) AS label FROM reach GROUP BY u)
+       |SELECT doc_id, label,
+       |       CASE WHEN doc_id >= $G2CopyIdOffset THEN 'batch' ELSE 'corpus' END AS src
+       |FROM labeled
+       |ORDER BY doc_id""".stripMargin
 }

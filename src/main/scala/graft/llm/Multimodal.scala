@@ -422,7 +422,9 @@ object Multimodal {
     * codec output stays oracle-checkable (the audio analog of
     * [[pixelsOf]]).
     */
-  def samplesOf(docId: Long, n: Int): Array[Int] = {
+  def samplesOf(docId: Long, n: Int): Array[Int] = samplesChain(docId, n, "a")
+
+  private def samplesChain(docId: Long, n: Int, tag: String): Array[Int] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val out = new Array[Int](n)
     var block = -1
@@ -431,7 +433,7 @@ object Multimodal {
     while (i < n) {
       if (i / 8 != block) {
         block = i / 8
-        digest = md.digest(s"$docId:a:$block".getBytes("UTF-8"))
+        digest = md.digest(s"$docId:$tag:$block".getBytes("UTF-8"))
         md.reset()
       }
       val k = (i % 8) * 2
@@ -515,6 +517,13 @@ object Multimodal {
       val it = java.util.ServiceLoader
         .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
       val b = List.newBuilder[javax.sound.sampled.spi.AudioFileWriter]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    lazy val converters: List[javax.sound.sampled.spi.FormatConversionProvider] = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.FormatConversionProvider]).iterator()
+      val b = List.newBuilder[javax.sound.sampled.spi.FormatConversionProvider]
       while (it.hasNext) b += it.next()
       b.result()
     }
@@ -1354,4 +1363,161 @@ object Multimodal {
        |  min(v)::INT AS min_s, max(v)::INT AS max_s,
        |  md5(string_agg(v::VARCHAR, ',' ORDER BY j)) AS samples_md5
        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -- companded audio leg (m12): G.711 µ-law --------------------------------
+
+  case class UlawStats(doc_id: Long, n_samples: Int, sum_abs: Long, sum_sq: Long,
+                       min_s: Int, max_s: Int, samples_csv: String)
+
+  /** G.711 µ-law compand, public-spec closed form (ITU-T G.711): clip
+    * magnitude to 32635, add the 0x84 bias, segment = position of the
+    * top set bit, 4-bit mantissa, all bits inverted on the wire. Used
+    * only by the fixture GENERATOR — the decode side under test is the
+    * real JDK codec, whose expansion UlawSpec pins byte-for-byte
+    * against [[ulawDecode]] over the full 256-value domain.
+    */
+  private[graft] def ulawEncode(pcm: Int): Int = {
+    var s = pcm
+    val sign = if (s < 0) { s = -s; 0x80 } else 0
+    if (s > 32635) s = 32635
+    s += 0x84
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (s & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mantissa = (s >> (exp + 3)) & 0x0f
+    ~(sign | (exp << 4) | mantissa) & 0xff
+  }
+
+  /** The G.711 µ-law expansion the JDK codec implements. */
+  private[graft] def ulawDecode(u: Int): Int = {
+    val v = ~u & 0xff
+    val exp = (v >> 4) & 7
+    val man = v & 0x0f
+    val mag = (((man << 3) + 0x84) << exp) - 0x84
+    if ((v & 0x80) != 0) -mag else mag
+  }
+
+  private def ulawLen(docId: Long): Int = 120 + (docId % 83).toInt
+
+  /** Real µ-law-companded audio as a binary column: 8-bit G.711 bytes
+    * in a RIFF/WAVE container (fmt tag 7, cbSize 0, plus the `fact`
+    * chunk non-PCM WAV requires). Header hand-written for the same
+    * provider-lock reason as [[wavBytesOf]]; the decode under test is
+    * the real JDK `FormatConversionProvider` ULAW→PCM16 codec.
+    */
+  private[graft] def ulawBytesOf(id: Long): Array[Byte] = {
+    val s = samplesChain(id, ulawLen(id), "u")
+    val dataLen = s.length
+    val out = new Array[Byte](58 + dataLen)
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(50 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(18)
+      .putShort(7).putShort(1)                 // µ-law, mono
+      .putInt(AudioRate).putInt(AudioRate)     // sample rate, byte rate
+      .putShort(1).putShort(8)                 // block align, bits/sample
+      .putShort(0)                             // cbSize
+      .put("fact".getBytes("US-ASCII")).putInt(4).putInt(s.length)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < s.length) {
+      bb.put(ulawEncode(s(i)).toByte)
+      i += 1
+    }
+    out
+  }
+
+  def ulawTable(spark: SparkSession, dir: String): Dataset[EncodedAudio] = {
+    import spark.implicits._
+    docIds(spark, dir).mapPartitions { ids =>
+      ids.map(id => EncodedAudio(id, ulawBytesOf(id)))
+    }
+  }
+
+  private def toPcm16(ais: javax.sound.sampled.AudioInputStream)
+      : javax.sound.sampled.AudioInputStream = {
+    val f = ais.getFormat
+    val target = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      f.getSampleRate, 16, f.getChannels, 2 * f.getChannels, f.getSampleRate, false)
+    AudioSpi.converters.find(_.isConversionSupported(target, f)) match {
+      case Some(c) => c.getAudioInputStream(target, ais)
+      case None    => throw new IllegalArgumentException(
+        s"no SPI converter expands ${f.getEncoding} to PCM16")
+    }
+  }
+
+  /** m12 — REAL lossy-compander decode: the µ-law binary column is
+    * container-parsed by the JDK WAV reader and EXPANDED to PCM16 by
+    * the real JDK G.711 conversion codec; stats and the md5 come from
+    * the expanded samples. Companding is deterministic (a 256-entry
+    * table, unlike m10's DCT), so unlike JPEG the lossy round-trip is
+    * still exactly SQL-replayable: the oracle re-derives the source
+    * PCM from the md5 chain and applies the G.711 compress+expand
+    * closed form. Scale shape: identical to m04 — partition-parallel
+    * decode, one in-row pass, zero shuffle before the final sort.
+    */
+  def ulawStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ulawTable(spark, dir).mapPartitions { rows =>
+      val readers = audioReaders()
+      rows.map { r =>
+        val in = toPcm16(readAudio(readers, r.media))
+        val pcm = in.readAllBytes()
+        val n = pcm.length / 2
+        var sumAbs = 0L; var sumSq = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+        val vals = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val v = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)) // LE signed 16-bit
+          vals(i) = v
+          sumAbs += math.abs(v); sumSq += v.toLong * v
+          if (v < mn) mn = v; if (v > mx) mx = v
+          i += 1
+        }
+        UlawStats(r.doc_id, n, sumAbs, sumSq, mn, mx, vals.mkString(","))
+      }
+    }.toDF()
+      .select(col("doc_id"), col("n_samples"), col("sum_abs"), col("sum_sq"),
+        col("min_s"), col("max_s"), md5(col("samples_csv")).as("samples_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** m12 oracle — the G.711 compress+expand closed form over the same
+    * md5-chain PCM, in SQL: clip+bias, segment by range CASE, 4-bit
+    * mantissa, expansion `(((m<<3)+132)<<seg)-132` with the source
+    * sign. The wire byte (bit inversion) cancels in the round trip, so
+    * the oracle needs only the magnitude path.
+    */
+  val oracleUlawStats: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id, i,
+       |    ('0x' || substr(md5(doc_id || ':u:' || (i // 8)),
+       |                    (i % 8) * 4 + 1, 4))::INT - 32768 AS pcm
+       |  FROM documents,
+       |       LATERAL (SELECT unnest(range(120 + doc_id % 83)) AS i) t),
+       |enc AS (
+       |  SELECT doc_id, i,
+       |    pcm < 0 AS neg,
+       |    least(CASE WHEN pcm < 0 THEN -pcm ELSE pcm END, 32635) + 132 AS sb
+       |  FROM raw),
+       |seg AS (
+       |  SELECT doc_id, i, neg, sb,
+       |    CASE WHEN sb >= 16384 THEN 7 WHEN sb >= 8192 THEN 6
+       |         WHEN sb >= 4096 THEN 5 WHEN sb >= 2048 THEN 4
+       |         WHEN sb >= 1024 THEN 3 WHEN sb >= 512 THEN 2
+       |         WHEN sb >= 256 THEN 1 ELSE 0 END AS e
+       |  FROM enc),
+       |dec AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN neg THEN -(((((sb >> (e + 3)) & 15) * 8 + 132) << e) - 132)
+       |         ELSE (((((sb >> (e + 3)) & 15) * 8 + 132) << e) - 132) END AS v
+       |  FROM seg)
+       |SELECT doc_id,
+       |  count(*)::INT AS n_samples,
+       |  sum(abs(v))::BIGINT AS sum_abs,
+       |  sum(v::BIGINT * v)::BIGINT AS sum_sq,
+       |  min(v)::INT AS min_s, max(v)::INT AS max_s,
+       |  md5(string_agg(v::VARCHAR, ',' ORDER BY i)) AS samples_md5
+       |FROM dec GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }
