@@ -94,6 +94,7 @@ object SparkEntry {
     "d30_index_ingest"      -> (llm.Dedup.indexIngest(_, _)),
     "d31_ann_pq"            -> (llm.Pq.annPq(_, _)),
     "d32_incremental_cc"    -> (llm.Dedup.incrementalCc(_, _)),
+    "d33_ann_ivfpq"         -> (llm.Pq.annIvfPq(_, _)),
     "m12_ulaw_decode"       -> (llm.Multimodal.ulawStats(_, _)),
     "t01_lang_id"           -> (llm.TextStats.langId(_, _)),
     "t02_text_quality"      -> (llm.TextStats.quality(_, _)),
@@ -512,6 +513,7 @@ object SparkEntry {
     "d30_index_ingest"  -> llm.Dedup.oracleIndexIngest,
     "d31_ann_pq"        -> llm.Pq.oracleAnnPq,
     "d32_incremental_cc" -> llm.Dedup.oracleIncrementalCc,
+    "d33_ann_ivfpq"     -> llm.Pq.oracleAnnIvfPq,
     "m12_ulaw_decode"   -> llm.Multimodal.oracleUlawStats,
     "q58_aqe_skew_join" -> ops.Skew.oracleAqeSkewJoin,
     "s12_stream_ingest" -> streaming.StreamIngest.oracleBloomIngest,

@@ -116,13 +116,25 @@ object Pq {
   }
 
   private def pqCodebooksUncached(
-      spark: SparkSession, dir: String): Seq[(Int, Int, Seq[Double])] = {
+      spark: SparkSession, dir: String): Seq[(Int, Int, Seq[Double])] =
+    trainCodebooks(spark, subvecs(spark, dir).localCheckpoint())
+
+  /** The Lloyd loop over a (vec_id, m, e) subvector relation —
+    * float or double elements (d31 trains on raw slices, d33 on IVF
+    * residuals). Same exact-quantized update as
+    * [[Similarity.lloydCentroids]].
+    */
+  private def trainCodebooks(
+      spark: SparkSession, sv: DataFrame): Seq[(Int, Int, Seq[Double])] = {
     import spark.implicits._
-    val sv = subvecs(spark, dir).localCheckpoint() // scanned once, assigned PqRounds times
+    def toD(xs: scala.collection.Seq[Any]): Seq[Double] = xs.map {
+      case f: java.lang.Float  => f.toDouble
+      case d: java.lang.Double => d.doubleValue
+    }.toSeq
     var cb = sv.filter(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").cast("int").as("code"), col("e"))
       .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble))).toSeq
+      .map(r => (r.getInt(0), r.getInt(1), toD(r.getSeq[Any](2)))).toSeq
     for (_ <- 1 to PqRounds) {
       val assigned = sv.select(col("m"), col("e"),
         nearestByM(cb).as("code"))
@@ -170,6 +182,86 @@ object Pq {
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("vec_id"),
+        round(col("adq") / lit(QuantScale), 6).as("adist"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  // -- d33: IVF-PQ (IVFADC) ---------------------------------------------------
+
+  /** d33 — the composed billion-scale ANN stack (FAISS's IVFADC, Jégou
+    * et al. 2011 §IV): vectors are coarsely binned into the d08 Lloyd
+    * cells, the RESIDUAL (vector − cell centroid) is PQ-encoded with
+    * codebooks trained on residuals, and a query probes its
+    * [[Similarity.NProbe]] closest cells scanning only their members'
+    * codes with a per-(query, cell) ADC lookup table. Residual
+    * encoding beats raw-vector PQ because residual magnitudes are
+    * smaller and centered — the codebook spends its 3 bits on the
+    * within-cell variation only.
+    *
+    * Scale shape: assignment + residual + encode are ONE map-side
+    * projection (the centroid rides inside the argmin struct, so the
+    * chosen cell and its centroid come out of a single `array_min`);
+    * the ADC scan is an equi-join on (cell, m, code) against a
+    * broadcast LUT of |queries|·NProbe·M·K longs. Nothing about the
+    * corpus is touched at query time except cell + code columns.
+    */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = Similarity.lloydCentroids(spark, dir).sortBy(_._1)
+    val emb = Tables.embeddings(spark, dir)
+
+    // one struct per cell: (−cosine, cell, centroid). array_min picks
+    // max cosine (ties → lowest cell) and CARRIES the centroid out,
+    // so assignment + residual stay a single codegen'd projection.
+    val best = array_min(array(cents.map { case (cell, ce) =>
+      struct((-graft.expr.VectorFunctions.cosineSimilarity(col("embedding"), typedlit(ce))).as("negs"),
+        lit(cell).as("cell"), typedlit(ce).as("ce"))
+    }: _*))
+    val rsv = emb
+      .select(col("vec_id"), col("embedding"), best.as("b"))
+      .select(col("vec_id"), col("b.cell").as("cell"),
+        zip_with(col("embedding"), col("b.ce"), (x, y) => x - y).as("r"))
+      .select(col("vec_id"), col("cell"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("r"))
+      .select(col("vec_id"), col("cell"), col("m"),
+        slice(col("r"), col("m") * PqSub + 1, lit(PqSub)).as("e"))
+      .localCheckpoint() // scanned by training rounds, encode, and the query side
+
+    val cb = trainCodebooks(spark, rsv)
+    val cbDf = cb.toDF("m", "code", "ce")
+    val codes = rsv.select(col("vec_id"), col("cell"), col("m"),
+      nearestByM(cb).as("code"))
+
+    // query side: NProbe closest cells per query (window over the tiny
+    // query×cells relation), one residual + LUT per probed cell
+    val centsDf = broadcast(cents.toDF("cell", "ce"))
+    val wCell = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("cell"))
+    val probes = emb.filter(col("vec_id") < NumQueries)
+      .crossJoin(centsDf)
+      .select(col("vec_id").as("query_id"), col("embedding"), col("cell"), col("ce"),
+        graft.expr.VectorFunctions.cosineSimilarity(col("embedding"), col("ce")).as("cscore"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cscore").desc, col("cell"))))
+      .filter(col("crank") <= Similarity.NProbe)
+      .select(col("query_id"), col("cell"),
+        zip_with(col("embedding"), col("ce"), (x, y) => x - y).as("r"))
+    val lut = probes
+      .select(col("query_id"), col("cell"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("r"))
+      .select(col("query_id"), col("cell"), col("m"),
+        slice(col("r"), col("m") * PqSub + 1, lit(PqSub)).as("qe"))
+      .join(broadcast(cbDf), Seq("m"))
+      .select(col("query_id"), col("cell"), col("m"), col("code"),
+        floor(sqDist(col("qe"), col("ce")) * QuantScale + lit(0.5)).cast("long").as("pq"))
+
+    val wRank = Window.partitionBy("query_id").orderBy(col("adq").asc, col("vec_id"))
+    codes.join(broadcast(lut), Seq("cell", "m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id", "cell")
+      .agg(sum("pq").as("adq"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id"), col("cell"),
         round(col("adq") / lit(QuantScale), 6).as("adist"), col("rank"))
       .orderBy("query_id", "rank")
   }
@@ -237,6 +329,79 @@ object Pq {
        |  FROM adc)
        |SELECT query_id, vec_id, adist, rank
        |FROM r WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** d33 oracle — full SQL replay of the IVFADC stack: the d08 Lloyd
+    * coarse quantizer ([[Similarity.lloydMembersSql]]), elementwise
+    * residuals, the residual-trained PQ rounds (pa/pcb CTEs, disjoint
+    * from the Lloyd a/c names), per-probed-cell LUTs, integer-sum
+    * ranking.
+    */
+  val oracleAnnIvfPq: String = {
+    val ms = (0 until PqM).map(m => s"($m)").mkString(", ")
+    val rounds = (1 to PqRounds).map { r =>
+      s"""pa$r AS MATERIALIZED (
+         |  SELECT vec_id, m, e, code FROM (
+         |    SELECT v.vec_id, v.m, v.e, c.code,
+         |           row_number() OVER (PARTITION BY v.vec_id, v.m
+         |                              ORDER BY $distVC ASC, c.code) AS rn
+         |    FROM rsv v JOIN pcb${r - 1} c USING (m)) WHERE rn = 1),
+         |pcb$r AS MATERIALIZED (
+         |  SELECT m, code, list(cd ORDER BY d) AS ce FROM (
+         |    SELECT m, code, d,
+         |           sum(floor(e[d] * $QuantScale + 0.5))::BIGINT / ($QuantScale * count(*)) AS cd
+         |    FROM pa$r, LATERAL (SELECT unnest(range(1, len(e) + 1)) AS d) u
+         |    GROUP BY m, code, d)
+         |  GROUP BY m, code)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Similarity.lloydMembersSql},
+       |cent AS (SELECT cell, ce FROM c${Similarity.LloydRounds}),
+       |resid AS MATERIALIZED (
+       |  SELECT mb.vec_id, mb.cell,
+       |         list_transform(range(1, len(mb.embedding) + 1),
+       |                        d -> mb.embedding[d] - ct.ce[d]) AS r
+       |  FROM members mb JOIN cent ct USING (cell)),
+       |rsv AS MATERIALIZED (
+       |  SELECT vec_id, cell, mm AS m,
+       |         list_slice(r, mm * $PqSub + 1, (mm + 1) * $PqSub) AS e
+       |  FROM resid, (VALUES $ms) t(mm)),
+       |pcb0 AS MATERIALIZED (
+       |  SELECT m, vec_id::INT AS code, e AS ce FROM rsv WHERE vec_id < $PqK),
+       |$rounds,
+       |codes AS (
+       |  SELECT vec_id, cell, m, code FROM (
+       |    SELECT v.vec_id, v.cell, v.m, c.code,
+       |           row_number() OVER (PARTITION BY v.vec_id, v.m
+       |                              ORDER BY $distVC ASC, c.code) AS rn
+       |    FROM rsv v JOIN pcb$PqRounds c USING (m)) WHERE rn = 1),
+       |qres AS (
+       |  SELECT rk.vec_id AS query_id, rk.cell,
+       |         list_transform(range(1, len(rk.embedding) + 1),
+       |                        d -> rk.embedding[d] - ct.ce[d]) AS r
+       |  FROM ranked rk JOIN cent ct USING (cell)
+       |  WHERE rk.crank <= ${Similarity.NProbe} AND rk.vec_id < $NumQueries),
+       |qrsv AS (
+       |  SELECT query_id, cell, mm AS m,
+       |         list_slice(r, mm * $PqSub + 1, (mm + 1) * $PqSub) AS e
+       |  FROM qres, (VALUES $ms) t(mm)),
+       |lut AS (
+       |  SELECT v.query_id, v.cell, v.m AS m, c.code AS code,
+       |         floor(($distVC) * $QuantScale + 0.5)::BIGINT AS pq
+       |  FROM qrsv v JOIN pcb$PqRounds c USING (m)),
+       |adc AS (
+       |  SELECT l.query_id, cd.vec_id, cd.cell, sum(l.pq) AS adq
+       |  FROM codes cd
+       |  JOIN lut l ON l.cell = cd.cell AND l.m = cd.m AND l.code = cd.code
+       |  WHERE cd.vec_id != l.query_id
+       |  GROUP BY 1, 2, 3),
+       |rr AS (
+       |  SELECT query_id, vec_id, cell, round(adq / $QuantScale, 6) AS adist,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY adq ASC, vec_id) AS INT) AS rank
+       |  FROM adc)
+       |SELECT query_id, vec_id, cell, adist, rank
+       |FROM rr WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
   }
 }

@@ -60,4 +60,31 @@ class PqSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "PQ must never go all-pairs")
   }
+
+  test("d33 output: probed-cell candidates only, ranks dense, adist monotone") {
+    val out = Pq.annIvfPq(spark, Sf).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until llm.Similarity.NumQueries).toSet)
+    byQ.foreach { case (q, rows) =>
+      assert(!rows.exists(_.getLong(1) == q), "self excluded")
+      val cells = rows.map(_.getInt(2)).distinct
+      assert(cells.length <= llm.Similarity.NProbe,
+        s"query $q candidates span ${cells.length} cells > NProbe")
+      val sorted = rows.sortBy(_.getInt(4))
+      assert(sorted.map(_.getInt(4)).toSeq == (1 to sorted.length))
+      val ds = sorted.map(_.getDouble(3)).toSeq
+      assert(ds == ds.sorted && ds.forall(_ >= 0.0))
+    }
+  }
+
+  test("d33 plan: ADC scan is a broadcast equi-join on (cell, m, code)") {
+    val p = Pq.annIvfPq(spark, Sf).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "probed-cell ADC must ride a broadcast LUT equi-join")
+    assert(!p.contains("CartesianProduct"), "no cartesian legs")
+    // the only NLJ allowed is the tiny query×centroid cross (5×16 rows)
+    val nljs = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(nljs.forall(_.contains("Cross")),
+      s"unexpected non-cross NLJ: ${nljs.mkString("; ")}")
+  }
 }
