@@ -78,6 +78,7 @@ object SparkEntry {
     "q57_cbo_star"      -> (ops.Staging.cboStarJoin(_, _)),
     "q58_aqe_skew_join" -> (ops.Skew.aqeSkewJoin(_, _)),
     "s12_stream_ingest" -> (streaming.StreamIngest.bloomIngest(_, _)),
+    "s13_stream_cluster" -> (streaming.StreamCluster.clusterMaintain(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -517,6 +518,7 @@ object SparkEntry {
     "m12_ulaw_decode"   -> llm.Multimodal.oracleUlawStats,
     "q58_aqe_skew_join" -> ops.Skew.oracleAqeSkewJoin,
     "s12_stream_ingest" -> streaming.StreamIngest.oracleBloomIngest,
+    "s13_stream_cluster" -> streaming.StreamCluster.oracleClusterMaintain,
     "m06_image_neardup" -> llm.Multimodal.oracleImageNearDup,
     "m07_audio_resample" -> llm.Multimodal.oracleAudioResample,
     "m08_media_sniff"    -> llm.Multimodal.oracleMediaSniff,

@@ -220,7 +220,7 @@ object Dedup {
     * is a `sum(changed)` aggregate folded into the round's single
     * action — no extra per-round comparison join.
     */
-  private[llm] def clusterLabels(spark: SparkSession, dir: String): DataFrame = synchronized {
+  private[graft] def clusterLabels(spark: SparkSession, dir: String): DataFrame = synchronized {
     val loc = graft.ops.Staging.stagePath("cc_labels", dir)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
@@ -1188,17 +1188,51 @@ object Dedup {
     val bSh = batch.repartition(col("doc_id"))
       .select(col("doc_id"), TextHash.hashedShingles(col("text"), 0).as("hs"))
       .localCheckpoint() // feeds bands + two verify legs; truncates the md5 lineage
-    val bBands = bandsFrom(bSh)
-    val bc = ccBands.as("e").join(broadcast(bBands).as("i"),
+    val edges = batchEdges(bSh, bandsOf(bSh), ccSh, ccBands)
+    incrementalComponents(prior, batch.select("doc_id"), edges)
+      .select(col("vertex").as("doc_id"), col("label"),
+        when(col("vertex") >= G2CopyIdOffset, lit("batch"))
+          .otherwise(lit("corpus")).as("src"))
+      .orderBy("doc_id")
+  }
+
+  /** Public band generator over a (doc_id, hs) shingle relation —
+    * the s13 streaming fold builds per-batch bands outside this
+    * object.
+    */
+  def bandsOf(sh: DataFrame): DataFrame = bandsFrom(sh)
+
+  /** One-table batch appendix for the s13 stream: shingle array AND
+    * the 4 band structs per doc in a single row, so a fold appends ONE
+    * parquet write and later batches explode the bands back out.
+    */
+  def bandedShingles(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), col("hs"),
+      bandStructs(graft.expr.HashFunctions.minHash56(
+        col("hs"), TextHash.minhashKeys(MinhashSeeds))).as("bands"))
+
+  def explodeBands(banded: DataFrame): DataFrame =
+    banded.select(col("doc_id"), explode(col("bands")).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+
+  /** The near-dup edge set between a batch and an existing indexed
+    * side: band-bucket candidates (batch↔existing via a broadcast of
+    * the batch bands against the existing band table; batch↔batch via
+    * a band self-join), verified by exact Jaccard on the shingle
+    * arrays. The batch shingle side broadcasts (batch-sized, MBs);
+    * only the existing-side shingle leg of the batch↔existing verify
+    * shuffles, keyed by the candidate doc ids — the batch↔batch verify
+    * never shuffles. Shared by d32 and the s13 streaming fold.
+    */
+  private[graft] def batchEdges(bSh: DataFrame, bBands: DataFrame,
+      exSh: DataFrame, exBands: DataFrame): DataFrame = {
+    val bc = exBands.as("e").join(broadcast(bBands).as("i"),
         col("i.band") === col("e.band") && col("i.band_hash") === col("e.band_hash"))
       .select(col("i.doc_id").as("id_a"), col("e.doc_id").as("id_b")).distinct()
     val bb = bBands.as("a").join(bBands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
-    // the batch shingle side broadcasts (batch-sized, MBs); only the
-    // corpus shingle leg of the batch↔corpus verify shuffles, keyed by
-    // the candidate doc ids — the batch↔batch verify never shuffles
     def verified(cand: DataFrame, shB: DataFrame, broadcastB: Boolean): DataFrame = {
       val right = shB.select(col("doc_id").as("id_b"), col("hs").as("hb"))
       cand.join(broadcast(bSh.select(col("doc_id").as("id_a"), col("hs").as("ha"))), Seq("id_a"))
@@ -1210,13 +1244,8 @@ object Dedup {
           >= JaccardThreshold)
         .select("id_a", "id_b")
     }
-    val edges = verified(bc, ccSh, broadcastB = false)
+    verified(bc, exSh, broadcastB = false)
       .unionByName(verified(bb, bSh, broadcastB = true))
-    incrementalComponents(prior, batch.select("doc_id"), edges)
-      .select(col("vertex").as("doc_id"), col("label"),
-        when(col("vertex") >= G2CopyIdOffset, lit("batch"))
-          .otherwise(lit("corpus")).as("src"))
-      .orderBy("doc_id")
   }
 
   /** Dev-only stage timer for d32 (Scratch `d32stages`). */
@@ -1238,24 +1267,7 @@ object Dedup {
         .localCheckpoint()
       bSh.count()
     }
-    val bBands = bandsFrom(bSh)
-    val bc = ccBands.as("e").join(broadcast(bBands).as("i"),
-        col("i.band") === col("e.band") && col("i.band_hash") === col("e.band_hash"))
-      .select(col("i.doc_id").as("id_a"), col("e.doc_id").as("id_b")).distinct()
-    val bb = bBands.as("a").join(bBands.as("b"),
-        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
-    def verified(cand: DataFrame, shB: DataFrame): DataFrame =
-      cand.join(bSh.select(col("doc_id").as("id_a"), col("hs").as("ha")), Seq("id_a"))
-        .join(shB.select(col("doc_id").as("id_b"), col("hs").as("hb")), Seq("id_b"))
-        .select(col("id_a"), col("id_b"),
-          size(array_intersect(col("ha"), col("hb"))).as("i"),
-          size(col("ha")).as("sa"), size(col("hb")).as("sb"))
-        .filter(col("i").cast("double") / (col("sa") + col("sb") - col("i"))
-          >= JaccardThreshold)
-        .select("id_a", "id_b")
-    val edges = verified(bc, ccSh).unionByName(verified(bb, bSh)).persist()
+    val edges = batchEdges(bSh, bandsOf(bSh), ccSh, ccBands).persist()
     t("edges")(edges.count())
     var cc: DataFrame = null
     t("contractedCc") {
