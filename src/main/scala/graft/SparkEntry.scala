@@ -97,6 +97,7 @@ object SparkEntry {
     "d32_incremental_cc"    -> (llm.Dedup.incrementalCc(_, _)),
     "d33_ann_ivfpq"         -> (llm.Pq.annIvfPq(_, _)),
     "m12_ulaw_decode"       -> (llm.Multimodal.ulawStats(_, _)),
+    "m13_alaw_decode"       -> (llm.Multimodal.alawStats(_, _)),
     "t01_lang_id"           -> (llm.TextStats.langId(_, _)),
     "t02_text_quality"      -> (llm.TextStats.quality(_, _)),
     "t03_token_stats"       -> (llm.TextStats.tokenStats(_, _)),
@@ -516,6 +517,7 @@ object SparkEntry {
     "d32_incremental_cc" -> llm.Dedup.oracleIncrementalCc,
     "d33_ann_ivfpq"     -> llm.Pq.oracleAnnIvfPq,
     "m12_ulaw_decode"   -> llm.Multimodal.oracleUlawStats,
+    "m13_alaw_decode"   -> llm.Multimodal.oracleAlawStats,
     "q58_aqe_skew_join" -> ops.Skew.oracleAqeSkewJoin,
     "s12_stream_ingest" -> streaming.StreamIngest.oracleBloomIngest,
     "s13_stream_cluster" -> streaming.StreamCluster.oracleClusterMaintain,

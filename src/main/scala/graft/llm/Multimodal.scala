@@ -1399,21 +1399,58 @@ object Multimodal {
 
   private def ulawLen(docId: Long): Int = 120 + (docId % 83).toInt
 
-  /** Real µ-law-companded audio as a binary column: 8-bit G.711 bytes
-    * in a RIFF/WAVE container (fmt tag 7, cbSize 0, plus the `fact`
-    * chunk non-PCM WAV requires). Header hand-written for the same
-    * provider-lock reason as [[wavBytesOf]]; the decode under test is
-    * the real JDK `FormatConversionProvider` ULAW→PCM16 codec.
+  /** G.711 A-law compress (ITU-T G.711 / CCITT reference shape):
+    * 13-bit magnitude, 8 segments with per-segment mantissa shifts,
+    * even-bit inversion (0x55 / 0xD5) on the wire. Fixture-generator
+    * only; AlawSpec pins the JDK expansion against [[alawDecode]] over
+    * the full 256-value domain.
     */
-  private[graft] def ulawBytesOf(id: Long): Array[Byte] = {
-    val s = samplesChain(id, ulawLen(id), "u")
+  private[graft] def alawEncode(pcm: Int): Int = {
+    var p = pcm >> 3 // 16-bit → 13-bit
+    val mask = if (p >= 0) 0xd5 else { p = -p - 1; 0x55 }
+    val seg =
+      if (p <= 0x1f) 0 else if (p <= 0x3f) 1 else if (p <= 0x7f) 2
+      else if (p <= 0xff) 3 else if (p <= 0x1ff) 4 else if (p <= 0x3ff) 5
+      else if (p <= 0x7ff) 6 else if (p <= 0xfff) 7 else 8
+    if (seg >= 8) 0x7f ^ mask
+    else {
+      val mant = if (seg < 2) (p >> 1) & 0x0f else (p >> seg) & 0x0f
+      ((seg << 4) | mant) ^ mask
+    }
+  }
+
+  /** The G.711 A-law expansion the JDK codec implements. Unlike
+    * µ-law, the canonical A-law table already spans the 16-bit range
+    * (peak ±32256 at segment 7) — the per-segment `<< (seg−1)` IS the
+    * scaling; no further shift (pinned against the JDK over all 256
+    * bytes in AlawSpec).
+    */
+  private[graft] def alawDecode(a0: Int): Int = {
+    val a = (a0 & 0xff) ^ 0x55
+    val seg = (a & 0x70) >> 4
+    var t = (a & 0x0f) << 4
+    seg match {
+      case 0 => t += 8
+      case 1 => t += 0x108
+      case _ => t += 0x108; t <<= (seg - 1)
+    }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** Real companded audio as a binary column: 8-bit G.711 bytes in a
+    * RIFF/WAVE container (fmt tag 7 = µ-law / 6 = A-law, cbSize 0,
+    * plus the `fact` chunk non-PCM WAV requires). Header hand-written
+    * for the same provider-lock reason as [[wavBytesOf]]; the decode
+    * under test is the real JDK `FormatConversionProvider` codec.
+    */
+  private def compandedWavBytes(s: Array[Int], fmtTag: Short, enc: Int => Int): Array[Byte] = {
     val dataLen = s.length
     val out = new Array[Byte](58 + dataLen)
     val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")).putInt(50 + dataLen)
       .put("WAVE".getBytes("US-ASCII"))
       .put("fmt ".getBytes("US-ASCII")).putInt(18)
-      .putShort(7).putShort(1)                 // µ-law, mono
+      .putShort(fmtTag).putShort(1)            // compander, mono
       .putInt(AudioRate).putInt(AudioRate)     // sample rate, byte rate
       .putShort(1).putShort(8)                 // block align, bits/sample
       .putShort(0)                             // cbSize
@@ -1421,16 +1458,31 @@ object Multimodal {
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
     while (i < s.length) {
-      bb.put(ulawEncode(s(i)).toByte)
+      bb.put(enc(s(i)).toByte)
       i += 1
     }
     out
   }
 
+  private[graft] def ulawBytesOf(id: Long): Array[Byte] =
+    compandedWavBytes(samplesChain(id, ulawLen(id), "u"), 7, ulawEncode)
+
+  private def alawLen(docId: Long): Int = 110 + (docId % 71).toInt
+
+  private[graft] def alawBytesOf(id: Long): Array[Byte] =
+    compandedWavBytes(samplesChain(id, alawLen(id), "w"), 6, alawEncode)
+
   def ulawTable(spark: SparkSession, dir: String): Dataset[EncodedAudio] = {
     import spark.implicits._
     docIds(spark, dir).mapPartitions { ids =>
       ids.map(id => EncodedAudio(id, ulawBytesOf(id)))
+    }
+  }
+
+  def alawTable(spark: SparkSession, dir: String): Dataset[EncodedAudio] = {
+    import spark.implicits._
+    docIds(spark, dir).mapPartitions { ids =>
+      ids.map(id => EncodedAudio(id, alawBytesOf(id)))
     }
   }
 
@@ -1457,9 +1509,20 @@ object Multimodal {
     * closed form. Scale shape: identical to m04 — partition-parallel
     * decode, one in-row pass, zero shuffle before the final sort.
     */
-  def ulawStats(spark: SparkSession, dir: String): DataFrame = {
+  def ulawStats(spark: SparkSession, dir: String): DataFrame =
+    compandedStats(spark, ulawTable(spark, dir))
+
+  /** m13 — the A-law sibling of m12: same container parse + real JDK
+    * expansion, the G.711 A-law closed form replayed by the oracle
+    * (AlawSpec pins the 256-value wire-domain parity).
+    */
+  def alawStats(spark: SparkSession, dir: String): DataFrame =
+    compandedStats(spark, alawTable(spark, dir))
+
+  private def compandedStats(spark: SparkSession,
+      tbl: Dataset[EncodedAudio]): DataFrame = {
     import spark.implicits._
-    ulawTable(spark, dir).mapPartitions { rows =>
+    tbl.mapPartitions { rows =>
       val readers = audioReaders()
       rows.map { r =>
         val in = toPcm16(readAudio(readers, r.media))
@@ -1513,6 +1576,51 @@ object Multimodal {
        |    CASE WHEN neg THEN -(((((sb >> (e + 3)) & 15) * 8 + 132) << e) - 132)
        |         ELSE (((((sb >> (e + 3)) & 15) * 8 + 132) << e) - 132) END AS v
        |  FROM seg)
+       |SELECT doc_id,
+       |  count(*)::INT AS n_samples,
+       |  sum(abs(v))::BIGINT AS sum_abs,
+       |  sum(v::BIGINT * v)::BIGINT AS sum_sq,
+       |  min(v)::INT AS min_s, max(v)::INT AS max_s,
+       |  md5(string_agg(v::VARCHAR, ',' ORDER BY i)) AS samples_md5
+       |FROM dec GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** m13 oracle — G.711 A-law compress+expand closed form in SQL:
+    * 13-bit floor shift (DuckDB `//` truncates toward zero, so the
+    * negative side is `-((-pcm+7)//8)`), segment CASE, per-segment
+    * mantissa shift, expansion `(mant·16 + {8|264}) << (seg−1)` scaled
+    * to 16-bit. The 0x55/0xD5 wire inversion cancels in the round
+    * trip, so only the magnitude path is replayed.
+    */
+  val oracleAlawStats: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id, i,
+       |    ('0x' || substr(md5(doc_id || ':w:' || (i // 8)),
+       |                    (i % 8) * 4 + 1, 4))::INT - 32768 AS pcm
+       |  FROM documents,
+       |       LATERAL (SELECT unnest(range(110 + doc_id % 71)) AS i) t),
+       |enc AS (
+       |  SELECT doc_id, i, pcm < 0 AS neg,
+       |    CASE WHEN pcm < 0 THEN ((-pcm + 7) // 8) - 1 ELSE pcm // 8 END AS m
+       |  FROM raw),
+       |seg AS (
+       |  SELECT doc_id, i, neg, m,
+       |    CASE WHEN m <= 31 THEN 0 WHEN m <= 63 THEN 1 WHEN m <= 127 THEN 2
+       |         WHEN m <= 255 THEN 3 WHEN m <= 511 THEN 4 WHEN m <= 1023 THEN 5
+       |         WHEN m <= 2047 THEN 6 ELSE 7 END AS e
+       |  FROM enc),
+       |mant AS (
+       |  SELECT doc_id, i, neg, e,
+       |    CASE WHEN e < 2 THEN (m >> 1) & 15 ELSE (m >> e) & 15 END AS q
+       |  FROM seg),
+       |dec AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN neg THEN -v16 ELSE v16 END AS v
+       |  FROM (
+       |    SELECT doc_id, i, neg,
+       |      CASE WHEN e = 0 THEN q * 16 + 8
+       |           WHEN e = 1 THEN q * 16 + 264
+       |           ELSE (q * 16 + 264) << (e - 1) END AS v16
+       |    FROM mant) x)
        |SELECT doc_id,
        |  count(*)::INT AS n_samples,
        |  sum(abs(v))::BIGINT AS sum_abs,
