@@ -79,6 +79,7 @@ object SparkEntry {
     "q58_aqe_skew_join" -> (ops.Skew.aqeSkewJoin(_, _)),
     "s12_stream_ingest" -> (streaming.StreamIngest.bloomIngest(_, _)),
     "s13_stream_cluster" -> (streaming.StreamCluster.clusterMaintain(_, _)),
+    "q59_bucketed_agg"  -> (ops.Staging.bucketedAgg(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -521,6 +522,7 @@ object SparkEntry {
     "q58_aqe_skew_join" -> ops.Skew.oracleAqeSkewJoin,
     "s12_stream_ingest" -> streaming.StreamIngest.oracleBloomIngest,
     "s13_stream_cluster" -> streaming.StreamCluster.oracleClusterMaintain,
+    "q59_bucketed_agg"  -> ops.Staging.oracleBucketedAgg,
     "m06_image_neardup" -> llm.Multimodal.oracleImageNearDup,
     "m07_audio_resample" -> llm.Multimodal.oracleAudioResample,
     "m08_media_sniff"    -> llm.Multimodal.oracleMediaSniff,

@@ -51,6 +51,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SelectedBucketsCount"), s"scan is not bucket-aware:\n$p")
   }
 
+  test("q59: aggregation on the bucket key needs NO exchange of its own") {
+    val p = planOf("q59_bucketed_agg")
+    // the bucketed scan already hash-distributes on o_custkey; the one
+    // allowed exchange is the presentation orderBy's rangepartitioning
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"bucket-key aggregation still shuffles ($exchanges exchanges):\n$p")
+    assert(p.contains("SelectedBucketsCount"), s"scan is not bucket-aware:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"aggregation inserted a hash exchange over the bucketed scan:\n$p")
+  }
+
   test("q34: grouping sets plan as one Expand + one aggregate, not one pass per set") {
     val p = planOf("q34_grouping_sets")
     assert("Expand".r.findAllIn(p).length >= 1, p)
