@@ -97,6 +97,7 @@ object SparkEntry {
     "d31_ann_pq"            -> (llm.Pq.annPq(_, _)),
     "d32_incremental_cc"    -> (llm.Dedup.incrementalCc(_, _)),
     "d33_ann_ivfpq"         -> (llm.Pq.annIvfPq(_, _)),
+    "d34_lsh_tuning"        -> (llm.Dedup.lshTuningReport(_, _)),
     "m12_ulaw_decode"       -> (llm.Multimodal.ulawStats(_, _)),
     "m13_alaw_decode"       -> (llm.Multimodal.alawStats(_, _)),
     "t01_lang_id"           -> (llm.TextStats.langId(_, _)),
@@ -517,6 +518,7 @@ object SparkEntry {
     "d31_ann_pq"        -> llm.Pq.oracleAnnPq,
     "d32_incremental_cc" -> llm.Dedup.oracleIncrementalCc,
     "d33_ann_ivfpq"     -> llm.Pq.oracleAnnIvfPq,
+    "d34_lsh_tuning"    -> llm.Dedup.oracleLshTuning,
     "m12_ulaw_decode"   -> llm.Multimodal.oracleUlawStats,
     "m13_alaw_decode"   -> llm.Multimodal.oracleAlawStats,
     "q58_aqe_skew_join" -> ops.Skew.oracleAqeSkewJoin,

@@ -1248,6 +1248,106 @@ object Dedup {
       .unionByName(verified(bb, bSh, broadcastB = true))
   }
 
+  // ---- d34: LSH parameter sensitivity report --------------------------------
+
+  /** (bands × rows-per-band) splits of the 16 minhashes to sweep —
+    * rows ≥ 4 keeps candidate mass sane (r = 2 on a random corpus
+    * admits ~2% of ALL pairs as candidates; no production config runs
+    * there, and neither does this report).
+    */
+  val LshConfigs: Seq[(Int, Int)] = Seq((1, 16), (2, 8), (4, 4))
+
+  private def bandStructsCfg(mh: Column, b: Int, r: Int): Column = {
+    val bandCols = (0 until b).map { band =>
+      val cols = (0 until r).map(i => element_at(mh, band * r + i + 1))
+      struct(lit(band).as("band"), phash(concat_ws(",", cols: _*), 1).as("band_hash"))
+    }
+    array(bandCols: _*)
+  }
+
+  /** d34 — LSH banding sensitivity: for each (bands × rows) split of
+    * the same 16 minhashes, the candidate-pair count and the count
+    * surviving exact-Jaccard verification — the precision/recall-cost
+    * report an engineer runs BEFORE committing banding parameters for
+    * a corpus (more bands = more recall = more candidate mass to
+    * verify; the verified counts show what each step of recall costs).
+    *
+    * Scale shape: one staged shingle read, ONE minhash pass shared by
+    * every config (checkpointed), then per config a band equi-self-join
+    * and a candidate-keyed verify — the d03 layout swept; nothing is
+    * all-pairs at any config, and the report rows are aggregates, so
+    * output is O(configs).
+    */
+  def lshTuningReport(spark: SparkSession, dir: String): DataFrame = {
+    val (sh, _) = ccIndex(spark, dir)
+    val mhDf = sh.select(col("doc_id"), col("hs"),
+        graft.expr.HashFunctions.minHash56(col("hs"), TextHash.minhashKeys(MinhashSeeds)).as("mh"))
+      .localCheckpoint() // one minhash pass feeds all three configs
+    val rows = LshConfigs.map { case (b, r) =>
+      val bands = mhDf.select(col("doc_id"),
+          explode(bandStructsCfg(col("mh"), b, r)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+      val verified = cand
+        .join(mhDf.select(col("doc_id").as("id_a"), col("hs").as("ha")), Seq("id_a"))
+        .join(mhDf.select(col("doc_id").as("id_b"), col("hs").as("hb")), Seq("id_b"))
+        .select(size(array_intersect(col("ha"), col("hb"))).as("i"),
+          size(col("ha")).as("sa"), size(col("hb")).as("sb"))
+        .filter(col("i").cast("double") / (col("sa") + col("sb") - col("i"))
+          >= JaccardThreshold)
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("n_candidates"), col("n_verified"))
+    }
+    rows.reduce(_ unionByName _).orderBy("bands")
+  }
+
+  /** d34 oracle — the three bandings replayed from the same minhash
+    * CTE, candidate and verified counts per config.
+    */
+  val oracleLshTuning: String = {
+    val perCfg = LshConfigs.map { case (b, r) =>
+      val bandSelects = (0 until b).map { band =>
+        val cols = (0 until r).map(i => s"mh${band * r + i}").mkString(" || ',' || ")
+        s"SELECT doc_id, $band AS band, ${phashSql(cols, 1)} AS band_hash FROM mh"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""bands_${b}_$r AS (
+         |  $bandSelects),
+         |cand_${b}_$r AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands_${b}_$r a JOIN bands_${b}_$r b
+         |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         |ver_${b}_$r AS (
+         |  SELECT count(*) AS n FROM (
+         |    SELECT x.id_a, x.id_b, x.i
+         |    FROM (
+         |      SELECT id_a, id_b, count(*) AS i
+         |      FROM cand_${b}_$r
+         |      JOIN sh sa ON sa.doc_id = id_a
+         |      JOIN sh sb ON sb.doc_id = id_b AND sa.base = sb.base
+         |      GROUP BY 1, 2) x
+         |    JOIN sizes za ON za.doc_id = x.id_a
+         |    JOIN sizes zb ON zb.doc_id = x.id_b
+         |    WHERE x.i::DOUBLE / (za.sz + zb.sz - x.i) >= $JaccardThreshold) v)""".stripMargin
+    }.mkString(",\n")
+    val selects = LshConfigs.map { case (b, r) =>
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+         |  (SELECT count(*) FROM cand_${b}_$r) AS n_candidates,
+         |  (SELECT n FROM ver_${b}_$r) AS n_verified""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $corpusSql,
+       |$corpusShinglesSql,
+       |$minhashSql,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |$perCfg
+       |$selects
+       |ORDER BY bands""".stripMargin
+  }
+
   /** Dev-only stage timer for d32 (Scratch `d32stages`). */
   def d32Profile(spark: SparkSession, dir: String): Seq[(String, Double, Long)] = {
     val out = scala.collection.mutable.Buffer[(String, Double, Long)]()
