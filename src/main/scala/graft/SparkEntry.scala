@@ -80,6 +80,7 @@ object SparkEntry {
     "s12_stream_ingest" -> (streaming.StreamIngest.bloomIngest(_, _)),
     "s13_stream_cluster" -> (streaming.StreamCluster.clusterMaintain(_, _)),
     "q59_bucketed_agg"  -> (ops.Staging.bucketedAgg(_, _)),
+    "q60_mad_outliers"  -> (ops.CoreOps.madOutliers(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -525,6 +526,7 @@ object SparkEntry {
     "s12_stream_ingest" -> streaming.StreamIngest.oracleBloomIngest,
     "s13_stream_cluster" -> streaming.StreamCluster.oracleClusterMaintain,
     "q59_bucketed_agg"  -> ops.Staging.oracleBucketedAgg,
+    "q60_mad_outliers"  -> ops.CoreOps.oracleMadOutliers,
     "m06_image_neardup" -> llm.Multimodal.oracleImageNearDup,
     "m07_audio_resample" -> llm.Multimodal.oracleAudioResample,
     "m08_media_sniff"    -> llm.Multimodal.oracleMediaSniff,

@@ -442,6 +442,64 @@ object CoreOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Robust-z cut for q60: 3σ equivalent via the Gaussian consistency
+    * constant (3 × 1.4826). A plain decimal literal parses to the same
+    * IEEE double in Spark and DuckDB, so the strict `>` comparison has
+    * exact cross-engine parity.
+    */
+  val RobustZCut = 4.4478
+
+  /** q60 — robust outlier detection (median/MAD, the resistant
+    * alternative to q16's mean/stddev): per event type, the median,
+    * the median absolute deviation, and the count of values beyond
+    * [[RobustZCut]]·MAD. Both medians run the bounded two-pass exact
+    * percentile ([[Percentiles.boundedPercentiles]]) — the q16/q30
+    * plan shape: spillable hash aggs + boundary-bucket windows only,
+    * no per-group value buffer, so the chain (two percentile passes +
+    * one flagging agg) stays OOM-safe at unbounded group cardinality.
+    * The per-group medians re-enter as broadcast joins (group-count
+    * sized, the Lloyd-centroid pattern). `ad = |value − med|` and the
+    * cut `ad > 4.4478·mad` are double ops on bit-identical inputs in
+    * both engines, so no rounding is needed anywhere.
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value").cast("double").as("value"))
+    val med = Percentiles.boundedPercentiles(
+      ev, "event_type", "value", Seq(("med", 0.5)))
+      .select("event_type", "med")
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("ad", abs(col("value") - col("med")))
+    val mad = Percentiles.boundedPercentiles(
+      dev, "event_type", "ad", Seq(("mad", 0.5)))
+      .select("event_type", "mad")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        min("med").as("med"), // per-group constant; min = the value
+        min("mad").as("mad"),
+        count(when(col("ad") > lit(RobustZCut) * col("mad"), lit(1))).as("n_outliers"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  val oracleMadOutliers: String =
+    s"""WITH med AS (
+       |  SELECT event_type, quantile_cont(value, 0.5) AS med
+       |  FROM events GROUP BY 1),
+       |dev AS (
+       |  SELECT e.event_type, med, abs(e.value - med) AS ad
+       |  FROM events e JOIN med USING (event_type)),
+       |mad AS (
+       |  SELECT event_type, quantile_cont(ad, 0.5) AS mad
+       |  FROM dev GROUP BY 1)
+       |SELECT d.event_type, min(d.med) AS med, min(m.mad) AS mad,
+       |       count(CASE WHEN d.ad > $RobustZCut * m.mad THEN 1 END) AS n_outliers,
+       |       count(*) AS n
+       |FROM dev d JOIN mad m USING (event_type)
+       |GROUP BY d.event_type
+       |ORDER BY d.event_type""".stripMargin
+
   /** q12 — JSON decode (F9, reference `api.py:104` request parsing):
     * `from_json` with a declared schema (never inferred), then use the
     * extracted field relationally.

@@ -64,4 +64,33 @@ class PercentilesSpec extends AnyFunSuite {
     assert(out.map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSeq ==
       Seq(("g1", 2.0, 2L, 2L), ("g2", 5.0, 1L, 1L)))
   }
+
+  test("q60 med/mad match a built-in-percentile replay; flag counts consistent") {
+    val got = ops.CoreOps.madOutliers(spark, SparkTestBase.Sf).collect()
+    assert(got.nonEmpty)
+    // replay with the buffering built-in: med per type, then mad, then flags
+    val ev = graft.tables.Tables.events(spark, SparkTestBase.Sf)
+      .select(col("event_type"), col("value").cast("double").as("value"))
+    val med = ev.groupBy("event_type").agg(expr("percentile(value, 0.5D)").as("med"))
+    val dev = ev.join(med, Seq("event_type")).withColumn("ad", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type").agg(expr("percentile(ad, 0.5D)").as("mad"))
+    val want = dev.join(mad, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(min("med").as("med"), min("mad").as("mad"),
+        count(when(col("ad") > lit(ops.CoreOps.RobustZCut) * col("mad"), lit(1))).as("n_outliers"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.getString(0))
+      assert(java.lang.Double.doubleToLongBits(g.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(w.getDouble(1)), s"med ${g.getString(0)}")
+      assert(java.lang.Double.doubleToLongBits(g.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(w.getDouble(2)), s"mad ${g.getString(0)}")
+      assert(g.getLong(3) == w.getLong(3), s"n_outliers ${g.getString(0)}")
+      assert(g.getLong(4) == w.getLong(4), s"n ${g.getString(0)}")
+      // the cut actually separates: outliers exist but are a minority
+      assert(g.getLong(3) < g.getLong(4))
+    }
+  }
 }
