@@ -1444,4 +1444,80 @@ object Dedup {
        |       CASE WHEN doc_id >= $G2CopyIdOffset THEN 'batch' ELSE 'corpus' END AS src
        |FROM labeled
        |ORDER BY doc_id""".stripMargin
+
+  // ---- d35: edit-distance-verified near-dup (record-linkage shape) ---------
+
+  /** Max accepted edit distance for d35. Sized above [[TwinTruncate]]
+    * so the deterministic twins (pure 50-char suffix deletions)
+    * verify; the length-difference gate and the banded Levenshtein
+    * both key off it.
+    */
+  val EditMax = 60
+
+  /** d35 — edit-distance-verified near-dup pairs: the classic record-
+    * linkage/fuzzy-match shape (blocking + pairwise verify), with LSH
+    * bands as the blocking key. Character-level Levenshtein catches
+    * what shingle-set Jaccard is blind to: REORDERING-free local edits
+    * (typos, truncations, small insertions) score high here even when
+    * an 8-gram shingle near the edit site churns.
+    *
+    * Scale shape, outside-in: (1) candidates come from the SAME staged
+    * band equi-join as d03 — no all-pairs, candidate count scales with
+    * collision mass, not n²; (2) the length-difference gate
+    * `|len_a − len_b| ≤ [[EditMax]]` — a provable lower bound on edit
+    * distance — drops hopeless pairs before any text moves; (3) the
+    * verify is Spark's THRESHOLD Levenshtein (`levenshtein(a, b, k)`,
+    * the Ukkonen band): O(len·k) per pair instead of O(len²), and it
+    * early-outs to −1 the moment the band exceeds k. Texts join to
+    * candidates by doc_id (one text-move per doc, same layout as the
+    * shingle-array verify). `edit_sim = 1 − dist/max(len)` is a ratio
+    * of identical ints in both engines → exact double parity.
+    */
+  def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
+    val (_, bands) = ccIndex(spark, dir)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val txt = corpus(spark, dir)
+    cand
+      .join(txt.select(col("doc_id").as("id_a"), col("text").as("ta")), Seq("id_a"))
+      .join(txt.select(col("doc_id").as("id_b"), col("text").as("tb")), Seq("id_b"))
+      .withColumn("la", length(col("ta")))
+      .withColumn("lb", length(col("tb")))
+      .filter(abs(col("la") - col("lb")) <= EditMax)
+      // threshold EditMax+1 so a distance of exactly EditMax is
+      // computed (not −1), then filter to the committed bound
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), EditMax + 1))
+      .filter(col("dist").between(0, EditMax))
+      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"),
+        (lit(1.0) - col("dist").cast("double") /
+          greatest(col("la"), col("lb")).cast("double")).as("edit_sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val oracleEditDistancePairs: String =
+    s"""WITH $corpusSql,
+       |$corpusShinglesSql,
+       |$minhashSql,
+       |$bandsSql,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |t AS (SELECT doc_id, text, length(text) AS l FROM corpus),
+       |gated AS (
+       |  SELECT id_a, id_b, ta.text AS xa, tb.text AS xb, ta.l AS la, tb.l AS lb
+       |  FROM cand
+       |  JOIN t ta ON ta.doc_id = id_a
+       |  JOIN t tb ON tb.doc_id = id_b
+       |  WHERE abs(ta.l - tb.l) <= $EditMax),
+       |scored AS (
+       |  SELECT id_a, id_b, levenshtein(xa, xb) AS d, la, lb FROM gated)
+       |SELECT id_a, id_b, d::INT AS dist,
+       |       1 - d::DOUBLE / greatest(la, lb) AS edit_sim
+       |FROM scored WHERE d <= $EditMax
+       |ORDER BY id_a, id_b""".stripMargin
 }

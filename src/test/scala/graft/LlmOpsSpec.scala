@@ -650,4 +650,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(streamRows.length == batchRows.length && streamRows.nonEmpty)
     streamRows.zip(batchRows).foreach { case (s, b) => assert(s == b) }
   }
+
+  test("d35: twin pairs verify at dist = la−lb (pure suffix deletion); sims valid") {
+    val rows = Dedup.editDistancePairs(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val lens = Dedup.corpus(spark, Sf)
+      .select(col("doc_id"), length(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    var twinChecked = 0
+    rows.foreach { r =>
+      val (a, b, d, sim) = (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+      assert(a < b)
+      assert(d >= 0 && d <= Dedup.EditMax)
+      val (la, lb) = (lens(a), lens(b))
+      assert(math.abs(la - lb) <= d, s"length gap lower-bounds distance: $a/$b")
+      assert(math.abs(sim - (1.0 - d.toDouble / math.max(la, lb))) == 0.0)
+      if (b == a + Dedup.TwinIdOffset) { // suffix deletion: dist is exactly the gap
+        assert(d == la - lb, s"twin $a dist=$d expected ${la - lb}")
+        twinChecked += 1
+      }
+    }
+    assert(twinChecked > 10, s"only $twinChecked twin pairs verified")
+  }
 }
