@@ -142,7 +142,7 @@ object Dedup {
     (scored, Seq.empty)
   }
 
-  private def jaccardPairsRaw(spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
+  private[llm] def jaccardPairsRaw(spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     val (scored, deps) = candScoredRaw(spark, dir)
     val pairs = scored
       .select(col("id_a"), col("id_b"),

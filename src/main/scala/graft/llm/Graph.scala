@@ -1,0 +1,139 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over pair relations — the power-iteration
+  * sibling of [[Dedup.connectedComponents]]. The near-dup pair graph
+  * (d03) already drives cluster decisions (d11/d12); PageRank adds the
+  * CENTRALITY view of the same graph: which documents sit at the core
+  * of a duplication neighborhood (heavily-mirrored content — boilerplate
+  * hubs, template families) vs its periphery. Training-data curation
+  * uses exactly this signal to pick canonical representatives and to
+  * down-weight hub content.
+  *
+  * All arithmetic is INTEGER (ranks are fixed-point at [[PrScale]], and
+  * every division is a truncating integer division): the recurrence is
+  * bit-replayable in any engine — integer sums are order-independent
+  * where floating-point sums are not, so the DuckDB oracle can unroll
+  * the same iterations textually and hash-match exactly. Truncation
+  * leaks < 1 unit (= 10⁻¹² of total mass) per division — irrelevant to
+  * the ranking, essential to determinism.
+  */
+object Graph {
+
+  /** Fixed-point scale: 1 rank unit = 10⁻¹² of total probability mass. */
+  val PrScale = 1000000000000L
+
+  /** Fixed power-iteration count — deterministic by construction; on
+    * the tiny-diameter near-dup components 8 rounds is far past
+    * convergence at damping 0.85.
+    */
+  val PrIters = 8
+
+  /** d36 — PageRank over the verified near-dup pair graph: vertices =
+    * docs in ≥1 d03 pair, edges symmetrized, damping 85/100, teleport
+    * mass split evenly. Output: `(doc_id, deg, pr)` with `pr` the
+    * fixed-point rank after [[PrIters]] rounds.
+    *
+    * Scale shape, per round: one equi-join of the edge list against
+    * the O(V) rank table, one keyed sum, one left join back to the
+    * vertex set — all spillable keyed shuffles, no driver-side
+    * per-row work (the driver sequences rounds only). Lineage is cut
+    * per round with eager `localCheckpoint` (the d11 lesson: a
+    * round that reads its previous result twice otherwise doubles the
+    * logical plan per round). AQE is scoped OFF inside the loop and
+    * the loop's shuffle width is sized from the measured edge count,
+    * exactly as [[Dedup.connectedComponents]] does and for the same
+    * measured reason.
+    */
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val (pairsRaw, _) = Dedup.jaccardPairsRaw(spark, dir)
+    pageRankOnPairs(pairsRaw.select("id_a", "id_b"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** PageRank on any 2-column undirected pair relation (one row per
+    * edge, either direction). Returns `(id, deg, pr)`.
+    */
+  def pageRankOnPairs(pairs: DataFrame): DataFrame = {
+    val cols = pairs.columns
+    require(cols.length == 2, s"expected 2 edge columns, got ${cols.mkString(",")}")
+    val sess = pairs.sparkSession
+    val aqe0 = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val sp0 = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val e0 = pairs.toDF("u", "v")
+      val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v"))).persist()
+      val width = math.max(1L, math.min(sp0.toLong, edges.count() / 500000L + 1L))
+      sess.conf.set("spark.sql.shuffle.partitions", width.toString)
+
+      val deg = edges.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg")).persist()
+      val n = deg.count()
+      require(n > 0, "pageRank needs a non-empty edge list")
+      val tele = (PrScale * 15L / 100L) / n
+
+      var ranks = deg.select(col("id"), lit(PrScale / n).as("r")).localCheckpoint()
+      for (_ <- 1 to PrIters) {
+        val msgs = edges
+          .join(ranks.withColumnRenamed("id", "u"), Seq("u"))
+          .join(deg.toDF("u", "du"), Seq("u"))
+          .select(col("v").as("id"), expr("r div du").as("c"))
+          .groupBy("id").agg(sum("c").as("s"))
+        ranks = deg.select("id")
+          .join(msgs, Seq("id"), "left")
+          .select(col("id"),
+            (lit(tele) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+          .localCheckpoint()
+      }
+      val out = ranks.join(deg, Seq("id"))
+        .select(col("id"), col("deg"), col("r").as("pr"))
+      edges.unpersist()
+      out
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", aqe0)
+      sess.conf.set("spark.sql.shuffle.partitions", sp0)
+    }
+  }
+
+  /** DuckDB replay: the same integer recurrence with the iterations
+    * unrolled textually (standard-SQL recursive CTEs forbid the
+    * per-round aggregate). `//` on non-negative BIGINTs truncates
+    * toward zero = JVM `div` — the parity the fixed-point design buys.
+    * `edges`/`deg` are `AS MATERIALIZED`: each unrolled round
+    * references them, and without the hint DuckDB re-evaluates the
+    * whole LSH+verify chain behind `pairs` once per round (measured:
+    * a > 80 GB temp spill at sf0.1).
+    */
+  val oraclePageRank: String = {
+    val iters = (1 to PrIters).map { k =>
+      s"""it$k AS (
+         |  SELECT nd.id,
+         |         (SELECT tele FROM meta) + ((85 * COALESCE(m.s, 0))::BIGINT // 100) AS r
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.v AS id, sum(p.r // d.deg) AS s
+         |    FROM edges e
+         |    JOIN it${k - 1} p ON p.id = e.u
+         |    JOIN deg d ON d.id = e.u
+         |    GROUP BY e.v) m ON m.id = nd.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Dedup.pairsCteSql},
+       |edges AS MATERIALIZED (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM pairs),
+       |deg AS MATERIALIZED (SELECT u AS id, count(*) AS deg FROM edges GROUP BY 1),
+       |nodes AS (SELECT id FROM deg),
+       |meta AS (
+       |  SELECT count(*) AS n,
+       |         (($PrScale * 15) // 100) // count(*) AS tele
+       |  FROM nodes),
+       |it0 AS (SELECT id, $PrScale // (SELECT n FROM meta) AS r FROM nodes),
+       |$iters
+       |SELECT p.id AS doc_id, d.deg, p.r AS pr
+       |FROM it$PrIters p JOIN deg d ON d.id = p.id
+       |ORDER BY doc_id""".stripMargin
+  }
+}

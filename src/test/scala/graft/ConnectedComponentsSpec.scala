@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.Dedup
+import graft.llm.{Dedup, Graph}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -54,5 +54,48 @@ class ConnectedComponentsSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == truth, s"trial $trial (n=$n m=$m): CC disagrees with union-find")
     }
+  }
+
+  /** Driver-side exact replay of d36's integer recurrence. */
+  private def pageRankTruth(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).map { case (k, es) => k -> es.size.toLong }
+    val n = deg.size.toLong
+    val tele = (Graph.PrScale * 15L / 100L) / n
+    var r: Map[Long, Long] = deg.map { case (k, _) => k -> Graph.PrScale / n }
+    for (_ <- 1 to Graph.PrIters) {
+      val s = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edges.foreach { case (u, v) => s(v) += r(u) / deg(u) }
+      r = deg.map { case (k, _) => k -> (tele + (85L * s(k)) / 100L) }
+    }
+    r
+  }
+
+  test("d36 pageRank matches a driver-side integer replay exactly") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 4L), (5L, 6L), (1L, 7L))
+    val got = Graph.pageRankOnPairs(pairs.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val truth = pageRankTruth(pairs)
+    assert(got.keySet == truth.keySet)
+    got.foreach { case (id, (_, pr)) => assert(pr == truth(id), s"vertex $id") }
+    // centrality sanity on the path-with-chord: 2 is the hub of {1,2,3,4,7}
+    assert(got(2L)._2 > got(3L)._2 && got(2L)._2 > got(1L)._2)
+    // the isolated symmetric pair {5,6} has equal ranks
+    assert(got(5L)._2 == got(6L)._2)
+    // mass conservation up to truncation: ≤ 1 unit lost per division
+    val total = got.values.map(_._2).sum
+    assert(total <= Graph.PrScale && total > Graph.PrScale * 99L / 100L)
+  }
+
+  test("d36 on the corpus graph: deterministic across runs, degrees match d03") {
+    val sf = SparkTestBase.Sf
+    val a = Graph.pageRank(spark, sf).collect()
+    val b = Graph.pageRank(spark, sf).collect()
+    assert(a.nonEmpty && a.sameElements(b))
+    val pairDegs = Dedup.lshJaccardPairs(spark, sf)
+      .select("id_a", "id_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+      .groupBy(x => x).map { case (k, v) => k -> v.length.toLong }
+    a.foreach { r => assert(r.getLong(1) == pairDegs(r.getLong(0)), s"deg ${r.getLong(0)}") }
   }
 }
