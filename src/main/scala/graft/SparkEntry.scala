@@ -101,6 +101,7 @@ object SparkEntry {
     "d34_lsh_tuning"        -> (llm.Dedup.lshTuningReport(_, _)),
     "d35_editdist_pairs"    -> (llm.Dedup.editDistancePairs(_, _)),
     "d36_pagerank"          -> (llm.Graph.pageRank(_, _)),
+    "t16_dup_spans"         -> (llm.Curation.dupSpans(_, _)),
     "m12_ulaw_decode"       -> (llm.Multimodal.ulawStats(_, _)),
     "m13_alaw_decode"       -> (llm.Multimodal.alawStats(_, _)),
     "t01_lang_id"           -> (llm.TextStats.langId(_, _)),
@@ -524,6 +525,7 @@ object SparkEntry {
     "d34_lsh_tuning"    -> llm.Dedup.oracleLshTuning,
     "d35_editdist_pairs" -> llm.Dedup.oracleEditDistancePairs,
     "d36_pagerank"      -> llm.Graph.oraclePageRank,
+    "t16_dup_spans"     -> llm.Curation.oracleDupSpans,
     "m12_ulaw_decode"   -> llm.Multimodal.oracleUlawStats,
     "m13_alaw_decode"   -> llm.Multimodal.oracleAlawStats,
     "q58_aqe_skew_join" -> ops.Skew.oracleAqeSkewJoin,

@@ -289,4 +289,99 @@ object Curation {
        |WHERE $u < least(1.0::DOUBLE, CAST(t * w AS DOUBLE) / CAST(s * n_lang AS DOUBLE))
        |ORDER BY doc_id""".stripMargin
   }
+
+  // ---- t16: maximal duplicated-span detection --------------------------------
+
+  /** Token k-gram width for t16 — spans shorter than [[SpanK]] words
+    * can't be detected, matching the "min duplicated substring length"
+    * knob of suffix-array substring dedup.
+    */
+  val SpanK = 5
+
+  /** Hash seed for t16's k-gram keys (disjoint from d18/d19 seeds). */
+  val SpanSeed = 7
+
+  /** t16 — maximal duplicated-span detection: the token-k-gram
+    * approximation of exact-substring training-data dedup (the
+    * suffix-array method of Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better" — arXiv:2107.06499). A word
+    * [[SpanK]]-gram is *duplicated* when it occurs in ≥ 2 distinct
+    * docs; per doc, runs of consecutive duplicated k-gram start
+    * positions merge (islands-and-gaps) into MAXIMAL spans — the
+    * char-precise suffix-array spans, discretized to word granularity.
+    * d19 removes one fixed-width chunk per duplicate hash; this
+    * reports the full extent of every cross-doc repeat, which is what
+    * a span-removal policy actually wants as input.
+    *
+    * Scale shape: unlike every pair-based dedup leg, this is
+    * O(total k-grams) END TO END — no candidate pairs exist at any
+    * point. One codegen'd map pass hashes each doc's k-grams
+    * (transform over the token array, no UDF), one hash agg counts
+    * distinct docs per k-gram (two-level: partial map-side), one
+    * equi-join marks duplicated positions, and one per-doc window
+    * (spillable sort within doc_id) merges islands. Every stage
+    * partitions on a uniform hash key; hot k-grams (boilerplate in
+    * every doc) concentrate JOIN fan-out only in proportion to their
+    * true occurrence count — the output mass, not a quadratic blowup.
+    */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame =
+    dupSpansOn(Tables.documents(spark, dir))
+
+  /** t16 core on any `(doc_id, text)` relation. */
+  def dupSpansOn(documents: DataFrame): DataFrame = {
+    val k = SpanK
+    val toks = documents
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("ws"))
+      .withColumn("nw", size(col("ws")))
+      .where(col("nw") >= k)
+    val kg = toks.select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), col("nw") - lit(k - 1)),
+          i => TextHash.phash(concat_ws(" ", slice(col("ws"), i, lit(k))), SpanSeed))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("gh"))
+    val dup = kg.groupBy("gh")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select("gh")
+    // islands with tolerance k−1: two duplicated k-gram start positions
+    // whose word windows overlap or touch belong to one maximal span
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    val isl = kg.join(dup, Seq("gh"))
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) > lit(k - 1), 1L).otherwise(0L))
+      .withColumn("grp", sum("brk").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+    isl.groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(k - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_words"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  val oracleDupSpans: String = {
+    val k = SpanK
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |  FROM documents),
+       |kg AS (
+       |  SELECT doc_id, i AS pos,
+       |         ${TextHash.phashSql(s"array_to_string(ws[i:i+${k - 1}], ' ')", SpanSeed)} AS gh
+       |  FROM toks, unnest(range(1, greatest(len(ws) - ${k - 1}, 0) + 1)) AS t(i)),
+       |dup AS (SELECT gh FROM kg GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+       |brk AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |                   > ${k - 1} THEN 1 ELSE 0 END AS b
+       |  FROM kg JOIN dup USING (gh)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM brk)
+       |SELECT doc_id, min(pos) AS span_start, max(pos) + ${k - 1} AS span_end,
+       |       max(pos) + ${k - 1} - min(pos) + 1 AS span_words
+       |FROM isl GROUP BY doc_id, grp
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
 }

@@ -106,4 +106,36 @@ class CurationSpec extends AnyFunSuite {
     val n = docs.values.sum.toDouble
     assert(total > 0.35 * n && total < 0.65 * n, s"sampled $total of $n")
   }
+
+  test("t16: a shared sentence yields one maximal span at the right positions") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog tonight"   // 10 words
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),                           // span at words 3..12
+      (2L, s"$shared omega"),                                            // span at words 1..10
+      (3L, "completely unrelated text with no repeated phrases at all xyzzy"),
+      (4L, "alpha beta unrelated")                                       // < SpanK shared words
+    ).toDF("doc_id", "text")
+    val got = Curation.dupSpansOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 3L, 12L, 10L), (2L, 1L, 10L, 10L)))
+  }
+
+  test("t16 on corpus: spans are maximal, disjoint, ordered, ≥ SpanK words") {
+    val rows = Curation.dupSpans(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty) // exact copies exist in documents (d01 finds them)
+    rows.groupBy(_._1).foreach { case (doc, spans) =>
+      val sorted = spans.sortBy(_._2)
+      sorted.foreach { case (_, s, e, w) =>
+        assert(e - s + 1 == w && w >= Curation.SpanK, s"doc $doc span $s..$e")
+      }
+      // maximality: islands merge any overlapping/touching word windows,
+      // so successive spans are disjoint in word space
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) => assert(s2 > e1, s"doc $doc not maximal")
+        case _ =>
+      }
+    }
+  }
 }
