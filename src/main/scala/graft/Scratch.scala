@@ -30,6 +30,10 @@ object Scratch {
         llm.Dedup.d03Profile(spark, dir).foreach { case (stage, secs, rows) =>
           println(f"[scratch] d03/$stage: $rows rows in $secs%.2f s")
         }
+      } else if (n == "d37stages") {
+        llm.Dedup.d37Profile(spark, dir).foreach { case (stage, secs, rows) =>
+          println(f"[scratch] d37/$stage: $rows rows in $secs%.2f s")
+        }
       } else if (n == "d32stages") {
         llm.Dedup.d32Profile(spark, dir).foreach { case (stage, secs, rows) =>
           println(f"[scratch] d32/$stage: $rows rows in $secs%.2f s")

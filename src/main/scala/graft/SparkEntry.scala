@@ -79,6 +79,8 @@ object SparkEntry {
     "q58_aqe_skew_join" -> (ops.Skew.aqeSkewJoin(_, _)),
     "s12_stream_ingest" -> (streaming.StreamIngest.bloomIngest(_, _)),
     "s13_stream_cluster" -> (streaming.StreamCluster.clusterMaintain(_, _)),
+    "s14_stream_sessions" -> (streaming.Sessionize.streamSessions(_, _)),
+    "m14_silence_spans" -> (llm.Multimodal.silenceSpans(_, _)),
     "q59_bucketed_agg"  -> (ops.Staging.bucketedAgg(_, _)),
     "q60_mad_outliers"  -> (ops.CoreOps.madOutliers(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
@@ -102,6 +104,8 @@ object SparkEntry {
     "d35_editdist_pairs"    -> (llm.Dedup.editDistancePairs(_, _)),
     "d36_pagerank"          -> (llm.Graph.pageRank(_, _)),
     "t16_dup_spans"         -> (llm.Curation.dupSpans(_, _)),
+    "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
+    "d38_triangles"         -> (llm.Graph.triangles(_, _)),
     "m12_ulaw_decode"       -> (llm.Multimodal.ulawStats(_, _)),
     "m13_alaw_decode"       -> (llm.Multimodal.alawStats(_, _)),
     "t01_lang_id"           -> (llm.TextStats.langId(_, _)),
@@ -526,11 +530,15 @@ object SparkEntry {
     "d35_editdist_pairs" -> llm.Dedup.oracleEditDistancePairs,
     "d36_pagerank"      -> llm.Graph.oraclePageRank,
     "t16_dup_spans"     -> llm.Curation.oracleDupSpans,
+    "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,
+    "d38_triangles"     -> llm.Graph.oracleTriangles,
     "m12_ulaw_decode"   -> llm.Multimodal.oracleUlawStats,
     "m13_alaw_decode"   -> llm.Multimodal.oracleAlawStats,
     "q58_aqe_skew_join" -> ops.Skew.oracleAqeSkewJoin,
     "s12_stream_ingest" -> streaming.StreamIngest.oracleBloomIngest,
     "s13_stream_cluster" -> streaming.StreamCluster.oracleClusterMaintain,
+    "s14_stream_sessions" -> streaming.Sessionize.oracleStreamSessions,
+    "m14_silence_spans" -> llm.Multimodal.oracleSilenceSpans,
     "q59_bucketed_agg"  -> ops.Staging.oracleBucketedAgg,
     "q60_mad_outliers"  -> ops.CoreOps.oracleMadOutliers,
     "m06_image_neardup" -> llm.Multimodal.oracleImageNearDup,

@@ -195,6 +195,76 @@ case class PqNearestCode(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native two-pointer intersection COUNT over two SORTED `array<long>`
+  * columns — the exact set-similarity verify hot path (d37 runs it per
+  * candidate pair). `array_intersect` is semantically right but builds
+  * an OpenHashSet AND materializes the intersection array per row just
+  * to take its size; this emits one fused merge loop inside
+  * whole-stage codegen: no allocation, O(|a|+|b|), early-exit when
+  * either side drains. CALLER CONTRACT: both arrays sorted ascending
+  * and deduplicated (`sort_array` on the staged distinct-hash arrays)
+  * — unsorted input silently undercounts, so the d37 spec pins
+  * equality against `size(array_intersect(...))` on the same rows.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (Seq(left, right).forall(e => elemOk(e.dataType))) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_count expects array<bigint> on each side, got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var c = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    java.lang.Integer.valueOf(c)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i  = ctx.freshName("i")
+      val j  = ctx.freshName("j")
+      val c  = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $a.numElements(), $ny = $b.numElements();
+         |int $i = 0, $j = 0, $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column-level cosine similarity between two array<float> columns. */
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -203,4 +273,8 @@ object VectorFunctions {
   /** Index of the nearest codebook entry (squared L2, ties → lowest). */
   def pqNearestCode(vec: Column, codebook: Column): Column =
     ColumnBridge.column(PqNearestCode(ColumnBridge.expression(vec), ColumnBridge.expression(codebook)))
+
+  /** Intersection count of two SORTED dedup'd array<long> columns. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

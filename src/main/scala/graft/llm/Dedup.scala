@@ -444,6 +444,55 @@ object Dedup {
     out.toSeq
   }
 
+  /** Dev stage timer for d37 (see [[graft.Scratch]]). */
+  def d37Profile(spark: SparkSession, dir: String): Seq[(String, Double, Long)] = {
+    val out = scala.collection.mutable.Buffer[(String, Double, Long)]()
+    def t(stage: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      out += ((stage, (System.nanoTime() - t0) / 1e9, rows))
+    }
+    val (docs, _) = ccIndex(spark, dir)
+    val sized = docs.select(col("doc_id"), col("hs"), size(col("hs")).as("sz")).persist()
+    t("sized")(sized.count())
+    t("prefixIndexBuild")(prefixIndex(spark, dir).count())
+    val prefix = prefixIndex(spark, dir)
+    val joined = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.sz") * 5 >= col("a.sz") * 4 && col("a.sz") * 5 >= col("b.sz") * 4 &&
+          (least(col("a.sz") - col("a.rnk"), col("b.sz") - col("b.rnk")) + 1) >=
+            (col("a.sz") + col("b.sz")) * 4 / 9)
+    t("joinRaw")(joined.count())
+    val cand = joined
+      .groupBy(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sz").as("sza0"), col("b.sz").as("szb0"))
+      .agg(count(lit(1)).as("m"), max(col("a.rnk")).as("pa"), max(col("b.rnk")).as("pb"))
+      .where(col("m") + least(col("sza0") - col("pa"), col("szb0") - col("pb")) >=
+        expr("(4 * (sza0 + szb0) + 8) div 9"))
+      .select("id_a", "id_b")
+      .persist()
+    t("candidates")(cand.count())
+    t("verify") {
+      cand
+        .join(sized.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+        .join(sized.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("hs_a"), col("hs_b"))).as("inter"),
+          size(col("hs_a")).as("sza"), size(col("hs_b")).as("szb"))
+        .select(col("id_a"), col("id_b"),
+          (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+        .filter(col("jaccard") >= AllPairsThreshold)
+        .count()
+    }
+    Seq(sized, cand).foreach(_.unpersist())
+    spark.catalog.clearCache()
+    // the in-suite shape: staged index warm, no intermediate persists
+    t("fullQueryWarmIndex")(allPairsJoin(spark, dir).count())
+    out.toSeq
+  }
+
   val SimhashBits = 56
 
   /** d04 — SimHash signatures via the native one-pass
@@ -1497,6 +1546,143 @@ object Dedup {
           greatest(col("la"), col("lb")).cast("double")).as("edit_sim"))
       .orderBy("id_a", "id_b")
   }
+
+  // ---- d37: EXACT similarity self-join via prefix filtering (PPJoin) -------
+
+  /** d37's Jaccard threshold t = 4/5 — the audit-grade near-exact
+    * regime. The choice is LOAD-BEARING for the algorithm, not just
+    * the semantics: prefix filtering prunes with the prefix fraction
+    * `1 − t` of each doc, so its candidate mass scales ~(1−t)²·f(df
+    * distribution). Measured on this corpus at sf0.1: t = 1/2 gives a
+    * 31.5 M-pair candidate set (prefix = half of every doc — the
+    * filter can't prune), t = 4/5 with the positional filter gives
+    * 656 k. Below ~0.7, banding LSH (d02/d03) is the right tool and
+    * exactness costs quadratic work in ANY engine.
+    */
+  val AllPairsThreshold = 0.8
+
+  /** d37 — exact Jaccard similarity self-join via PREFIX FILTERING
+    * (the AllPairs/PPJoin family — Bayardo et al. WWW'07, public
+    * method): every pair with Jaccard ≥ [[AllPairsThreshold]], with
+    * recall 1 BY CONSTRUCTION — the candidate filter is lossless,
+    * unlike MinHash banding (d03), whose recall is probabilistic. The
+    * two legs answer different questions at 100 TB: d03 when a small
+    * miss rate is acceptable and the corpus is huge; d37 when the
+    * guarantee matters (legal/contamination audits).
+    *
+    * Why it scales: a pair with Jaccard ≥ t must share a token inside
+    * each side's PREFIX — the first `|d| − ⌈t·|d|⌉ + 1` tokens in
+    * GLOBAL ascending document-frequency order (rarest first). Only
+    * prefix tokens generate join rows; the hot boilerplate tokens
+    * every doc shares live in the suffixes and never join. Two
+    * lossless gates ride the join before any array moves: the size
+    * gate `4·|a| ≤ 5·|b| ∧ 4·|b| ≤ 5·|a|` and the PPJoin POSITIONAL
+    * gate `min(|a|−rnkₐ, |b|−rnk_b) + 1 ≥ ⌈4(|a|+|b|)/9⌉` (a match
+    * this deep into both prefixes can't leave enough suffix for the
+    * required overlap `t/(1+t)·(|a|+|b|)`) — measured together they
+    * cut sf0.1 candidates 4.85 M → 656 k (all integer arithmetic, so
+    * the filter is exactly replayable). Stages: one explode +
+    * two-level df agg, one row_number window per doc (spillable
+    * sort), one equi-join on prefix tokens, then the same
+    * one-array-move-per-doc exact verify as d03.
+    *
+    * The ORACLE is deliberately independent of the algorithm: a
+    * brute-force inverted-index join (every co-shingle pair counted,
+    * no prefix logic) — feasible at fixture scale precisely because it
+    * is the quadratic shape the prefix filter exists to avoid. Equal
+    * output = proof the filters dropped nothing.
+    */
+  /** d37's staged prefix index: `(doc_id, sz, h, rnk)` for each doc's
+    * prefix tokens, rnk = position in global ascending-df order —
+    * corpus-index work (one df agg + one per-doc rank window), staged
+    * once per (process, dir) exactly like the shingle/band tables it
+    * derives from ([[ccIndex]]): at 100 TB this is a maintained
+    * artifact of the corpus, not per-query work.
+    */
+  private def prefixIndex(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val loc = graft.ops.Staging.stagePath("ap_prefix", dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
+      val (docs, _) = ccIndex(spark, dir)
+      val sized = docs.select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
+      val tok = sized.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
+      val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("df", "h")
+      tok.join(dfreq, Seq("h"))
+        .withColumn("rnk", row_number().over(w))
+        // prefix length |d| − ⌈4|d|/5⌉ + 1, integer-exact at t = 4/5
+        .where(col("rnk") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
+        .select(col("doc_id"), col("sz"), col("h"), col("rnk"))
+        .write.mode("overwrite").parquet(loc)
+    }
+    spark.read.parquet(loc)
+  }
+
+  def allPairsJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (docs, _) = ccIndex(spark, dir)
+    val sized = docs.select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
+    val prefix = prefixIndex(spark, dir)
+    // Candidate stream → COUNTING agg with the POSITIONAL-MAX bound
+    // (all integer): within a doc, rnk is monotone in the global
+    // token order, so every shared token outside the m prefix-prefix
+    // matches must sort AFTER the last matched token in BOTH docs —
+    // o ≤ m + min(sza − pa, szb − pb) with (pa, pb) the max matched
+    // ranks. A true pair needs o ≥ ⌈4(sza+szb)/9⌉, so the filter is
+    // lossless; measured it cuts the verify load about in half on top
+    // of the per-row positional gate, and the agg's map-side partials
+    // collapse the 10M+-row join stream before it shuffles.
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.sz") * 5 >= col("a.sz") * 4 && col("a.sz") * 5 >= col("b.sz") * 4 &&
+          (least(col("a.sz") - col("a.rnk"), col("b.sz") - col("b.rnk")) + 1) >=
+            // Column `/` is double division: the real-valued bound
+            // 4S/9 ≤ ⌈4S/9⌉, so the gate only ever ADMITS extra
+            // candidates — lossless by construction
+            (col("a.sz") + col("b.sz")) * 4 / 9)
+      .groupBy(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sz").as("sza0"), col("b.sz").as("szb0"))
+      .agg(count(lit(1)).as("m"), max(col("a.rnk")).as("pa"), max(col("b.rnk")).as("pb"))
+      .where(col("m") + least(col("sza0") - col("pa"), col("szb0") - col("pb")) >=
+        expr("(4 * (sza0 + szb0) + 8) div 9"))
+      .select("id_a", "id_b")
+    // verify on SORTED arrays with the native two-pointer count
+    // ([[graft.expr.SortedIntersectCount]]): no per-row hash set, no
+    // materialized intersection array — the per-pair cost is a fused
+    // merge loop inside whole-stage codegen
+    val sortedArr = sized.select(col("doc_id"), sort_array(col("hs")).as("hs"))
+    val verified = cand
+      .join(sortedArr.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(sortedArr.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.expr.VectorFunctions.sortedIntersectCount(col("hs_a"), col("hs_b")).as("inter"),
+        size(col("hs_a")).as("sza"), size(col("hs_b")).as("szb"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= AllPairsThreshold)
+    // eager checkpoint before the sort: Exchange rangepartitioning
+    // SAMPLES its child to pick bounds, and an unpersisted child means
+    // the entire join+verify chain executes TWICE (measured ~2× wall);
+    // the surviving pair set is output-sized, so the checkpoint is free
+    verified.localCheckpoint().orderBy("id_a", "id_b")
+  }
+
+  val oracleAllPairsJoin: String =
+    s"""WITH $corpusSql,
+       |$corpusShinglesSql,
+       |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS MATERIALIZED (
+       |  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS i
+       |  FROM sh sa JOIN sh sb ON sa.base = sb.base AND sa.doc_id < sb.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, i::DOUBLE / (za.sz + zb.sz - i) AS jaccard
+       |FROM inter
+       |JOIN sizes za ON za.doc_id = id_a
+       |JOIN sizes zb ON zb.doc_id = id_b
+       |WHERE i::DOUBLE / (za.sz + zb.sz - i) >= $AllPairsThreshold
+       |ORDER BY id_a, id_b""".stripMargin
 
   val oracleEditDistancePairs: String =
     s"""WITH $corpusSql,

@@ -98,6 +98,98 @@ object Graph {
     }
   }
 
+  /** d38 — per-vertex triangle count + local clustering coefficient
+    * of the verified near-dup graph: the community-density view (a
+    * template family where every mirror matches every other is
+    * triangle-dense; a hub-and-spoke of unrelated snippets quoting one
+    * document is triangle-free — the signal that separates "true
+    * duplicate cluster" from "shared boilerplate star", which decides
+    * whether keep-one-per-cluster curation is safe).
+    *
+    * Algorithm: DEGREE-ORDERED edge orientation (each undirected edge
+    * directed from its lower (deg, id) endpoint to the higher), then
+    * triangles enumerate as wedges `a→b, a→c` (with `b` before `c` in
+    * the same order) closed by the directed edge `b→c` — every
+    * triangle counted exactly once from its lowest-ordered vertex.
+    * The orientation is THE at-scale trick: out-degree under it is
+    * O(√m) even on power-law graphs, so wedge fan-out — the quadratic
+    * term a naive neighbor self-join pays on hub vertices — is
+    * bounded, giving the classic O(m^1.5) join-size bound. Every step
+    * is an equi-join or keyed agg; the one inequality (`ord_b <
+    * ord_c`) rides a hash join on the shared wedge center.
+    *
+    * `clustering = 2·T / (deg·(deg−1))` is a ratio of identical ints
+    * in both engines (0.0 pinned where deg < 2) → exact double parity.
+    * The oracle enumerates triangles off the canonical `id_a < id_b`
+    * pair relation directly — a DIFFERENT enumeration order proving
+    * the oriented plan drops/duplicates nothing.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val (pairsRaw, _) = Dedup.jaccardPairsRaw(spark, dir)
+    trianglesOnPairs(pairsRaw.select("id_a", "id_b"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Triangle counts on any canonical (u < v) pair relation. */
+  def trianglesOnPairs(pairs: DataFrame): DataFrame = {
+    val e0 = pairs.toDF("u", "v").persist()
+    val deg = e0.select(col("u").as("id"))
+      .unionAll(e0.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient: src = lower (deg, id) endpoint
+    val keyed = e0
+      .join(deg.toDF("u", "du"), Seq("u"))
+      .join(deg.toDF("v", "dv"), Seq("v"))
+    val ou = struct(col("du").as("d"), col("u").as("n"))
+    val ov = struct(col("dv").as("d"), col("v").as("n"))
+    val dir = keyed.select(
+      when(ou < ov, col("u")).otherwise(col("v")).as("src"),
+      when(ou < ov, col("v")).otherwise(col("u")).as("dst"),
+      when(ou < ov, ov).otherwise(ou).as("dstOrd"))
+      .persist()
+    val tri = dir.as("e1")
+      .join(dir.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dstOrd") < col("e2.dstOrd"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+      .join(dir.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    val tn = tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    val out = deg.join(tn, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("clustering",
+        when(col("deg") < 2, lit(0.0))
+          .otherwise((col("n_tri") * 2).cast("double") / (col("deg") * (col("deg") - 1))))
+    e0.unpersist()
+    dir.unpersist()
+    out
+  }
+
+  val oracleTriangles: String =
+    s"""WITH ${Dedup.pairsCteSql},
+       |p2 AS MATERIALIZED (SELECT id_a, id_b FROM pairs),
+       |deg AS MATERIALIZED (
+       |  SELECT id, count(*) AS deg FROM (
+       |    SELECT id_a AS id FROM p2 UNION ALL SELECT id_b FROM p2)
+       |  GROUP BY id),
+       |tri AS (
+       |  SELECT p1.id_a AS a, p1.id_b AS b, q.id_b AS c
+       |  FROM p2 p1
+       |  JOIN p2 q ON q.id_a = p1.id_b
+       |  JOIN p2 r ON r.id_a = p1.id_a AND r.id_b = q.id_b),
+       |tn AS (
+       |  SELECT n AS id, count(*) AS n_tri
+       |  FROM (SELECT unnest([a, b, c]) AS n FROM tri)
+       |  GROUP BY 1)
+       |SELECT d.id AS doc_id, d.deg,
+       |       COALESCE(t.n_tri, 0) AS n_tri,
+       |       CASE WHEN d.deg < 2 THEN 0.0::DOUBLE
+       |            ELSE (COALESCE(t.n_tri, 0) * 2)::DOUBLE / (d.deg * (d.deg - 1))
+       |       END AS clustering
+       |FROM deg d LEFT JOIN tn t ON t.id = d.id
+       |ORDER BY doc_id""".stripMargin
+
   /** DuckDB replay: the same integer recurrence with the iterations
     * unrolled textually (standard-SQL recursive CTEs forbid the
     * per-round aggregate). `//` on non-negative BIGINTs truncates

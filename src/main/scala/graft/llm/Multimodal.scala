@@ -610,6 +610,111 @@ object Multimodal {
        |  md5(string_agg(v::VARCHAR, ',' ORDER BY i)) AS samples_md5
        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -- m14: silence-span detection (voice-activity shape) ---------------------
+
+  /** Samples per m14 analysis window (25 @ 8 kHz ≈ 3 ms — fixture-
+    * sized; the shape, not the constant, is the operator).
+    */
+  val SilWin = 25
+
+  /** A window is deterministically SILENCED in the m14 fixture iff the
+    * first byte of `md5("<id>:sil:<w>")` < 64 (¼ of windows) — the
+    * same rule the oracle replays from hex substrings in SQL.
+    */
+  private def silentWin(docId: Long, w: Int): Boolean = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (md.digest(s"$docId:sil:$w".getBytes("UTF-8"))(0) & 0xff) < 64
+  }
+
+  /** m14 fixture: the m04 WAV bytes with the silenced windows' samples
+    * zeroed — real RIFF/PCM container, deterministic silence layout.
+    */
+  private[graft] def wavSilBytesOf(id: Long): Array[Byte] = {
+    val s = samplesOf(id, audioLen(id))
+    var i = 0
+    while (i < s.length) {
+      if (silentWin(id, i / SilWin)) s(i) = 0
+      i += 1
+    }
+    val dataLen = s.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)
+      .putInt(AudioRate).putInt(AudioRate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var j = 0
+    while (j < s.length) { bb.putShort(s(j).toShort); j += 1 }
+    out
+  }
+
+  case class WinEnergy(doc_id: Long, w: Int, e: Long)
+
+  /** m14 — silence-span detection (the voice-activity-detection shape
+    * over a real decode): per clip, decode the WAV through the real
+    * JDK codec, integrate energy `Σv²` per fixed [[SilWin]]-sample
+    * window IN-ROW (integer-exact, so the SQL oracle reproduces it
+    * bit-for-bit from the sample chain), then merge runs of zero-
+    * energy windows into maximal silence spans with the t16 islands
+    * idiom — decode and energy are map-side `mapPartitions` (codec
+    * work Catalyst can't express), the span merge is a per-clip
+    * spillable window over O(windows-per-clip) rows. At 100 TB the
+    * audio bytes never shuffle: only the (doc, window, energy) triples
+    * — three orders of magnitude smaller — enter the exchange.
+    */
+  def silenceSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wins = docIds(spark, dir).mapPartitions { ids =>
+      val readers = audioReaders()
+      ids.flatMap { id =>
+        val in = readAudio(readers, wavSilBytesOf(id))
+        val n = in.getFrameLength.toInt
+        val pcm = in.readAllBytes()
+        val nw = (n + SilWin - 1) / SilWin
+        val e = new Array[Long](nw)
+        var i = 0
+        while (i < n) {
+          val v = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toLong
+          e(i / SilWin) += v * v
+          i += 1
+        }
+        (0 until nw).map(w => WinEnergy(id, w, e(w)))
+      }
+    }.toDF()
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("w")
+    wins.where(col("e") === 0L)
+      .withColumn("grp", col("w") - row_number().over(byDoc))
+      .groupBy("doc_id", "grp")
+      .agg(min("w").as("span_start"), max("w").as("span_end"))
+      .select(col("doc_id"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("long").as("span_wins"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  val oracleSilenceSpans: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, i, i // $SilWin AS w,
+       |    CASE WHEN ('0x' || substr(md5(doc_id || ':sil:' || (i // $SilWin)), 1, 2))::INT < 64
+       |         THEN 0
+       |         ELSE ('0x' || substr(md5(doc_id || ':a:' || (i // 8)),
+       |                              (i % 8) * 4 + 1, 4))::INT - 32768 END AS v
+       |  FROM documents,
+       |       LATERAL (SELECT unnest(range(160 + doc_id % 97)) AS i) t),
+       |wins AS (SELECT doc_id, w, sum(v::BIGINT * v) AS e FROM s GROUP BY 1, 2),
+       |sil AS (
+       |  SELECT doc_id, w,
+       |         w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+       |  FROM wins WHERE e = 0)
+       |SELECT doc_id, min(w) AS span_start, max(w) AS span_end,
+       |       max(w) - min(w) + 1 AS span_wins
+       |FROM sil GROUP BY doc_id, grp
+       |ORDER BY doc_id, span_start""".stripMargin
+
   // -- real video leg (m05) ---------------------------------------------------
 
   case class EncodedVideo(doc_id: Long, media: Array[Byte])

@@ -51,4 +51,64 @@ object Sessionize {
        |FROM s
        |GROUP BY user_id, sid
        |ORDER BY user_id, session_start""".stripMargin
+
+  /** s14 — the same sessionization under `readStream`: Spark's
+    * MERGING-session state store (sessions extend/merge as events
+    * arrive; state is keyed by (user, session) and re-merged per
+    * trigger — machinery batch `session_window` never exercises).
+    * Append mode + 1-day watermark: a session is emitted exactly once,
+    * when the watermark passes `last_ts + gap` (its close), then its
+    * state is dropped — the only session shape that survives an
+    * unbounded stream. The still-open tail (sessions whose close the
+    * final watermark = max(ts) − 1 day hasn't passed) stays in state,
+    * exactly as the oracle models; a later run emits it incrementally.
+    */
+  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
+    val ss = StreamEnv.streamSession(spark)
+    val raw = StreamEnv.eventsStream(ss, dir)
+    val name = s"stream_sessions_${System.nanoTime()}"
+    val q = raw
+      .withWatermark("ts", "1 day")
+      .groupBy(session_window(col("ts"), s"$GapHours hours").as("w"), col("user_id"))
+      .agg(min(col("ts")).as("session_start"),
+           max(col("ts")).as("last_ts"),
+           count(lit(1)).as("n_events"),
+           round(sum("value"), 2).as("total_value"))
+      .select("user_id", "session_start", "last_ts", "n_events", "total_value")
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name).orderBy("user_id", "session_start")
+  }
+
+  /** s14's oracle: the s02 islands rewrite restricted to watermark-
+    * CLOSED sessions — closed once `last_ts + gap ≤ max(ts) − 1 day`
+    * (window-close is inclusive at equality, the s01 boundary).
+    */
+  val oracleStreamSessions: String =
+    s"""WITH e AS (
+       |  SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),
+       |d AS (
+       |  SELECT user_id, ts, value,
+       |         CASE WHEN lag(ts) OVER w IS NULL
+       |              OR ts - lag(ts) OVER w > INTERVAL $GapHours HOURS
+       |              THEN 1 ELSE 0 END AS new_s
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |s AS (
+       |  SELECT user_id, ts, value,
+       |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+       |                          ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM d)
+       |SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+       |       count(*) AS n_events, round(sum(value), 2) AS total_value
+       |FROM s
+       |GROUP BY user_id, sid
+       |HAVING max(ts) + INTERVAL $GapHours HOURS
+       |       <= (SELECT max(ts::TIMESTAMP) - INTERVAL 1 DAY FROM events)
+       |ORDER BY user_id, session_start""".stripMargin
 }

@@ -87,6 +87,35 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(total <= Graph.PrScale && total > Graph.PrScale * 99L / 100L)
   }
 
+  test("d38 triangles match a brute-force enumeration on random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val n = 4 + rnd.nextInt(12)
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n if rnd.nextBoolean()
+      } yield (a.toLong, b.toLong)).toSeq
+      if (edges.nonEmpty) {
+        val es = edges.toSet
+        val triTruth = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        for {
+          (a, b) <- edges; c <- (b + 1) until n
+          if es.contains((a, c.toLong)) && es.contains((b, c.toLong))
+        } Seq(a, b, c.toLong).foreach(v => triTruth(v) += 1)
+        val degTruth = edges.flatMap(e => Seq(e._1, e._2))
+          .groupBy(x => x).map { case (k, v) => k -> v.length.toLong }
+        val got = Graph.trianglesOnPairs(edges.toDF("u", "v")).collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+        assert(got.keySet == degTruth.keySet, s"trial $trial vertex set")
+        got.foreach { case (id, (d, t, cc)) =>
+          assert(d == degTruth(id), s"trial $trial deg($id)")
+          assert(t == triTruth(id), s"trial $trial tri($id)")
+          val expCc = if (d < 2) 0.0 else 2.0 * t / (d * (d - 1))
+          assert(cc == expCc, s"trial $trial cc($id)")
+        }
+      }
+    }
+  }
+
   test("d36 on the corpus graph: deterministic across runs, degrees match d03") {
     val sf = SparkTestBase.Sf
     val a = Graph.pageRank(spark, sf).collect()

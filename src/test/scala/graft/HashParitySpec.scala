@@ -74,4 +74,21 @@ class HashParitySpec extends AnyFunSuite {
       .count()
     assert(mismatches == 0)
   }
+
+  test("sorted_intersect_count equals size(array_intersect) on sorted dedup'd arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 300).map { _ =>
+      val a = Seq.fill(rnd.nextInt(40))(rnd.nextInt(50).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(40))(rnd.nextInt(50).toLong).distinct.sorted
+      (a, b)
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq(5L), Seq(5L)))
+    val mism = rows.toDF("a", "b")
+      .select(
+        graft.expr.VectorFunctions.sortedIntersectCount(col("a"), col("b")).as("fast"),
+        size(array_intersect(col("a"), col("b"))).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(mism == 0)
+  }
 }

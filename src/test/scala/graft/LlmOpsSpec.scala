@@ -672,4 +672,60 @@ class LlmOpsSpec extends AnyFunSuite {
     }
     assert(twinChecked > 10, s"only $twinChecked twin pairs verified")
   }
+
+  test("d37 exact all-pairs join: contains every LSH pair at ≥ its threshold, identical jaccards") {
+    val exact = Dedup.allPairsJoin(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // d03's verified pairs are TRUE pairs; those at ≥ AllPairsThreshold
+    // must ALL reappear (recall 1), bit-identically scored
+    val lshHigh = Dedup.lshJaccardPairs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .filter(_._2 >= Dedup.AllPairsThreshold).toMap
+    assert(lshHigh.nonEmpty, "fixture has no high-jaccard pairs")
+    lshHigh.foreach { case (k, j) =>
+      assert(exact.get(k).contains(j), s"pair $k missing or rescored")
+    }
+    exact.foreach { case ((a, b), j) =>
+      assert(a < b && j >= Dedup.AllPairsThreshold && j <= 1.0)
+    }
+  }
+
+  test("m14: silence spans match a direct sample-level replay of the fixture") {
+    import graft.llm.Multimodal
+    val got = Multimodal.silenceSpans(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // replay: decode the fixture bytes OUTSIDE Spark and re-derive spans
+    val ids = graft.tables.Tables.documents(spark, Sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val want = ids.toSeq.sorted.flatMap { id =>
+      val bytes = Multimodal.wavSilBytesOf(id)
+      val n = (bytes.length - 44) / 2
+      val silent = (0 until (n + Multimodal.SilWin - 1) / Multimodal.SilWin).filter { w =>
+        (w * Multimodal.SilWin until math.min((w + 1) * Multimodal.SilWin, n)).forall { i =>
+          bytes(44 + 2 * i) == 0 && bytes(44 + 2 * i + 1) == 0
+        }
+      }
+      // islands over consecutive silent window indices
+      silent.foldLeft(List.empty[(Long, Long)]) {
+        case ((s, e) :: tail, w) if w == e + 1 => (s, w.toLong) :: tail
+        case (acc, w)                          => (w.toLong, w.toLong) :: acc
+      }.reverse.map { case (s, e) => (id, s, e, e - s + 1) }
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("s14 streaming session_window equals batch sessions minus the open tail (Kappa)") {
+    import graft.streaming.Sessionize
+    val streamRows = Sessionize.streamSessions(spark, Sf).collect()
+    val maxTs = graft.tables.Tables.events(spark, Sf)
+      .agg(org.apache.spark.sql.functions.max("ts")).head().getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - 24L * 3600 * 1000)
+    val batchRows = Sessionize.sessions(spark, Sf)
+      .filter(col("last_ts") + expr(s"INTERVAL ${Sessionize.GapHours} HOURS") <= lit(cutoff))
+      .collect()
+    assert(streamRows.nonEmpty && streamRows.length == batchRows.length,
+      s"stream ${streamRows.length} vs batch-closed ${batchRows.length}")
+    streamRows.zip(batchRows).foreach { case (s, b) => assert(s == b) }
+  }
 }
