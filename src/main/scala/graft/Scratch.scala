@@ -30,6 +30,10 @@ object Scratch {
         llm.Dedup.d03Profile(spark, dir).foreach { case (stage, secs, rows) =>
           println(f"[scratch] d03/$stage: $rows rows in $secs%.2f s")
         }
+      } else if (n == "d35stages") {
+        llm.Dedup.d35Profile(spark, dir).foreach { case (stage, secs, rows) =>
+          println(f"[scratch] d35/$stage: $rows rows in $secs%.2f s")
+        }
       } else if (n == "d37stages") {
         llm.Dedup.d37Profile(spark, dir).foreach { case (stage, secs, rows) =>
           println(f"[scratch] d37/$stage: $rows rows in $secs%.2f s")

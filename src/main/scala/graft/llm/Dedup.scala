@@ -444,6 +444,41 @@ object Dedup {
     out.toSeq
   }
 
+  /** Dev stage timer for d35 (see [[graft.Scratch]]). */
+  def d35Profile(spark: SparkSession, dir: String): Seq[(String, Double, Long)] = {
+    val out = scala.collection.mutable.Buffer[(String, Double, Long)]()
+    def t(stage: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      out += ((stage, (System.nanoTime() - t0) / 1e9, rows))
+    }
+    val (_, bands) = ccIndex(spark, dir)
+    t("bands")(bands.count())
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct().persist()
+    t("cand")(cand.count())
+    val txt = corpus(spark, dir)
+    t("txtCount")(txt.count())
+    val gated = cand
+      .join(txt.select(col("doc_id").as("id_a"), col("text").as("ta")), Seq("id_a"))
+      .join(txt.select(col("doc_id").as("id_b"), col("text").as("tb")), Seq("id_b"))
+      .withColumn("la", length(col("ta")))
+      .withColumn("lb", length(col("tb")))
+      .filter(abs(col("la") - col("lb")) <= EditMax)
+      .persist()
+    t("gated")(gated.count())
+    t("lev") {
+      gated.withColumn("dist", levenshtein(col("ta"), col("tb"), EditMax + 1))
+        .filter(col("dist").between(0, EditMax)).count()
+    }
+    Seq(cand, gated).foreach(_.unpersist())
+    out.toSeq
+  }
+
   /** Dev stage timer for d37 (see [[graft.Scratch]]). */
   def d37Profile(spark: SparkSession, dir: String): Seq[(String, Double, Long)] = {
     val out = scala.collection.mutable.Buffer[(String, Double, Long)]()
@@ -1531,12 +1566,21 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     val txt = corpus(spark, dir)
-    cand
+    val gated = cand
       .join(txt.select(col("doc_id").as("id_a"), col("text").as("ta")), Seq("id_a"))
       .join(txt.select(col("doc_id").as("id_b"), col("text").as("tb")), Seq("id_b"))
       .withColumn("la", length(col("ta")))
       .withColumn("lb", length(col("tb")))
       .filter(abs(col("la") - col("lb")) <= EditMax)
+    // re-spread IMMEDIATELY before the O(len·k) DP verify: the planner
+    // broadcasts the tiny candidate set and streams the single-file
+    // corpus scan, leaving the gated pairs in ~1 partition — which
+    // serializes ~10⁹ Levenshtein cells onto one core (row count and
+    // byte size are terrible proxies for this stage's compute mass;
+    // measured 1.2 ms/pair, 6.4 s single-core → sub-second at width 32)
+    val verified = gated
+      .repartition(gated.sparkSession.sparkContext.defaultParallelism,
+        col("id_a"), col("id_b"))
       // threshold EditMax+1 so a distance of exactly EditMax is
       // computed (not −1), then filter to the committed bound
       .withColumn("dist", levenshtein(col("ta"), col("tb"), EditMax + 1))
@@ -1544,7 +1588,10 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"),
         (lit(1.0) - col("dist").cast("double") /
           greatest(col("la"), col("lb")).cast("double")).as("edit_sim"))
-      .orderBy("id_a", "id_b")
+    // eager checkpoint before the presentation sort: rangepartitioning
+    // samples its child, and an unpersisted child re-runs the band
+    // join + Levenshtein verify twice (the d37 lesson; ~2× wall)
+    verified.localCheckpoint().orderBy("id_a", "id_b")
   }
 
   // ---- d37: EXACT similarity self-join via prefix filtering (PPJoin) -------
