@@ -83,6 +83,7 @@ object SparkEntry {
     "m14_silence_spans" -> (llm.Multimodal.silenceSpans(_, _)),
     "q59_bucketed_agg"  -> (ops.Staging.bucketedAgg(_, _)),
     "q60_mad_outliers"  -> (ops.CoreOps.madOutliers(_, _)),
+    "q61_observe"       -> (ops.CoreOps.observeMetrics(_, _)),
     // LLM-data-pipeline operators (BASELINE.json north star)
     "d01_dedup_exact"       -> (llm.Dedup.exact(_, _)),
     "d02_minhash_bands"     -> (llm.Dedup.minhashBands(_, _)),
@@ -541,6 +542,7 @@ object SparkEntry {
     "m14_silence_spans" -> llm.Multimodal.oracleSilenceSpans,
     "q59_bucketed_agg"  -> ops.Staging.oracleBucketedAgg,
     "q60_mad_outliers"  -> ops.CoreOps.oracleMadOutliers,
+    "q61_observe"       -> ops.CoreOps.oracleObserveMetrics,
     "m06_image_neardup" -> llm.Multimodal.oracleImageNearDup,
     "m07_audio_resample" -> llm.Multimodal.oracleAudioResample,
     "m08_media_sniff"    -> llm.Multimodal.oracleMediaSniff,

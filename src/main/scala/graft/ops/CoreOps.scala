@@ -483,6 +483,57 @@ object CoreOps {
       .orderBy("event_type")
   }
 
+  /** q61 — pipeline observability via `Dataset.observe` (Catalyst's
+    * `CollectMetrics` node): data-quality counters ride THE SAME
+    * physical pass as a production aggregation — zero extra scans, no
+    * second job — and surface through the `Observation` handle when
+    * the action completes (accumulator-backed, exactly-once per
+    * successful action). This is the engine surface the reference's
+    * Airflow DAG lacks entirely: its load steps re-query the warehouse
+    * to validate row counts. The observed metrics here are all
+    * order-independent (counts, min, max, an integer floor-cents sum)
+    * so the result is deterministic under ANY partitioning — the same
+    * discipline as stableAvg.
+    *
+    * The query runs the q03 daily-mean aggregation as the carrier
+    * (eager, the boundedPercentiles pattern) and RETURNS the observed
+    * metrics as a one-row relation; the oracle recomputes them
+    * directly, so the gate proves the ride-along counters equal a
+    * dedicated audit query's.
+    */
+  def observeMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val obs = new org.apache.spark.sql.Observation(s"q61_${System.nanoTime()}")
+    val ev = Tables.events(spark, dir)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        count(when(col("value") < 0, lit(1))).as("n_neg"),
+        min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"),
+        sum(floor(col("value") * 100).cast("long")).as("cents"))
+    // the carrier: a real aggregation consumes the observed scan. The
+    // action must go through the Dataset API (`collect`): metrics are
+    // delivered by a QueryExecutionListener that only fires on Dataset
+    // actions — a raw `queryExecution.toRdd.count()` bypasses it and
+    // `obs.get` blocks forever
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .collect(): Unit
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_rows").asInstanceOf[Long], m("n_neg").asInstanceOf[Long],
+      m("vmin").asInstanceOf[Double], m("vmax").asInstanceOf[Double],
+      m("cents").asInstanceOf[Long]))
+      .toDF("n_rows", "n_neg", "vmin", "vmax", "cents")
+  }
+
+  val oracleObserveMetrics: String =
+    """SELECT count(*) AS n_rows,
+      |       count(CASE WHEN value < 0 THEN 1 END) AS n_neg,
+      |       min(value) AS vmin,
+      |       max(value) AS vmax,
+      |       sum(CAST(floor(value * 100) AS BIGINT))::BIGINT AS cents
+      |FROM events""".stripMargin
+
   val oracleMadOutliers: String =
     s"""WITH med AS (
        |  SELECT event_type, quantile_cont(value, 0.5) AS med

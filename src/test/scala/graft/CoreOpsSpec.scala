@@ -232,6 +232,19 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(r1 == r2)
   }
 
+  test("q61 observed metrics equal a dedicated audit aggregation") {
+    val got = ops.CoreOps.observeMetrics(spark, Sf).head()
+    val want = graft.tables.Tables.events(spark, Sf)
+      .agg(count(lit(1)), count(when(col("value") < 0, lit(1))),
+        min("value"), max("value"),
+        sum(floor(col("value") * 100).cast("long")))
+      .head()
+    assert(got.getLong(0) == want.getLong(0) && got.getLong(1) == want.getLong(1))
+    assert(got.getDouble(2) == want.getDouble(2) && got.getDouble(3) == want.getDouble(3))
+    assert(got.getLong(4) == want.getLong(4))
+    assert(got.getLong(0) > 0)
+  }
+
   test("yoy alpha stays inside [1.0, 1.3] and is null only for last year") {
     val rows = ops.WindowOps.yoyAlpha(spark, Sf).collect()
     val byPriority = rows.groupBy(_.getString(0))
