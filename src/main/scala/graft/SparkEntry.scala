@@ -107,6 +107,7 @@ object SparkEntry {
     "t16_dup_spans"         -> (llm.Curation.dupSpans(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
     "d38_triangles"         -> (llm.Graph.triangles(_, _)),
+    "d39_kcore"             -> (llm.Graph.kCore(_, _)),
     "m12_ulaw_decode"       -> (llm.Multimodal.ulawStats(_, _)),
     "m13_alaw_decode"       -> (llm.Multimodal.alawStats(_, _)),
     "t01_lang_id"           -> (llm.TextStats.langId(_, _)),
@@ -533,6 +534,7 @@ object SparkEntry {
     "t16_dup_spans"     -> llm.Curation.oracleDupSpans,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,
     "d38_triangles"     -> llm.Graph.oracleTriangles,
+    "d39_kcore"         -> llm.Graph.oracleKCore,
     "m12_ulaw_decode"   -> llm.Multimodal.oracleUlawStats,
     "m13_alaw_decode"   -> llm.Multimodal.oracleAlawStats,
     "q58_aqe_skew_join" -> ops.Skew.oracleAqeSkewJoin,

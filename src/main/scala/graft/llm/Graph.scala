@@ -190,6 +190,101 @@ object Graph {
        |FROM deg d LEFT JOIN tn t ON t.id = d.id
        |ORDER BY doc_id""".stripMargin
 
+  /** k for [[kCore]] and the fixed unroll depth of its oracle. Peeling
+    * is monotone, so rounds past the fixpoint are no-ops — the Spark
+    * side may stop early (driver-checked fixpoint) while the oracle
+    * always unrolls [[KCoreRounds]] rounds; the two agree as long as
+    * the fixpoint lands within the bound, which [[kCore]] asserts.
+    */
+  val KCoreK = 3
+  val KCoreRounds = 12
+
+  /** d39 — k-core decomposition (k = [[KCoreK]]) of the verified
+    * near-dup graph by iterative peeling: repeatedly delete vertices
+    * with degree < k (and their incident edges) until none remain;
+    * survivors form the k-core, reported with their within-core
+    * degree. The graph-density cousin of d38: a mirror family is a
+    * dense core; a boilerplate hub-and-spoke star peels away entirely
+    * — the standard "is this cluster real or an artifact" screen
+    * before keep-one-per-cluster curation.
+    *
+    * Iterate-to-FIXPOINT shape (vs d36's fixed rounds, d11's label
+    * convergence): each round is one keyed degree agg + two
+    * semi-joins, lineage cut by eager `localCheckpoint`, AQE scoped
+    * off (the d11 loop discipline); the driver checks only the
+    * surviving-edge count per round. Rounds are data-bounded: every
+    * non-final round removes ≥ 1 vertex, and on near-dup graphs
+    * (tiny-diameter components) the fixpoint lands in a handful.
+    */
+  def kCore(spark: SparkSession, dir: String): DataFrame = {
+    val (pairsRaw, _) = Dedup.jaccardPairsRaw(spark, dir)
+    kCoreOnPairs(pairsRaw.select("id_a", "id_b"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** k-core of any canonical pair relation; returns `(id, core_deg)`. */
+  def kCoreOnPairs(pairs: DataFrame): DataFrame = {
+    val sess = pairs.sparkSession
+    val aqe0 = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val e0 = pairs.toDF("u", "v")
+      var edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint()
+      var n = edges.count()
+      var rounds = 0
+      var converged = n == 0L
+      while (!converged && rounds < KCoreRounds) {
+        val keep = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= KCoreK)
+          .select(col("u").as("id"))
+        val pruned = edges
+          .join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+          .select("u", "v")
+          .localCheckpoint()
+        val n2 = pruned.count()
+        converged = n2 == n
+        edges = pruned
+        n = n2
+        rounds += 1
+      }
+      require(converged, s"k-core did not converge within $KCoreRounds rounds")
+      edges.groupBy(col("u").as("id")).agg(count(lit(1)).as("core_deg"))
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", aqe0)
+    }
+  }
+
+  /** d39's DuckDB replay: [[KCoreRounds]] peel rounds unrolled
+    * textually (the per-round degree aggregate bars a recursive CTE);
+    * rounds after the fixpoint are no-ops, so the fixed unroll equals
+    * the Spark side's early-stopped loop. Every round's edge set is
+    * `AS MATERIALIZED` — each is referenced three times by the next
+    * round (degree + both semi-join sides).
+    */
+  val oracleKCore: String = {
+    val rounds = (1 to KCoreRounds).map { r =>
+      s"""v$r AS (
+         |  SELECT u AS id FROM e${r - 1} GROUP BY u HAVING count(*) >= $KCoreK),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM e${r - 1} e
+         |  JOIN v$r a ON a.id = e.u
+         |  JOIN v$r b ON b.id = e.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Dedup.pairsCteSql},
+       |e0 AS MATERIALIZED (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM pairs),
+       |$rounds
+       |SELECT u AS doc_id, count(*) AS core_deg
+       |FROM e$KCoreRounds
+       |GROUP BY u
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB replay: the same integer recurrence with the iterations
     * unrolled textually (standard-SQL recursive CTEs forbid the
     * per-round aggregate). `//` on non-negative BIGINTs truncates

@@ -116,6 +116,40 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("d39 k-core matches iterative peeling on random graphs; hub-star peels away") {
+    // hand case: K5 (a real 3-core) + a star center with 5 spokes (peels)
+    val k5 = for (a <- 0 until 5; b <- (a + 1) until 5) yield (a.toLong, b.toLong)
+    val star = (10 until 15).map(s => (9L, s.toLong))
+    val got = Graph.kCoreOnPairs((k5 ++ star).toDF("u", "v")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until 5L).map(_ -> 4L).toMap, s"got $got")
+    // randomized: compare against a driver-side peel
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 4) {
+      val n = 6 + rnd.nextInt(10)
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n if rnd.nextInt(3) == 0
+      } yield (a.toLong, b.toLong)).toSeq
+      if (edges.nonEmpty) {
+        var es = edges.toSet
+        var changed = true
+        while (changed) {
+          val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+            .groupBy(x => x).map { case (k, v) => k -> v.size }
+          val keep = deg.filter(_._2 >= Graph.KCoreK).keySet
+          val es2 = es.filter(e => keep(e._1) && keep(e._2))
+          changed = es2 != es
+          es = es2
+        }
+        val truth = es.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(x => x).map { case (k, v) => k -> v.size.toLong }
+        val got2 = Graph.kCoreOnPairs(edges.toDF("u", "v")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got2 == truth, s"trial $trial")
+      }
+    }
+  }
+
   test("d36 on the corpus graph: deterministic across runs, degrees match d03") {
     val sf = SparkTestBase.Sf
     val a = Graph.pageRank(spark, sf).collect()
