@@ -1559,8 +1559,16 @@ object Dedup {
     */
   def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
     val (_, bands) = ccIndex(spark, dir)
-    val cand = bands.as("a")
-      .join(bands.as("b"),
+    // contract exact-content families before the O(len·k) DP verify
+    // (see [[contentFamilies]]): identical texts have identical band
+    // signatures and pairwise distances, so rep-level verify + member
+    // fan-out is result-exact, and the DP mass stops scaling with the
+    // corpus's duplication factor
+    val fams = contentFamilies(spark, dir).persist()
+    val repIds = fams.where(col("doc_id") === col("rep")).select("doc_id")
+    val repBands = bands.join(repIds, Seq("doc_id"), "left_semi")
+    val cand = repBands.as("a")
+      .join(repBands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -1588,10 +1596,68 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"),
         (lit(1.0) - col("dist").cast("double") /
           greatest(col("la"), col("lb")).cast("double")).as("edit_sim"))
-    // eager checkpoint before the presentation sort: rangepartitioning
+    // eager checkpoint before expansion + sort: rangepartitioning
     // samples its child, and an unpersisted child re-runs the band
     // join + Levenshtein verify twice (the d37 lesson; ~2× wall)
-    verified.localCheckpoint().orderBy("id_a", "id_b")
+    val repPairs = verified.localCheckpoint()
+    // members inherit the rep pair's distance verbatim (identical
+    // texts); within a family the distance is exactly 0
+    val out = expandFamilies(repPairs, fams,
+      Seq("dist", "edit_sim"), Seq(lit(0).cast("int"), lit(1.0)))
+    out.localCheckpoint().orderBy("id_a", "id_b")
+  }
+
+  // ---- exact-content contraction (shared by d35/d37) -----------------------
+
+  /** `(doc_id, ck, rep)` for every corpus doc: `ck` = content hash,
+    * `rep` = the family's min doc_id. Exact duplicates have IDENTICAL
+    * shingle sets, band signatures and texts, so any pairwise
+    * similarity between members equals the similarity between their
+    * representatives — which makes contract-then-expand RESULT-EXACT
+    * for d35/d37: run the expensive pairwise machinery on unique
+    * content only, then fan results out by family membership. This is
+    * the load-bearing 100 TB design, not an optimization: on a corpus
+    * with duplication factor f, candidate and verify mass would
+    * otherwise grow f² (measured: the 32×/8× stress fixture — 8 exact
+    * copies per doc — pushed d37's member-level verify past 79 GB of
+    * shuffle spill; the contracted plan's pairwise stage is
+    * copy-factor-INVARIANT and only the output expansion scales with
+    * f², because that's the answer's own size).
+    */
+  private[llm] def contentFamilies(spark: SparkSession, dir: String): DataFrame = synchronized {
+    // staged per (process, dir) like the shingle/band tables — family
+    // membership is a corpus-index artifact, maintained per era
+    val loc = graft.ops.Staging.stagePath("ap_families", dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
+      val fam = corpus(spark, dir).select(col("doc_id"), md5(col("text")).as("ck"))
+      val reps = fam.groupBy("ck").agg(min("doc_id").as("rep"))
+      fam.join(reps, Seq("ck")).write.mode("overwrite").parquet(loc)
+    }
+    spark.read.parquet(loc)
+  }
+
+  /** Fan a representative-level scored pair relation out to member
+    * level: cross-family pairs inherit the representative pair's
+    * score columns verbatim (identical texts ⇒ identical scores);
+    * within-family pairs get `selfScore`. Emits canonical
+    * `id_a < id_b` ordering.
+    */
+  private def expandFamilies(
+      repPairs: DataFrame, members: DataFrame,
+      scoreCols: Seq[String], selfScore: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val m = members.select(col("doc_id"), col("ck"), col("rep"))
+    val cross = repPairs
+      .join(m.select(col("rep").as("id_a"), col("doc_id").as("a2")), Seq("id_a"))
+      .join(m.select(col("rep").as("id_b"), col("doc_id").as("b2")), Seq("id_b"))
+      .select(Seq(
+        least(col("a2"), col("b2")).as("id_a"),
+        greatest(col("a2"), col("b2")).as("id_b")) ++ scoreCols.map(col): _*)
+    val within = m.as("x")
+      .join(m.as("y"), col("x.ck") === col("y.ck") && col("x.doc_id") < col("y.doc_id"))
+      .select(Seq(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")) ++
+        scoreCols.zip(selfScore).map { case (n, c) => c.as(n) }: _*)
+    cross.unionByName(within)
   }
 
   // ---- d37: EXACT similarity self-join via prefix filtering (PPJoin) -------
@@ -1668,8 +1734,16 @@ object Dedup {
 
   def allPairsJoin(spark: SparkSession, dir: String): DataFrame = {
     val (docs, _) = ccIndex(spark, dir)
+    // contract exact-content families: the pairwise stages below see
+    // one REPRESENTATIVE per distinct text (see [[contentFamilies]] —
+    // result-exact, copy-factor-invariant); members fan back in at the
+    // end at output-mass cost only
+    val fams = contentFamilies(spark, dir).persist()
+    val repIds = fams.where(col("doc_id") === col("rep")).select("doc_id")
     val sized = docs.select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
+      .join(repIds, Seq("doc_id"), "left_semi")
     val prefix = prefixIndex(spark, dir)
+      .join(repIds, Seq("doc_id"), "left_semi")
     // Candidate stream → COUNTING agg with the POSITIONAL-MAX bound
     // (all integer): within a doc, rnk is monotone in the global
     // token order, so every shared token outside the m prefix-prefix
@@ -1709,11 +1783,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= AllPairsThreshold)
-    // eager checkpoint before the sort: Exchange rangepartitioning
-    // SAMPLES its child to pick bounds, and an unpersisted child means
-    // the entire join+verify chain executes TWICE (measured ~2× wall);
-    // the surviving pair set is output-sized, so the checkpoint is free
-    verified.localCheckpoint().orderBy("id_a", "id_b")
+    // eager checkpoint before expansion + sort: Exchange
+    // rangepartitioning SAMPLES its child to pick bounds, and an
+    // unpersisted child means the entire join+verify chain executes
+    // TWICE (measured ~2× wall); the surviving rep-pair set is
+    // output-sized, so the checkpoint is free
+    val repPairs = verified.localCheckpoint()
+    // fan out to members: cross-family pairs inherit the rep pair's
+    // jaccard bit-for-bit (identical shingle sets); within-family
+    // pairs are exact duplicates — jaccard exactly 1.0
+    val out = expandFamilies(repPairs, fams,
+      Seq("jaccard"), Seq(lit(1.0)))
+    out.localCheckpoint().orderBy("id_a", "id_b")
   }
 
   val oracleAllPairsJoin: String =
