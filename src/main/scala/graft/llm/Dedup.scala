@@ -1558,13 +1558,30 @@ object Dedup {
     * of identical ints in both engines → exact double parity.
     */
   def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
-    val (_, bands) = ccIndex(spark, dir)
     // contract exact-content families before the O(len·k) DP verify
     // (see [[contentFamilies]]): identical texts have identical band
     // signatures and pairwise distances, so rep-level verify + member
     // fan-out is result-exact, and the DP mass stops scaling with the
     // corpus's duplication factor
     val fams = contentFamilies(spark, dir).persist()
+    // eager checkpoint before expansion + sort: rangepartitioning
+    // samples its child, and an unpersisted child re-runs the band
+    // join + Levenshtein verify twice (the d37 lesson; ~2× wall)
+    val repPairs = editDistanceRepPairs(spark, dir, fams).localCheckpoint()
+    // members inherit the rep pair's distance verbatim (identical
+    // texts); within a family the distance is exactly 0
+    val out = expandFamilies(repPairs, fams,
+      Seq("dist", "edit_sim"), Seq(lit(0).cast("int"), lit(1.0)))
+    out.localCheckpoint().orderBy("id_a", "id_b")
+  }
+
+  /** d35's representative-level verify leg, pre-checkpoint — exposed
+    * so PlanSpec can pin its physical shape (the explicit pre-DP
+    * repartition).
+    */
+  private[graft] def editDistanceRepPairs(
+      spark: SparkSession, dir: String, fams: DataFrame): DataFrame = {
+    val (_, bands) = ccIndex(spark, dir)
     val repIds = fams.where(col("doc_id") === col("rep")).select("doc_id")
     val repBands = bands.join(repIds, Seq("doc_id"), "left_semi")
     val cand = repBands.as("a")
@@ -1596,15 +1613,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"),
         (lit(1.0) - col("dist").cast("double") /
           greatest(col("la"), col("lb")).cast("double")).as("edit_sim"))
-    // eager checkpoint before expansion + sort: rangepartitioning
-    // samples its child, and an unpersisted child re-runs the band
-    // join + Levenshtein verify twice (the d37 lesson; ~2× wall)
-    val repPairs = verified.localCheckpoint()
-    // members inherit the rep pair's distance verbatim (identical
-    // texts); within a family the distance is exactly 0
-    val out = expandFamilies(repPairs, fams,
-      Seq("dist", "edit_sim"), Seq(lit(0).cast("int"), lit(1.0)))
-    out.localCheckpoint().orderBy("id_a", "id_b")
+    verified
   }
 
   // ---- exact-content contraction (shared by d35/d37) -----------------------
@@ -1624,7 +1633,7 @@ object Dedup {
     * copy-factor-INVARIANT and only the output expansion scales with
     * f², because that's the answer's own size).
     */
-  private[llm] def contentFamilies(spark: SparkSession, dir: String): DataFrame = synchronized {
+  private[graft] def contentFamilies(spark: SparkSession, dir: String): DataFrame = synchronized {
     // staged per (process, dir) like the shingle/band tables — family
     // membership is a corpus-index artifact, maintained per era
     val loc = graft.ops.Staging.stagePath("ap_families", dir)
@@ -1733,12 +1742,32 @@ object Dedup {
   }
 
   def allPairsJoin(spark: SparkSession, dir: String): DataFrame = {
-    val (docs, _) = ccIndex(spark, dir)
     // contract exact-content families: the pairwise stages below see
     // one REPRESENTATIVE per distinct text (see [[contentFamilies]] —
     // result-exact, copy-factor-invariant); members fan back in at the
     // end at output-mass cost only
     val fams = contentFamilies(spark, dir).persist()
+    // eager checkpoint before expansion + sort: Exchange
+    // rangepartitioning SAMPLES its child to pick bounds, and an
+    // unpersisted child means the entire join+verify chain executes
+    // TWICE (measured ~2× wall); the surviving rep-pair set is
+    // output-sized, so the checkpoint is free
+    val repPairs = allPairsRepPairs(spark, dir, fams).localCheckpoint()
+    // fan out to members: cross-family pairs inherit the rep pair's
+    // jaccard bit-for-bit (identical shingle sets); within-family
+    // pairs are exact duplicates — jaccard exactly 1.0
+    val out = expandFamilies(repPairs, fams,
+      Seq("jaccard"), Seq(lit(1.0)))
+    out.localCheckpoint().orderBy("id_a", "id_b")
+  }
+
+  /** d37's representative-level candidate+verify leg, pre-checkpoint —
+    * exposed so PlanSpec can pin its physical shape (native
+    * sorted-intersect verify, no array_intersect).
+    */
+  private[graft] def allPairsRepPairs(
+      spark: SparkSession, dir: String, fams: DataFrame): DataFrame = {
+    val (docs, _) = ccIndex(spark, dir)
     val repIds = fams.where(col("doc_id") === col("rep")).select("doc_id")
     val sized = docs.select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
       .join(repIds, Seq("doc_id"), "left_semi")
@@ -1783,18 +1812,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= AllPairsThreshold)
-    // eager checkpoint before expansion + sort: Exchange
-    // rangepartitioning SAMPLES its child to pick bounds, and an
-    // unpersisted child means the entire join+verify chain executes
-    // TWICE (measured ~2× wall); the surviving rep-pair set is
-    // output-sized, so the checkpoint is free
-    val repPairs = verified.localCheckpoint()
-    // fan out to members: cross-family pairs inherit the rep pair's
-    // jaccard bit-for-bit (identical shingle sets); within-family
-    // pairs are exact duplicates — jaccard exactly 1.0
-    val out = expandFamilies(repPairs, fams,
-      Seq("jaccard"), Seq(lit(1.0)))
-    out.localCheckpoint().orderBy("id_a", "id_b")
+    verified
   }
 
   val oracleAllPairsJoin: String =

@@ -292,4 +292,33 @@ class PlanSpec extends AnyFunSuite {
     assert(inner.forall(n => n.startsWith("c_") || n.startsWith("n_")),
       s"innermost join should touch only the two dims, got ${inner.mkString(",")}:\n$opt")
   }
+
+  test("d37: verify uses the native sorted-intersect, never array_intersect") {
+    // the scale contract: the exact verify's per-pair cost is the fused
+    // two-pointer codegen loop (SortedIntersectCount), not the
+    // allocating array_intersect composition it replaced. The rep-pair
+    // leg is inspected pre-checkpoint (the shipped query truncates its
+    // lineage before the expansion+sort).
+    val fams = graft.llm.Dedup.contentFamilies(spark, Sf)
+    val plan = graft.llm.Dedup.allPairsRepPairs(spark, Sf, fams).queryExecution.analyzed
+    val exprs = plan.collect { case p => p.expressions }.flatten
+      .flatMap(e => e +: e.collect { case c => c })
+    assert(exprs.exists(_.isInstanceOf[graft.expr.SortedIntersectCount]),
+      "expected SortedIntersectCount in the d37 verify plan")
+    assert(!exprs.exists(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.ArrayIntersect]),
+      "array_intersect must not appear in the d37 verify plan")
+  }
+
+  test("d35: an explicit repartition feeds the Levenshtein stage") {
+    // the AQE-density lesson: without it the DP cells serialize onto
+    // the single-file corpus scan's one partition
+    val fams = graft.llm.Dedup.contentFamilies(spark, Sf)
+    val plan = graft.llm.Dedup.editDistanceRepPairs(spark, Sf, fams)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("RepartitionByExpression"),
+      s"expected an explicit repartition before the DP verify:\n${plan.take(2000)}")
+    assert(plan.toLowerCase.contains("levenshtein"),
+      "threshold levenshtein must be in the plan")
+  }
 }
