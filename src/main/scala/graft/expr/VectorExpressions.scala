@@ -209,6 +209,14 @@ case class PqNearestCode(left: Expression, right: Expression)
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // CALLER CONTRACT (alongside sortedness): element slots must be
+  // NON-NULL — the two-pointer loop reads via getLong, which decodes a
+  // null slot as 0 and would silently corrupt the count. The schema
+  // check cannot enforce this (parquet read-back reports
+  // containsNull=true even for arrays written from containsNull=false
+  // producers), so it is a contract: every caller feeds shingle-hash
+  // arrays whose producer ([[graft.expr.ShingleHashes56]]) cannot emit
+  // null elements.
   private def elemOk(dt: DataType): Boolean = dt match {
     case ArrayType(org.apache.spark.sql.types.LongType, _) => true
     case _ => false

@@ -101,7 +101,8 @@ object Dedup {
 
   /** d03 — LSH candidate pairs + exact-Jaccard verification: pairs
     * sharing ≥1 band bucket join back to the two per-doc shingle-hash
-    * ARRAYS; |A∩B| is `array_intersect` on pre-deduped long arrays;
+    * ARRAYS; |A∩B| is the native [[graft.expr.SortedIntersectCount]]
+    * two-pointer merge over the staged SORTED dedup'd long arrays;
     * jaccard = |A∩B| / (|A|+|B|−|A∩B|), kept at ≥ [[JaccardThreshold]].
     * jaccard is a ratio of identical integers in both engines → exact
     * double parity without rounding.
@@ -133,11 +134,15 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    // staged hs arrays are SORTED (see [[ccIndex]]) → the verify is the
+    // native two-pointer count inside whole-stage codegen, no per-row
+    // hash set or materialized intersection array (same expression d37
+    // uses; its spec pins equality against size(array_intersect))
     val scored = cand
       .join(docs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
       .join(docs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("hs_a"), col("hs_b"))).as("inter"),
+        graft.expr.VectorFunctions.sortedIntersectCount(col("hs_a"), col("hs_b")).as("inter"),
         size(col("hs_a")).as("sza"), size(col("hs_b")).as("szb"))
     (scored, Seq.empty)
   }
@@ -851,7 +856,7 @@ object Dedup {
         // shingle compute (md5 per shingle) is the expensive leg — run
         // it once into cache, feed both the shingle and band writes
         val sh = existing.repartition(col("doc_id"))
-          .select(col("doc_id"), TextHash.hashedShingles(col("text"), 0).as("hs"))
+          .select(col("doc_id"), sort_array(TextHash.hashedShingles(col("text"), 0)).as("hs"))
           .persist()
         sh.write.mode("overwrite").parquet(pSh)
         bandsFrom(sh).write.mode("overwrite").parquet(pBands)
@@ -905,7 +910,7 @@ object Dedup {
       .select("doc_id", "exact_of")
 
     val shI = incoming.repartition(col("doc_id"))
-      .select(col("doc_id"), TextHash.hashedShingles(col("text"), 0).as("hs"))
+      .select(col("doc_id"), sort_array(TextHash.hashedShingles(col("text"), 0)).as("hs"))
       .persist()
     val cand = bandIdx.as("e")
       .join(broadcast(bandsFrom(shI)).as("i"),
@@ -916,7 +921,9 @@ object Dedup {
       .join(shI.select(col("doc_id").as("inc_id"), col("hs").as("hs_i")), Seq("inc_id"))
       .join(shIdx.select(col("doc_id").as("ex_id"), col("hs").as("hs_e")), Seq("ex_id"))
       .select(col("inc_id"), col("ex_id"),
-        size(array_intersect(col("hs_i"), col("hs_e"))).as("inter"),
+        // both sides sorted (staged ci_shingles + the sorted incoming
+        // arrays) — native two-pointer verify
+        graft.expr.VectorFunctions.sortedIntersectCount(col("hs_i"), col("hs_e")).as("inter"),
         size(col("hs_i")).as("szi"), size(col("hs_e")).as("sze"))
       .filter(col("inter").cast("double") / (col("szi") + col("sze") - col("inter"))
         >= JaccardThreshold)
@@ -1204,7 +1211,14 @@ object Dedup {
       if (!fs.exists(new org.apache.hadoop.fs.Path(pSh, "_SUCCESS"))) {
         val sh = docShingles(spark, dir).persist()
         bandsFrom(sh).write.mode("overwrite").parquet(pBands)
-        sh.write.mode("overwrite").parquet(pSh)
+        // stage the hash arrays SORTED: every downstream exact verify
+        // (d03/d25/d32/d37/s13) then runs the native two-pointer
+        // [[graft.expr.SortedIntersectCount]] with zero per-row sort —
+        // the one O(n log n) pass is paid once per corpus era here.
+        // No consumer is order-sensitive (minhash/array_intersect/
+        // explode are all set-shaped; asserted by the d02 band oracle).
+        sh.select(col("doc_id"), sort_array(col("hs")).as("hs"))
+          .write.mode("overwrite").parquet(pSh)
         sh.unpersist()
       }
       (spark.read.parquet(pSh), spark.read.parquet(pBands))
@@ -1270,7 +1284,9 @@ object Dedup {
     val (ccSh, ccBands) = ccIndex(spark, dir)
     val batch = gen2Batch(spark, dir)
     val bSh = batch.repartition(col("doc_id"))
-      .select(col("doc_id"), TextHash.hashedShingles(col("text"), 0).as("hs"))
+      // sorted like the staged corpus arrays → batchEdges' verify runs
+      // the native sorted-intersect on both legs
+      .select(col("doc_id"), sort_array(TextHash.hashedShingles(col("text"), 0)).as("hs"))
       .localCheckpoint() // feeds bands + two verify legs; truncates the md5 lineage
     val edges = batchEdges(bSh, bandsOf(bSh), ccSh, ccBands)
     incrementalComponents(prior, batch.select("doc_id"), edges)
@@ -1322,7 +1338,10 @@ object Dedup {
       cand.join(broadcast(bSh.select(col("doc_id").as("id_a"), col("hs").as("ha"))), Seq("id_a"))
         .join(if (broadcastB) broadcast(right) else right, Seq("id_b"))
         .select(col("id_a"), col("id_b"),
-          size(array_intersect(col("ha"), col("hb"))).as("i"),
+          // all shingle relations entering here are SORTED (staged
+          // cc_sh, sorted batch arrays, sorted appendices) — native
+          // two-pointer verify, same contract as d03/d37
+          graft.expr.VectorFunctions.sortedIntersectCount(col("ha"), col("hb")).as("i"),
           size(col("ha")).as("sa"), size(col("hb")).as("sb"))
         .filter(col("i").cast("double") / (col("sa") + col("sb") - col("i"))
           >= JaccardThreshold)
@@ -1572,7 +1591,9 @@ object Dedup {
     // texts); within a family the distance is exactly 0
     val out = expandFamilies(repPairs, fams,
       Seq("dist", "edit_sim"), Seq(lit(0).cast("int"), lit(1.0)))
-    out.localCheckpoint().orderBy("id_a", "id_b")
+      .localCheckpoint() // eager — after this the family cache is dead weight
+    fams.unpersist()
+    out.orderBy("id_a", "id_b")
   }
 
   /** d35's representative-level verify leg, pre-checkpoint — exposed
@@ -1644,6 +1665,73 @@ object Dedup {
       fam.join(reps, Seq("ck")).write.mode("overwrite").parquet(loc)
     }
     spark.read.parquet(loc)
+  }
+
+  /** Family-contracted near-dup graph for the d36/d38/d39 graph trio
+    * — the [[contentFamilies]] contraction applied UPSTREAM of graph
+    * analytics, not just the pairwise verifies. Returns:
+    *  - `verts` (id, f): one row per exact-content family that appears
+    *    in the member-level d03 pair graph (family size ≥ 2 — the
+    *    within-family clique alone puts every member in the graph — or
+    *    ≥ 1 cross-family rep edge), `f` = family size;
+    *  - `edges` (id_a, id_b): verified-jaccard pairs between family
+    *    REPRESENTATIVES (same band join + sorted-intersect verify as
+    *    d03, restricted to reps);
+    *  - `members` (doc_id, rep): family membership for fanning results
+    *    back out.
+    *
+    * Why this is result-EXACT: members of a family have identical
+    * texts ⇒ identical band signatures and shingle sets, so the
+    * member-level pair graph is precisely the BLOW-UP of the rep graph
+    * (each family a clique, each rep edge a complete bipartite
+    * bundle). Degrees, PageRank (by automorphism symmetry of the
+    * integer recurrence), triangle counts and k-core peeling all admit
+    * closed forms over (rep graph, family sizes) — see
+    * [[graft.llm.Graph]]. Why it matters at 100 TB: on a corpus with
+    * duplication factor f the member edge mass grows f², and the graph
+    * trio was the only superlinear stress row before this (93–135 s at
+    * 100×/16×); the rep graph is copy-factor-INVARIANT.
+    *
+    * The rep edge set is staged per (process, dir) like the other
+    * corpus-index artifacts.
+    */
+  private[graft] def contractedPairGraph(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = synchronized {
+    val loc = graft.ops.Staging.stagePath("rep_graph", dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fams = contentFamilies(spark, dir)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
+      val repIds = fams.where(col("doc_id") === col("rep")).select("doc_id")
+      val (docs, bands) = ccIndex(spark, dir)
+      val rb = bands.join(repIds, Seq("doc_id"), "left_semi")
+      val cand = rb.as("a")
+        .join(rb.as("b"),
+          col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val rdocs = docs.join(repIds, Seq("doc_id"), "left_semi")
+      cand
+        .join(rdocs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+        .join(rdocs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.expr.VectorFunctions.sortedIntersectCount(col("hs_a"), col("hs_b")).as("inter"),
+          size(col("hs_a")).as("sza"), size(col("hs_b")).as("szb"))
+        .select(col("id_a"), col("id_b"),
+          (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select("id_a", "id_b")
+        .write.mode("overwrite").parquet(loc)
+    }
+    val edges = spark.read.parquet(loc)
+    val famSizes = fams.groupBy("rep").agg(count(lit(1)).as("f"))
+    val eIds = edges.select(col("id_a").as("rep"))
+      .unionByName(edges.select(col("id_b").as("rep"))).distinct()
+    val verts = famSizes
+      .join(eIds.withColumn("e", lit(1)), Seq("rep"), "left")
+      .where(col("f") >= 2 || col("e").isNotNull)
+      .select(col("rep").as("id"), col("f"))
+    (verts, edges, fams.select("doc_id", "rep"))
   }
 
   /** Fan a representative-level scored pair relation out to member
@@ -1758,7 +1846,9 @@ object Dedup {
     // pairs are exact duplicates — jaccard exactly 1.0
     val out = expandFamilies(repPairs, fams,
       Seq("jaccard"), Seq(lit(1.0)))
-    out.localCheckpoint().orderBy("id_a", "id_b")
+      .localCheckpoint() // eager — after this the family cache is dead weight
+    fams.unpersist()
+    out.orderBy("id_a", "id_b")
   }
 
   /** d37's representative-level candidate+verify leg, pre-checkpoint —
@@ -1798,11 +1888,11 @@ object Dedup {
       .where(col("m") + least(col("sza0") - col("pa"), col("szb0") - col("pb")) >=
         expr("(4 * (sza0 + szb0) + 8) div 9"))
       .select("id_a", "id_b")
-    // verify on SORTED arrays with the native two-pointer count
-    // ([[graft.expr.SortedIntersectCount]]): no per-row hash set, no
-    // materialized intersection array — the per-pair cost is a fused
-    // merge loop inside whole-stage codegen
-    val sortedArr = sized.select(col("doc_id"), sort_array(col("hs")).as("hs"))
+    // verify on the staged SORTED arrays (see [[ccIndex]]) with the
+    // native two-pointer count ([[graft.expr.SortedIntersectCount]]):
+    // no per-row hash set, no materialized intersection array — the
+    // per-pair cost is a fused merge loop inside whole-stage codegen
+    val sortedArr = sized.select(col("doc_id"), col("hs"))
     val verified = cand
       .join(sortedArr.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
       .join(sortedArr.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))

@@ -12,6 +12,20 @@ import org.apache.spark.sql.functions._
   * uses exactly this signal to pick canonical representatives and to
   * down-weight hub content.
   *
+  * ALL THREE ops run on the FAMILY-CONTRACTED graph
+  * ([[Dedup.contractedPairGraph]]): vertices are exact-content families
+  * weighted by size `f`, edges are rep-level verified pairs. The
+  * member-level near-dup graph is exactly the blow-up of this graph
+  * (each family a clique, each rep edge a complete bipartite bundle),
+  * so degrees, ranks, triangle counts and k-core peeling have closed
+  * forms over (rep graph, f) — result-EXACT, verified by the unchanged
+  * member-level DuckDB oracles. This is the load-bearing 100 TB shape:
+  * member-level edge mass grows with the SQUARE of the corpus's
+  * duplication factor (the duplication-heavy population is precisely
+  * what these ops analyze), while the rep graph is copy-factor-
+  * invariant — only the final member fan-out scales with f, and that is
+  * the answer's own size.
+  *
   * All arithmetic is INTEGER (ranks are fixed-point at [[PrScale]], and
   * every division is a truncating integer division): the recurrence is
   * bit-replayable in any engine — integer sums are order-independent
@@ -34,64 +48,102 @@ object Graph {
   /** d36 — PageRank over the verified near-dup pair graph: vertices =
     * docs in ≥1 d03 pair, edges symmetrized, damping 85/100, teleport
     * mass split evenly. Output: `(doc_id, deg, pr)` with `pr` the
-    * fixed-point rank after [[PrIters]] rounds.
+    * fixed-point rank after [[PrIters]] rounds — identical to the
+    * member-level recurrence the oracle unrolls.
     *
-    * Scale shape, per round: one equi-join of the edge list against
-    * the O(V) rank table, one keyed sum, one left join back to the
-    * vertex set — all spillable keyed shuffles, no driver-side
-    * per-row work (the driver sequences rounds only). Lineage is cut
-    * per round with eager `localCheckpoint` (the d11 lesson: a
-    * round that reads its previous result twice otherwise doubles the
-    * logical plan per round). AQE is scoped OFF inside the loop and
-    * the loop's shuffle width is sized from the measured edge count,
-    * exactly as [[Dedup.connectedComponents]] does and for the same
-    * measured reason.
+    * Contraction exactness: members of one family have identical
+    * neighborhoods up to the graph automorphism that swaps them, and
+    * the integer recurrence commutes with automorphisms, so all `f`
+    * members carry ONE rank r_i. The member message sum into family i
+    * groups as (f_i−1)·(r_i div d_i) + Σ_{j~i} f_j·(r_j div d_j) —
+    * exact integer arithmetic (count × identical term), computed here
+    * as a weighted-edge join: cross edges carry weight f_src, each
+    * family a self-loop of weight f_i−1. Member degree d_i is the sum
+    * of incoming weights.
+    *
+    * Scale shape, per round: one equi-join of the rep-level weighted
+    * edge list against the O(families) rank table, one keyed sum, one
+    * left join back to the vertex set — all spillable keyed shuffles,
+    * no driver-side per-row work (the driver sequences rounds only).
+    * Lineage is cut per round with eager `localCheckpoint` (the d11
+    * lesson), AQE is scoped OFF inside the loop and the loop's shuffle
+    * width is sized from the measured edge count, exactly as
+    * [[Dedup.connectedComponents]] does and for the same measured
+    * reason.
     */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
-    val (pairsRaw, _) = Dedup.jaccardPairsRaw(spark, dir)
-    pageRankOnPairs(pairsRaw.select("id_a", "id_b"))
-      .withColumnRenamed("id", "doc_id")
+    val (verts, edges, members) = Dedup.contractedPairGraph(spark, dir)
+    val rep = pageRankContracted(verts.toDF("id", "f"), edges.toDF("u", "v"))
+    members.join(rep.withColumnRenamed("id", "rep"), Seq("rep"))
+      .select(col("doc_id"), col("deg"), col("pr"))
       .orderBy("doc_id")
   }
 
   /** PageRank on any 2-column undirected pair relation (one row per
-    * edge, either direction). Returns `(id, deg, pr)`.
+    * edge, either direction). Returns `(id, deg, pr)`. The degenerate
+    * f = 1 instance of [[pageRankContracted]] — kept as the generic
+    * operator surface (and so the spec's reference-model parity test
+    * exercises the same weighted loop the contracted path runs).
     */
   def pageRankOnPairs(pairs: DataFrame): DataFrame = {
-    val cols = pairs.columns
-    require(cols.length == 2, s"expected 2 edge columns, got ${cols.mkString(",")}")
-    val sess = pairs.sparkSession
+    val e0 = pairs.toDF("u", "v")
+    val verts = e0.select(col("u").as("id"))
+      .unionByName(e0.select(col("v").as("id")))
+      .distinct().withColumn("f", lit(1L))
+    pageRankContracted(verts, e0)
+  }
+
+  /** The weighted power iteration over a contracted multigraph:
+    * `verts` (id, f) with f ≥ 1 member multiplicity, `edges` (u, v)
+    * one row per rep edge, either direction. Every vertex must carry
+    * f ≥ 2 or ≥ 1 edge (degree-0 singletons are not in the graph).
+    */
+  private[graft] def pageRankContracted(verts: DataFrame, edges: DataFrame): DataFrame = {
+    val sess = verts.sparkSession
     val aqe0 = sess.conf.get("spark.sql.adaptive.enabled", "true")
     val sp0 = sess.conf.get("spark.sql.shuffle.partitions")
     sess.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val e0 = pairs.toDF("u", "v")
-      val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v"))).persist()
-      val width = math.max(1L, math.min(sp0.toLong, edges.count() / 500000L + 1L))
+      val v = verts.toDF("id", "f").localCheckpoint()
+      val e0 = edges.toDF("u", "v")
+      val sym = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      // weighted incoming edges: cross edges carry the SOURCE family's
+      // size (f_u identical members each send r_u div d_u), and each
+      // family of size ≥ 2 a self-loop of weight f−1 (the within-family
+      // clique). Incoming-weight sum = member-level degree.
+      val wEdges = sym
+        .join(v.select(col("id").as("u"), col("f").as("w")), Seq("u"))
+        .select(col("u"), col("v"), col("w"))
+        .unionByName(v.where(col("f") > 1)
+          .select(col("id").as("u"), col("id").as("v"), (col("f") - 1).as("w")))
+        .localCheckpoint()
+      val width = math.max(1L, math.min(sp0.toLong, wEdges.count() / 500000L + 1L))
       sess.conf.set("spark.sql.shuffle.partitions", width.toString)
 
-      val deg = edges.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg")).persist()
-      val n = deg.count()
-      require(n > 0, "pageRank needs a non-empty edge list")
+      val deg = wEdges.groupBy(col("v").as("id")).agg(sum("w").as("deg")).localCheckpoint()
+      // n = MEMBER count: teleport mass splits over members, not families
+      val n = v.agg(sum("f")).head.getLong(0)
+      require(n > 0, "pageRank needs a non-empty graph")
       val tele = (PrScale * 15L / 100L) / n
 
-      var ranks = deg.select(col("id"), lit(PrScale / n).as("r")).localCheckpoint()
+      var ranks = v.select(col("id"), lit(PrScale / n).as("r")).localCheckpoint()
       for (_ <- 1 to PrIters) {
-        val msgs = edges
+        val msgs = wEdges
           .join(ranks.withColumnRenamed("id", "u"), Seq("u"))
           .join(deg.toDF("u", "du"), Seq("u"))
-          .select(col("v").as("id"), expr("r div du").as("c"))
+          .select(col("v").as("id"), (col("w") * expr("r div du")).as("c"))
           .groupBy("id").agg(sum("c").as("s"))
-        ranks = deg.select("id")
+        ranks = v.select("id")
           .join(msgs, Seq("id"), "left")
           .select(col("id"),
             (lit(tele) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
           .localCheckpoint()
       }
-      val out = ranks.join(deg, Seq("id"))
+      // ranks/deg are eager checkpoints — the output no longer depends
+      // on wEdges' blocks (localCheckpoint RDDs are GC-released when
+      // the returned frame dies; nothing persists past this call)
+      ranks.join(deg, Seq("id"))
         .select(col("id"), col("deg"), col("r").as("pr"))
-      edges.unpersist()
-      out
     } finally {
       sess.conf.set("spark.sql.adaptive.enabled", aqe0)
       sess.conf.set("spark.sql.shuffle.partitions", sp0)
@@ -106,64 +158,100 @@ object Graph {
     * duplicate cluster" from "shared boilerplate star", which decides
     * whether keep-one-per-cluster curation is safe).
     *
-    * Algorithm: DEGREE-ORDERED edge orientation (each undirected edge
-    * directed from its lower (deg, id) endpoint to the higher), then
-    * triangles enumerate as wedges `a→b, a→c` (with `b` before `c` in
-    * the same order) closed by the directed edge `b→c` — every
-    * triangle counted exactly once from its lowest-ordered vertex.
-    * The orientation is THE at-scale trick: out-degree under it is
-    * O(√m) even on power-law graphs, so wedge fan-out — the quadratic
-    * term a naive neighbor self-join pays on hub vertices — is
-    * bounded, giving the classic O(m^1.5) join-size bound. Every step
-    * is an equi-join or keyed agg; the one inequality (`ord_b <
-    * ord_c`) rides a hash join on the shared wedge center.
+    * Contraction closed form, for a member of family i with cross-
+    * neighbor mass S_i = Σ_{j~i} f_j and Q_i = Σ_{j~i} C(f_j, 2):
+    *   n_tri = C(f_i−1, 2)            (both co-corners in own family)
+    *         + (f_i−1)·S_i            (one own-family, one neighbor)
+    *         + Q_i                    (two in the SAME neighbor family)
+    *         + Σ_{rep-tri {i,j,k}} f_j·f_k   (two DIFFERENT families)
+    *   deg   = (f_i−1) + S_i
+    * — all exact integer arithmetic over family sizes, so the member-
+    * level oracle (which enumerates triangles off the blown-up pair
+    * relation with a DIFFERENT join order) hash-matches.
+    *
+    * Rep-level triangles enumerate with DEGREE-ORDERED edge
+    * orientation (each undirected edge directed from its lower
+    * (deg, id) endpoint; wedges at the lowest-ordered corner closed by
+    * one equi-join) — out-degree under the orientation is O(√m) even
+    * on power-law graphs, the classic O(m^1.5) bound. Every step is an
+    * equi-join or keyed agg.
     *
     * `clustering = 2·T / (deg·(deg−1))` is a ratio of identical ints
     * in both engines (0.0 pinned where deg < 2) → exact double parity.
-    * The oracle enumerates triangles off the canonical `id_a < id_b`
-    * pair relation directly — a DIFFERENT enumeration order proving
-    * the oriented plan drops/duplicates nothing.
     */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val (pairsRaw, _) = Dedup.jaccardPairsRaw(spark, dir)
-    trianglesOnPairs(pairsRaw.select("id_a", "id_b"))
-      .withColumnRenamed("id", "doc_id")
+    val (verts, edges, members) = Dedup.contractedPairGraph(spark, dir)
+    val rep = trianglesContracted(verts.toDF("id", "f"), edges.toDF("u", "v"))
+    members.join(rep.withColumnRenamed("id", "rep"), Seq("rep"))
+      .select(col("doc_id"), col("deg"), col("n_tri"), col("clustering"))
       .orderBy("doc_id")
   }
 
-  /** Triangle counts on any canonical (u < v) pair relation. */
+  /** Triangle counts on any canonical (u < v) pair relation — the
+    * degenerate f = 1 instance of [[trianglesContracted]].
+    */
   def trianglesOnPairs(pairs: DataFrame): DataFrame = {
-    val e0 = pairs.toDF("u", "v").persist()
-    val deg = e0.select(col("u").as("id"))
-      .unionAll(e0.select(col("v").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
-    // orient: src = lower (deg, id) endpoint
+    val e0 = pairs.toDF("u", "v")
+    val verts = e0.select(col("u").as("id"))
+      .unionByName(e0.select(col("v").as("id")))
+      .distinct().withColumn("f", lit(1L))
+    trianglesContracted(verts, e0)
+  }
+
+  /** Weighted triangle counting over a contracted multigraph; returns
+    * `(id, deg, n_tri, clustering)` at rep level — the member-level
+    * values shared by all f members of each family.
+    */
+  private[graft] def trianglesContracted(verts: DataFrame, edges: DataFrame): DataFrame = {
+    val v = verts.toDF("id", "f").localCheckpoint()
+    val e0 = edges.toDF("u", "v").localCheckpoint()
+    val sym = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+    // cross-neighbor mass per family: S = Σ f_j, Q = Σ C(f_j, 2)
+    val nbr = sym.join(v.select(col("id").as("v"), col("f").as("fv")), Seq("v"))
+      .groupBy(col("u").as("id"))
+      .agg(sum("fv").as("s"), sum(expr("(fv * (fv - 1)) div 2")).as("q"))
+    // rep-graph triangle enumeration: orient by (rep degree, id)
+    val rdeg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("d"))
     val keyed = e0
-      .join(deg.toDF("u", "du"), Seq("u"))
-      .join(deg.toDF("v", "dv"), Seq("v"))
+      .join(rdeg.toDF("u", "du"), Seq("u"))
+      .join(rdeg.toDF("v", "dv"), Seq("v"))
     val ou = struct(col("du").as("d"), col("u").as("n"))
     val ov = struct(col("dv").as("d"), col("v").as("n"))
-    val dir = keyed.select(
+    val dirE = keyed.select(
       when(ou < ov, col("u")).otherwise(col("v")).as("src"),
       when(ou < ov, col("v")).otherwise(col("u")).as("dst"),
       when(ou < ov, ov).otherwise(ou).as("dstOrd"))
-      .persist()
-    val tri = dir.as("e1")
-      .join(dir.as("e2"),
+      .localCheckpoint() // referenced three times below — eager, not lazy persist
+    val tri = dirE.as("e1")
+      .join(dirE.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dstOrd") < col("e2.dstOrd"))
       .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
-      .join(dir.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
-    val tn = tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("n_tri"))
-    val out = deg.join(tn, Seq("id"), "left")
-      .select(col("id"), col("deg"),
-        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .join(dirE.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    // each rep triangle {a,b,c} contributes the PRODUCT of the other
+    // two family sizes to every member of each corner family
+    val triW = tri
+      .join(v.select(col("id").as("a"), col("f").as("fa")), Seq("a"))
+      .join(v.select(col("id").as("b"), col("f").as("fb")), Seq("b"))
+      .join(v.select(col("id").as("c"), col("f").as("fc")), Seq("c"))
+      .select(explode(array(
+        struct(col("a").as("id"), (col("fb") * col("fc")).as("w")),
+        struct(col("b").as("id"), (col("fa") * col("fc")).as("w")),
+        struct(col("c").as("id"), (col("fa") * col("fb")).as("w")))).as("x"))
+      .select(col("x.id").as("id"), col("x.w").as("w"))
+      .groupBy("id").agg(sum("w").as("t"))
+    v.join(nbr, Seq("id"), "left")
+      .join(triW, Seq("id"), "left")
+      .select(col("id"), col("f"),
+        coalesce(col("s"), lit(0L)).as("s"),
+        coalesce(col("q"), lit(0L)).as("q"),
+        coalesce(col("t"), lit(0L)).as("t"))
+      .select(col("id"),
+        (col("f") - 1 + col("s")).as("deg"),
+        (expr("((f - 1) * (f - 2)) div 2") +
+          (col("f") - 1) * col("s") + col("q") + col("t")).as("n_tri"))
       .withColumn("clustering",
         when(col("deg") < 2, lit(0.0))
           .otherwise((col("n_tri") * 2).cast("double") / (col("deg") * (col("deg") - 1))))
-    e0.unpersist()
-    dir.unpersist()
-    out
   }
 
   val oracleTriangles: String =
@@ -191,10 +279,11 @@ object Graph {
        |ORDER BY doc_id""".stripMargin
 
   /** k for [[kCore]] and the fixed unroll depth of its oracle. Peeling
-    * is monotone, so rounds past the fixpoint are no-ops — the Spark
-    * side may stop early (driver-checked fixpoint) while the oracle
-    * always unrolls [[KCoreRounds]] rounds; the two agree as long as
-    * the fixpoint lands within the bound, which [[kCore]] asserts.
+    * is monotone, so rounds past the fixpoint are no-ops — the engine
+    * loop ([[kCoreContracted]]) runs to fixpoint UNCONDITIONALLY; only
+    * the gated d36 query path asserts the fixpoint landed within the
+    * oracle's fixed textual unroll (the bound is an oracle artifact,
+    * never an engine limit — a deep peel chain at scale completes).
     */
   val KCoreK = 3
   val KCoreRounds = 12
@@ -208,50 +297,83 @@ object Graph {
     * — the standard "is this cluster real or an artifact" screen
     * before keep-one-per-cluster curation.
     *
-    * Iterate-to-FIXPOINT shape (vs d36's fixed rounds, d11's label
-    * convergence): each round is one keyed degree agg + two
-    * semi-joins, lineage cut by eager `localCheckpoint`, AQE scoped
-    * off (the d11 loop discipline); the driver checks only the
-    * surviving-edge count per round. Rounds are data-bounded: every
-    * non-final round removes ≥ 1 vertex, and on near-dup graphs
-    * (tiny-diameter components) the fixpoint lands in a handful.
+    * Contraction exactness: all members of a family share a degree, so
+    * peeling removes families ATOMICALLY — family-level peeling with
+    * weighted degrees (f_i−1) + Σ_{j~i alive} f_j removes exactly the
+    * member sets the member-level rounds remove, and the fixpoints
+    * coincide. Each round is one keyed weighted-degree agg + two
+    * semi-joins over the REP graph, lineage cut by eager
+    * `localCheckpoint`, AQE scoped off (the d11 loop discipline).
     */
   def kCore(spark: SparkSession, dir: String): DataFrame = {
-    val (pairsRaw, _) = Dedup.jaccardPairsRaw(spark, dir)
-    kCoreOnPairs(pairsRaw.select("id_a", "id_b"))
-      .withColumnRenamed("id", "doc_id")
+    val (verts, edges, members) = Dedup.contractedPairGraph(spark, dir)
+    val (rep, rounds) = kCoreContracted(verts.toDF("id", "f"), edges.toDF("u", "v"))
+    // oracle-parity guard, QUERY PATH ONLY: the DuckDB replay unrolls
+    // KCoreRounds member-level rounds textually; contracted rounds
+    // upper-bound member rounds, so rounds ≤ bound ⇒ the oracle's
+    // fixed unroll reached the same fixpoint
+    require(rounds <= KCoreRounds,
+      s"k-core fixpoint took $rounds rounds — raise KCoreRounds (oracle unroll) to match")
+    members.join(rep.withColumnRenamed("id", "rep"), Seq("rep"))
+      .select(col("doc_id"), col("core_deg"))
       .orderBy("doc_id")
   }
 
-  /** k-core of any canonical pair relation; returns `(id, core_deg)`. */
+  /** k-core of any canonical pair relation; returns `(id, core_deg)`.
+    * Loops to fixpoint unconditionally (no round bound — that guard
+    * belongs to the oracle-gated [[kCore]] path only).
+    */
   def kCoreOnPairs(pairs: DataFrame): DataFrame = {
-    val sess = pairs.sparkSession
+    val e0 = pairs.toDF("u", "v")
+    val verts = e0.select(col("u").as("id"))
+      .unionByName(e0.select(col("v").as("id")))
+      .distinct().withColumn("f", lit(1L))
+    kCoreContracted(verts, e0)._1.select("id", "core_deg")
+  }
+
+  /** Weighted k-core peeling over a contracted multigraph. Returns the
+    * surviving `(id, f, core_deg)` rep relation and the round count
+    * (rounds are data-bounded: every non-final round removes ≥ 1
+    * family or ≥ 1 rep edge).
+    */
+  private[graft] def kCoreContracted(verts: DataFrame, edges: DataFrame): (DataFrame, Int) = {
+    val sess = verts.sparkSession
     val aqe0 = sess.conf.get("spark.sql.adaptive.enabled", "true")
     sess.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val e0 = pairs.toDF("u", "v")
-      var edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
-        .localCheckpoint()
-      var n = edges.count()
+      var alive = verts.toDF("id", "f")
+        .withColumn("core_deg", lit(0L)).localCheckpoint()
+      var es = edges.toDF("u", "v").localCheckpoint()
+      var nV = alive.count()
+      var nE = es.count()
       var rounds = 0
-      var converged = n == 0L
-      while (!converged && rounds < KCoreRounds) {
-        val keep = edges.groupBy("u").agg(count(lit(1)).as("deg"))
-          .where(col("deg") >= KCoreK)
-          .select(col("u").as("id"))
-        val pruned = edges
-          .join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
-          .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+      var converged = nV == 0L
+      while (!converged) {
+        val sym = es.unionByName(es.select(col("v").as("u"), col("u").as("v")))
+        val cross = sym
+          .join(alive.select(col("id").as("u"), col("f").as("w")), Seq("u"))
+          .groupBy(col("v").as("id")).agg(sum("w").as("cw"))
+        val keep = alive.select("id", "f")
+          .join(cross, Seq("id"), "left")
+          .select(col("id"), col("f"),
+            (coalesce(col("cw"), lit(0L)) + col("f") - 1).as("core_deg"))
+          .where(col("core_deg") >= KCoreK)
+          .localCheckpoint()
+        val es2 = es
+          .join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
           .select("u", "v")
           .localCheckpoint()
-        val n2 = pruned.count()
-        converged = n2 == n
-        edges = pruned
-        n = n2
+        val nV2 = keep.count()
+        val nE2 = es2.count()
+        converged = nV2 == nV && nE2 == nE
+        alive = keep; es = es2; nV = nV2; nE = nE2
         rounds += 1
       }
-      require(converged, s"k-core did not converge within $KCoreRounds rounds")
-      edges.groupBy(col("u").as("id")).agg(count(lit(1)).as("core_deg"))
+      // at the fixpoint the converged round's degrees ARE the core
+      // degrees (nothing was removed, so they were computed against
+      // the final graph)
+      (alive.select("id", "f", "core_deg"), rounds)
     } finally {
       sess.conf.set("spark.sql.adaptive.enabled", aqe0)
     }
@@ -260,7 +382,7 @@ object Graph {
   /** d39's DuckDB replay: [[KCoreRounds]] peel rounds unrolled
     * textually (the per-round degree aggregate bars a recursive CTE);
     * rounds after the fixpoint are no-ops, so the fixed unroll equals
-    * the Spark side's early-stopped loop. Every round's edge set is
+    * the engine's fixpoint. Every round's edge set is
     * `AS MATERIALIZED` — each is referenced three times by the next
     * round (degree + both semi-join sides).
     */

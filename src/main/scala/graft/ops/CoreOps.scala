@@ -519,11 +519,20 @@ object CoreOps {
       .agg(count(lit(1)).as("n"))
       .collect(): Unit
     val m = obs.get
-    import spark.implicits._
-    Seq((m("n_rows").asInstanceOf[Long], m("n_neg").asInstanceOf[Long],
-      m("vmin").asInstanceOf[Double], m("vmax").asInstanceOf[Double],
-      m("cents").asInstanceOf[Long]))
-      .toDF("n_rows", "n_neg", "vmin", "vmax", "cents")
+    // min/max/sum observe as NULL on an empty scan (counts stay 0) —
+    // carry the nulls through instead of unboxing, matching the
+    // oracle's aggregate-over-empty behavior
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("n_rows", LongType, nullable = false),
+      StructField("n_neg", LongType, nullable = false),
+      StructField("vmin", DoubleType), StructField("vmax", DoubleType),
+      StructField("cents", LongType)))
+    val row = Row(m("n_rows").asInstanceOf[Long], m("n_neg").asInstanceOf[Long],
+      m("vmin").asInstanceOf[java.lang.Double], m("vmax").asInstanceOf[java.lang.Double],
+      m("cents").asInstanceOf[java.lang.Long])
+    spark.createDataFrame(java.util.Arrays.asList(row), schema)
   }
 
   val oracleObserveMetrics: String =

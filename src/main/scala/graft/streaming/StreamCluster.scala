@@ -88,7 +88,9 @@ object StreamCluster {
       // (one scan + md5 projection) and the cache fills on the fold's
       // first action instead of paying a dedicated materialization job
       val bSh = batch.repartition(col("doc_id"))
-        .select(col("doc_id"), TextHash.hashedShingles(col("text"), 0).as("hs"))
+        // sorted to match the staged corpus arrays — batchEdges runs
+        // the native sorted-intersect verify on every leg
+        .select(col("doc_id"), sort_array(TextHash.hashedShingles(col("text"), 0)).as("hs"))
         .persist()
       // existing side = corpus index ∪ every EARLIER batch's appendix
       // (this batch's own appendix is written after the fold; on a

@@ -161,4 +161,73 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .groupBy(x => x).map { case (k, v) => k -> v.length.toLong }
     a.foreach { r => assert(r.getLong(1) == pairDegs(r.getLong(0)), s"deg ${r.getLong(0)}") }
   }
+
+  test("graph trio: contracted equals member-level on random family blow-ups") {
+    // the d36/d38/d39 exactness claim head-on: for a random rep graph
+    // with random family sizes, the weighted-contracted closed forms
+    // must equal the plain (f = 1) ops run on the FULL blown-up member
+    // graph (family cliques + complete bipartite bundles per rep edge)
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 4) {
+      val n = 4 + rnd.nextInt(6)
+      val repEdges = (for {
+        a <- 0 until n; b <- (a + 1) until n if rnd.nextInt(3) == 0
+      } yield (a.toLong, b.toLong)).toSeq
+      val fOf = (0 until n).map(i => i.toLong -> (1L + rnd.nextInt(4))).toMap
+      def mem(i: Long): Seq[Long] = (0L until fOf(i)).map(k => i * 100 + k)
+      val touching = repEdges.flatMap(e => Seq(e._1, e._2)).toSet
+      val inGraph = (0L until n.toLong).filter(i => fOf(i) >= 2 || touching(i))
+      if (inGraph.nonEmpty) {
+        val memberEdges =
+          repEdges.flatMap { case (a, b) =>
+            for (x <- mem(a); y <- mem(b)) yield (math.min(x, y), math.max(x, y)) } ++
+          inGraph.flatMap { i =>
+            val m = mem(i)
+            for (ai <- m.indices; bi <- (ai + 1) until m.size) yield (m(ai), m(bi)) }
+        val verts = inGraph.map(i => (i * 100, fOf(i))).toDF("id", "f")
+        val edges =
+          (if (repEdges.nonEmpty) repEdges.map { case (a, b) => (a * 100, b * 100) }
+           else Seq.empty[(Long, Long)]).toDF("u", "v")
+        def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Any]] =
+          df.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+        def expand(rep: Map[Long, Seq[Any]]): Map[Long, Seq[Any]] =
+          rep.flatMap { case (id, vals) => mem(id / 100).map(_ -> vals) }
+        if (memberEdges.nonEmpty) {
+          // PageRank
+          val prC = asMap(Graph.pageRankContracted(verts, edges))
+          val prM = asMap(Graph.pageRankOnPairs(memberEdges.toDF("u", "v")))
+          assert(expand(prC) == prM, s"trial $trial pagerank")
+          // Triangles
+          val trC = asMap(Graph.trianglesContracted(verts, edges))
+          val trM = asMap(Graph.trianglesOnPairs(memberEdges.toDF("u", "v")))
+          assert(expand(trC) == trM, s"trial $trial triangles")
+          // k-core
+          val kcC = asMap(Graph.kCoreContracted(verts, edges)._1
+            .select("id", "core_deg"))
+          val kcM = asMap(Graph.kCoreOnPairs(memberEdges.toDF("u", "v")))
+          assert(expand(kcC) == kcM, s"trial $trial kcore")
+        }
+      }
+    }
+  }
+
+  test("k-core engine loop runs past the oracle unroll bound (deep peel chain)") {
+    // P_n^2 (path square) peels one vertex per end per round at k = 3 —
+    // a 44-vertex chain needs ~21 rounds, far past KCoreRounds = 12.
+    // The ENGINE must complete (the bound is an oracle artifact gated
+    // only in the d39 query path); survivors = the attached K5 only.
+    val n = 44
+    val chain = (0 until n).flatMap { i =>
+      Seq(i + 1, i + 2).filter(_ < n).map(j => (i.toLong, j.toLong))
+    }
+    val k5 = for (a <- 1000 until 1005; b <- (a + 1) until 1005)
+      yield (a.toLong, b.toLong)
+    val (rep, rounds) = Graph.kCoreContracted(
+      (chain ++ k5).flatMap(e => Seq(e._1, e._2)).distinct.map(v => (v, 1L)).toDF("id", "f"),
+      (chain ++ k5).toDF("u", "v"))
+    assert(rounds > Graph.KCoreRounds, s"expected a deep peel, got $rounds rounds")
+    val got = rep.select("id", "core_deg").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1000L until 1005L).map(_ -> 4L).toMap, s"got $got")
+  }
 }
