@@ -105,6 +105,8 @@ object SparkEntry {
     "d35_editdist_pairs"    -> (llm.Dedup.editDistancePairs(_, _)),
     "d36_pagerank"          -> (llm.Graph.pageRank(_, _)),
     "t16_dup_spans"         -> (llm.Curation.dupSpans(_, _)),
+    "t16b_span_bound"       -> (llm.Curation.spanBound(_, _)),
+    "d40_ann_recall"        -> (llm.Similarity.annRecall(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
     "d38_triangles"         -> (llm.Graph.triangles(_, _)),
     "d39_kcore"             -> (llm.Graph.kCore(_, _)),
@@ -532,6 +534,8 @@ object SparkEntry {
     "d35_editdist_pairs" -> llm.Dedup.oracleEditDistancePairs,
     "d36_pagerank"      -> llm.Graph.oraclePageRank,
     "t16_dup_spans"     -> llm.Curation.oracleDupSpans,
+    "t16b_span_bound"   -> llm.Curation.oracleSpanBound,
+    "d40_ann_recall"    -> llm.Similarity.oracleAnnRecall,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,
     "d38_triangles"     -> llm.Graph.oracleTriangles,
     "d39_kcore"         -> llm.Graph.oracleKCore,

@@ -360,6 +360,128 @@ object Curation {
       .orderBy("doc_id", "span_start")
   }
 
+  /** t16b — the ORACLE-CHECKED approximation bound for t16 (the
+    * q56/d34 declared-bound pattern): what can the k-gram islands
+    * approximation miss versus exact suffix-array substring dedup
+    * (Lee et al. arXiv:2107.06499)?
+    *
+    * The pinned SOUNDNESS claim: at WORD granularity, t16 never misses
+    * a duplicated window of ≥ [[SpanK]] words — every k-word window
+    * whose EXACT TEXT (string equality, no hashing, so hash collisions
+    * cannot fake coverage) occurs in ≥ 2 docs starts inside a reported
+    * span. Per doc: `n_dup_windows` (exact duplicated windows),
+    * `n_covered` (those inside a span), `all_covered` = 1 iff equal —
+    * constant-1 by the guarantee, and the oracle RE-DERIVES it from
+    * the raw text, so a miss breaks the hash. `excess_positions` =
+    * span-marked positions with no exactly-duplicated window —
+    * measures the over-report side (k-gram hash collisions; 0 in
+    * practice at 56-bit hashes). The DECLARED residual gap, out of
+    * scope at word granularity by design: spans shorter than k words
+    * and sub-word/char-level repeats (t16's `SpanK` knob, same
+    * min-length knob as the suffix-array method).
+    *
+    * Scale: the exact-string leg shuffles the k-gram STRINGS (~6×
+    * heavier rows than the hashed leg) — it is the verification query
+    * you run on a sample or a shard at 100 TB, not per-corpus; every
+    * stage is still hash-partitioned with map-side partials, nothing
+    * pairwise.
+    */
+  def spanBound(spark: SparkSession, dir: String): DataFrame =
+    spanBoundOn(Tables.documents(spark, dir))
+
+  def spanBoundOn(documents: DataFrame): DataFrame = {
+    val k = SpanK
+    // spans are consumed twice (coverage probe + position mass) — cut
+    // the window+join lineage once
+    val spans = dupSpansOn(documents).localCheckpoint()
+    val toks = documents
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("ws"))
+      .withColumn("nw", size(col("ws")))
+      .where(col("nw") >= k)
+    // EXACT k-word windows as strings — no hashing anywhere on this leg
+    val kgs = toks.select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), col("nw") - lit(k - 1)),
+          i => concat_ws(" ", slice(col("ws"), i, lit(k))))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("g"))
+    val dupw = kgs.groupBy("g")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select("g")
+    val dwin = kgs.join(dupw, Seq("g")).select("doc_id", "pos")
+    // island intervals are disjoint per doc (gaps ≥ k between islands),
+    // so a window start falls in ≤ 1 span — the left join cannot fan out
+    val covered = dwin.as("d")
+      .join(spans.as("s"),
+        col("d.doc_id") === col("s.doc_id") &&
+          col("d.pos") >= col("s.span_start") &&
+          col("d.pos") <= col("s.span_end") - lit(k - 1),
+        "left_semi")
+    val nd = dwin.groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+    val nc = covered.groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
+    val sp = spans.groupBy("doc_id")
+      .agg(sum(col("span_end") - lit(k - 1) - col("span_start") + 1).as("span_positions"))
+    sp.join(nd, Seq("doc_id"), "left")
+      .join(nc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        when(coalesce(col("n_dup_windows"), lit(0L)) === coalesce(col("n_covered"), lit(0L)),
+          lit(1L)).otherwise(lit(0L)).as("all_covered"),
+        col("span_positions"),
+        (col("span_positions") - coalesce(col("n_dup_windows"), lit(0L))).as("excess_positions"))
+      .orderBy("doc_id")
+  }
+
+  val oracleSpanBound: String = {
+    val k = SpanK
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |  FROM documents),
+       |kg AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos,
+       |         ${TextHash.phashSql(s"array_to_string(ws[i:i+${k - 1}], ' ')", SpanSeed)} AS gh
+       |  FROM toks, unnest(range(1, greatest(len(ws) - ${k - 1}, 0) + 1)) AS t(i)),
+       |dup AS (SELECT gh FROM kg GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+       |brk AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |                   > ${k - 1} THEN 1 ELSE 0 END AS b
+       |  FROM kg JOIN dup USING (gh)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM brk),
+       |spans AS MATERIALIZED (
+       |  SELECT doc_id, min(pos) AS span_start, max(pos) + ${k - 1} AS span_end
+       |  FROM isl GROUP BY doc_id, grp),
+       |kgs AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos, array_to_string(ws[i:i+${k - 1}], ' ') AS g
+       |  FROM toks, unnest(range(1, greatest(len(ws) - ${k - 1}, 0) + 1)) AS t(i)),
+       |dupw AS (SELECT g FROM kgs GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+       |dwin AS MATERIALIZED (SELECT doc_id, pos FROM kgs JOIN dupw USING (g)),
+       |cov AS (
+       |  SELECT d.doc_id, count(*) AS n_dup_windows,
+       |         count(s.doc_id) AS n_covered
+       |  FROM dwin d LEFT JOIN spans s
+       |    ON s.doc_id = d.doc_id
+       |   AND d.pos >= s.span_start AND d.pos <= s.span_end - ${k - 1}
+       |  GROUP BY 1),
+       |spos AS (
+       |  SELECT doc_id,
+       |         sum(span_end - ${k - 1} - span_start + 1)::BIGINT AS span_positions
+       |  FROM spans GROUP BY 1)
+       |SELECT p.doc_id,
+       |       COALESCE(c.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+       |       COALESCE(c.n_covered, 0)::BIGINT AS n_covered,
+       |       (CASE WHEN COALESCE(c.n_dup_windows, 0) = COALESCE(c.n_covered, 0)
+       |             THEN 1 ELSE 0 END)::BIGINT AS all_covered,
+       |       p.span_positions,
+       |       p.span_positions - COALESCE(c.n_dup_windows, 0) AS excess_positions
+       |FROM spos p LEFT JOIN cov c ON c.doc_id = p.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+  }
+
   val oracleDupSpans: String = {
     val k = SpanK
     s"""WITH toks AS (

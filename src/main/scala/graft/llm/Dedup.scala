@@ -124,7 +124,7 @@ object Dedup {
     * can release the caches afterwards.
     */
   private def candScoredRaw(spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
-    // the corpus shingle-hash pass is staged ONCE per (process, dir)
+    // the corpus shingle-hash pass is staged ONCE per (data era, build)
     // by [[ccIndex]] and shared by d02/d03/d11/d25/d32 — band
     // generation and both sides of the verify join read the parquet
     val (docs, bands) = ccIndex(spark, dir)
@@ -210,7 +210,7 @@ object Dedup {
   }
 
   /** The converged (doc_id, label=component-min) relation behind d11,
-    * d12 and d14 — MATERIALIZED ONCE per (process, input dir) to a
+    * d12 and d14 — MATERIALIZED ONCE per (data era, build) to a
     * parquet staging table and re-read by every consumer. Label once,
     * consume many times: d11, d12 and d14 all need the same cluster
     * labels, and at 100 TB you'd never re-run the pair pipeline + the
@@ -226,7 +226,7 @@ object Dedup {
     * action — no extra per-round comparison join.
     */
   private[graft] def clusterLabels(spark: SparkSession, dir: String): DataFrame = synchronized {
-    val loc = graft.ops.Staging.stagePath("cc_labels", dir)
+    val loc = graft.ops.Staging.indexPath("cc_labels", dir)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
       val (pairsRaw, caches) = jaccardPairsRaw(spark, dir)
@@ -236,11 +236,12 @@ object Dedup {
       // no broadcast hint: the planner broadcasts the checkpointed label
       // relation when it fits and falls back to a doc_id-keyed shuffle
       // join when the near-dup vertex set is large
-      corpus(spark, dir)
-        .select(col("doc_id"))
-        .join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
-        .write.mode("overwrite").parquet(loc)
+      graft.ops.Staging.publishIndex(spark, "cc_labels", dir)(p =>
+        corpus(spark, dir)
+          .select(col("doc_id"))
+          .join(labels, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+          .write.mode("overwrite").parquet(p))
       // labels live in parquet now — every cache behind them can go
       (pairs +: caches).foreach(_.unpersist())
     }
@@ -845,12 +846,12 @@ object Dedup {
   private[graft] def corpusIndex(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, org.apache.spark.util.sketch.BloomFilter) =
     synchronized {
-      val pExact = graft.ops.Staging.stagePath("ci_exact", dir)
-      val pSh = graft.ops.Staging.stagePath("ci_shingles", dir)
-      val pBands = graft.ops.Staging.stagePath("ci_bands", dir)
-      val pBloom = new java.io.File(graft.ops.Staging.stagePath("ci_bloom", dir))
+      val pExact = graft.ops.Staging.indexPath("ci_exact", dir)
+      val pSh = graft.ops.Staging.indexPath("ci_shingles", dir)
+      val pBands = graft.ops.Staging.indexPath("ci_bands", dir)
+      val pBloom = new java.io.File(graft.ops.Staging.indexPath("ci_bloom", dir))
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-      // ci_exact is written LAST, so its _SUCCESS gates the whole set
+      // ci_exact is published LAST, so its _SUCCESS implies the whole set
       if (!fs.exists(new org.apache.hadoop.fs.Path(pExact, "_SUCCESS"))) {
         val existing = Tables.documents(spark, dir).select("doc_id", "text")
         // shingle compute (md5 per shingle) is the expensive leg — run
@@ -858,18 +859,22 @@ object Dedup {
         val sh = existing.repartition(col("doc_id"))
           .select(col("doc_id"), sort_array(TextHash.hashedShingles(col("text"), 0)).as("hs"))
           .persist()
-        sh.write.mode("overwrite").parquet(pSh)
-        bandsFrom(sh).write.mode("overwrite").parquet(pBands)
+        graft.ops.Staging.publishIndex(spark, "ci_shingles", dir)(p =>
+          sh.write.mode("overwrite").parquet(p))
+        graft.ops.Staging.publishIndex(spark, "ci_bands", dir)(p =>
+          bandsFrom(sh).write.mode("overwrite").parquet(p))
         sh.unpersist()
         // sizing count is parquet-metadata-only; the key scan is 1 pass
         val bloom = existing
           .select(TextHash.phash(col("text"), 0).as("k"))
           .stat.bloomFilter("k", existing.count(), 0.001)
-        pBloom.getParentFile.mkdirs()
-        val os = new java.io.FileOutputStream(pBloom)
-        try bloom.writeTo(os) finally os.close()
-        existing.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("dup_of"))
-          .write.mode("overwrite").parquet(pExact)
+        graft.ops.Staging.publishIndexFile("ci_bloom", dir) { f =>
+          val os = new java.io.FileOutputStream(f)
+          try bloom.writeTo(os) finally os.close()
+        }
+        graft.ops.Staging.publishIndex(spark, "ci_exact", dir)(p =>
+          existing.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("dup_of"))
+            .write.mode("overwrite").parquet(p))
       }
       val is = new java.io.FileInputStream(pBloom)
       val bloom =
@@ -1021,8 +1026,11 @@ object Dedup {
     // generation 1: immutable era = gen-0 ∪ accepted (hash spaces are
     // disjoint by construction of `accepted`, so a plain union is the
     // whole merge)
-    val gen1Path = graft.ops.Staging.stagePath("ci_exact_gen1", dir)
-    exactIdx.unionByName(accepted).write.mode("overwrite").parquet(gen1Path)
+    // generations are era artifacts like gen-0: published once, reused
+    // by any later process over the same corpus era — "maintained, not
+    // rebuilt" holds across JVM restarts, not just within one
+    val gen1Path = graft.ops.Staging.publishIndex(spark, "ci_exact_gen1", dir)(p =>
+      exactIdx.unionByName(accepted).write.mode("overwrite").parquet(p))
     val gen1 = spark.read.parquet(gen1Path)
 
     val d = Tables.documents(spark, dir).select("doc_id", "text")
@@ -1197,7 +1205,7 @@ object Dedup {
 
   /** Staged union-corpus shingle + band index — the ci_* pattern
     * applied to the [[corpus]] relation: the corpus is shingled and
-    * banded ONCE per (process, dir) era and shared by every consumer
+    * banded ONCE per (data era, build) and shared by every consumer (and process)
     * of the near-dup graph (d02 bands, d03/d25 candidate scoring, the
     * d11 labels build, d32's incremental batch probe); the md5
     * shingle loop — the expensive leg — never runs twice. `cc_sh` is
@@ -1205,20 +1213,23 @@ object Dedup {
     */
   private[graft] def ccIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     synchronized {
-      val pSh = graft.ops.Staging.stagePath("cc_sh", dir)
-      val pBands = graft.ops.Staging.stagePath("cc_bands", dir)
+      val pSh = graft.ops.Staging.indexPath("cc_sh", dir)
+      val pBands = graft.ops.Staging.indexPath("cc_bands", dir)
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(pSh, "_SUCCESS"))) {
+      if (!fs.exists(new org.apache.hadoop.fs.Path(pSh, "_SUCCESS")) ||
+          !fs.exists(new org.apache.hadoop.fs.Path(pBands, "_SUCCESS"))) {
         val sh = docShingles(spark, dir).persist()
-        bandsFrom(sh).write.mode("overwrite").parquet(pBands)
+        graft.ops.Staging.publishIndex(spark, "cc_bands", dir)(p =>
+          bandsFrom(sh).write.mode("overwrite").parquet(p))
         // stage the hash arrays SORTED: every downstream exact verify
         // (d03/d25/d32/d37/s13) then runs the native two-pointer
         // [[graft.expr.SortedIntersectCount]] with zero per-row sort —
         // the one O(n log n) pass is paid once per corpus era here.
         // No consumer is order-sensitive (minhash/array_intersect/
         // explode are all set-shaped; asserted by the d02 band oracle).
-        sh.select(col("doc_id"), sort_array(col("hs")).as("hs"))
-          .write.mode("overwrite").parquet(pSh)
+        graft.ops.Staging.publishIndex(spark, "cc_sh", dir)(p =>
+          sh.select(col("doc_id"), sort_array(col("hs")).as("hs"))
+            .write.mode("overwrite").parquet(p))
         sh.unpersist()
       }
       (spark.read.parquet(pSh), spark.read.parquet(pBands))
@@ -1655,14 +1666,15 @@ object Dedup {
     * f², because that's the answer's own size).
     */
   private[graft] def contentFamilies(spark: SparkSession, dir: String): DataFrame = synchronized {
-    // staged per (process, dir) like the shingle/band tables — family
+    // staged per (data era, build) like the shingle/band tables — family
     // membership is a corpus-index artifact, maintained per era
-    val loc = graft.ops.Staging.stagePath("ap_families", dir)
+    val loc = graft.ops.Staging.indexPath("ap_families", dir)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
       val fam = corpus(spark, dir).select(col("doc_id"), md5(col("text")).as("ck"))
       val reps = fam.groupBy("ck").agg(min("doc_id").as("rep"))
-      fam.join(reps, Seq("ck")).write.mode("overwrite").parquet(loc)
+      graft.ops.Staging.publishIndex(spark, "ap_families", dir)(p =>
+        fam.join(reps, Seq("ck")).write.mode("overwrite").parquet(p))
     }
     spark.read.parquet(loc)
   }
@@ -1692,12 +1704,12 @@ object Dedup {
     * trio was the only superlinear stress row before this (93–135 s at
     * 100×/16×); the rep graph is copy-factor-INVARIANT.
     *
-    * The rep edge set is staged per (process, dir) like the other
+    * The rep edge set is staged per (data era, build) like the other
     * corpus-index artifacts.
     */
   private[graft] def contractedPairGraph(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = synchronized {
-    val loc = graft.ops.Staging.stagePath("rep_graph", dir)
+    val loc = graft.ops.Staging.indexPath("rep_graph", dir)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val fams = contentFamilies(spark, dir)
     if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
@@ -1711,17 +1723,18 @@ object Dedup {
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
       val rdocs = docs.join(repIds, Seq("doc_id"), "left_semi")
-      cand
-        .join(rdocs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
-        .join(rdocs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
-        .select(col("id_a"), col("id_b"),
-          graft.expr.VectorFunctions.sortedIntersectCount(col("hs_a"), col("hs_b")).as("inter"),
-          size(col("hs_a")).as("sza"), size(col("hs_b")).as("szb"))
-        .select(col("id_a"), col("id_b"),
-          (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
-        .filter(col("jaccard") >= JaccardThreshold)
-        .select("id_a", "id_b")
-        .write.mode("overwrite").parquet(loc)
+      graft.ops.Staging.publishIndex(spark, "rep_graph", dir)(p =>
+        cand
+          .join(rdocs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+          .join(rdocs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            graft.expr.VectorFunctions.sortedIntersectCount(col("hs_a"), col("hs_b")).as("inter"),
+            size(col("hs_a")).as("sza"), size(col("hs_b")).as("szb"))
+          .select(col("id_a"), col("id_b"),
+            (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+          .filter(col("jaccard") >= JaccardThreshold)
+          .select("id_a", "id_b")
+          .write.mode("overwrite").parquet(p))
     }
     val edges = spark.read.parquet(loc)
     val famSizes = fams.groupBy("rep").agg(count(lit(1)).as("f"))
@@ -1805,12 +1818,12 @@ object Dedup {
   /** d37's staged prefix index: `(doc_id, sz, h, rnk)` for each doc's
     * prefix tokens, rnk = position in global ascending-df order —
     * corpus-index work (one df agg + one per-doc rank window), staged
-    * once per (process, dir) exactly like the shingle/band tables it
+    * once per (data era, build) exactly like the shingle/band tables it
     * derives from ([[ccIndex]]): at 100 TB this is a maintained
     * artifact of the corpus, not per-query work.
     */
   private def prefixIndex(spark: SparkSession, dir: String): DataFrame = synchronized {
-    val loc = graft.ops.Staging.stagePath("ap_prefix", dir)
+    val loc = graft.ops.Staging.indexPath("ap_prefix", dir)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
       val (docs, _) = ccIndex(spark, dir)
@@ -1819,12 +1832,13 @@ object Dedup {
       val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("df", "h")
-      tok.join(dfreq, Seq("h"))
-        .withColumn("rnk", row_number().over(w))
-        // prefix length |d| − ⌈4|d|/5⌉ + 1, integer-exact at t = 4/5
-        .where(col("rnk") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
-        .select(col("doc_id"), col("sz"), col("h"), col("rnk"))
-        .write.mode("overwrite").parquet(loc)
+      graft.ops.Staging.publishIndex(spark, "ap_prefix", dir)(p =>
+        tok.join(dfreq, Seq("h"))
+          .withColumn("rnk", row_number().over(w))
+          // prefix length |d| − ⌈4|d|/5⌉ + 1, integer-exact at t = 4/5
+          .where(col("rnk") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
+          .select(col("doc_id"), col("sz"), col("h"), col("rnk"))
+          .write.mode("overwrite").parquet(p))
     }
     spark.read.parquet(loc)
   }

@@ -320,7 +320,63 @@ object Similarity {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
+  /** d40 — ANN recall@K as a FIRST-CLASS GATED METRIC: every
+    * approximate leg (d07 hyperplane-LSH, d08 IVF, d31 PQ-ADC, d33
+    * IVF-PQ) joined against the exact d06 top-K, one `(method,
+    * query_id, n_hits, recall)` row per query. Until now the ANN legs
+    * were oracle-checked for DETERMINISM of their candidate math only;
+    * this query puts the quality claim itself on the gate's hook — the
+    * oracle re-derives each method's top-K and the exact top-K
+    * independently, so a recall regression (a probe bug, a codebook
+    * drift) breaks the hash, exactly like d34 does for LSH banding.
+    * `recall = n_hits / K` is a ratio of identical ints → exact double
+    * parity.
+    *
+    * Scale shape: the exact leg is the d06 brute-force baseline — at
+    * 100 TB this is the standard sampled evaluation (run over a query
+    * SAMPLE, not the corpus; the per-query cost is one broadcast scan);
+    * each join is K-row-per-query sized.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    // K·queries rows, consumed once per ANN leg — checkpoint, don't
+    // re-run the brute-force scan four times
+    val exact = cosineTopK(spark, dir).select("query_id", "vec_id").localCheckpoint()
+    def leg(name: String, df: DataFrame): DataFrame =
+      exact
+        .join(df.select(col("query_id"), col("vec_id")).withColumn("hit", lit(1L)),
+          Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(lit(name).as("method"), col("query_id"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(TopK)).as("recall"))
+    leg("d07_lsh", annLsh(spark, dir))
+      .unionByName(leg("d08_ivf", annIvf(spark, dir)))
+      .unionByName(leg("d31_pq", Pq.annPq(spark, dir)))
+      .unionByName(leg("d33_ivfpq", Pq.annIvfPq(spark, dir)))
+      .orderBy("method", "query_id")
+  }
+
   // ---- DuckDB oracles -------------------------------------------------------
+
+  /** d40's replay: each leg's full oracle runs as a subquery against
+    * the exact top-K — algorithm-independent on both sides.
+    */
+  def oracleAnnRecall: String = {
+    val legs = Seq(
+      ("d07_lsh", oracleAnnLsh), ("d08_ivf", oracleAnnIvf),
+      ("d31_pq", Pq.oracleAnnPq), ("d33_ivfpq", Pq.oracleAnnIvfPq)).map { case (n, sql) =>
+      s"""SELECT '$n' AS method, e.query_id, count(m.vec_id) AS n_hits
+         |FROM exact e LEFT JOIN (SELECT query_id, vec_id FROM ($sql)) m
+         |  ON m.query_id = e.query_id AND m.vec_id = e.vec_id
+         |GROUP BY 1, 2""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH exact AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM ($oracleCosineTopK))
+       |SELECT method, query_id, n_hits::BIGINT AS n_hits,
+       |       n_hits::DOUBLE / $TopK AS recall
+       |FROM ($legs)
+       |ORDER BY method, query_id""".stripMargin
+  }
 
   val oracleCosineTopK: String =
     s"""WITH q AS (

@@ -28,6 +28,109 @@ object Staging {
     s"/tmp/graft_stage/${tag}_${digest}_p${ProcessHandle.current().pid()}"
   }
 
+  /** Cross-process staged-INDEX location: keyed by the input dir's
+    * content ERA — a digest of its recursive file listing (name,
+    * length, mtime) — instead of the JVM pid. Corpus-index artifacts
+    * (shingle/band tables, cluster labels, family/prefix indexes,
+    * dedup generations, z-order layouts) are deterministic functions
+    * of the input data, so any process over the same era derives the
+    * same path and REUSES the winner's build: the nightly-ingest story
+    * pays the corpus pass once per data era, not once per JVM restart.
+    * A regenerated fixture changes the listing ⇒ new era key ⇒ stale
+    * indexes are never read (the exact safety the pid key bought,
+    * without its restart cost). Writers must go through
+    * [[publishIndex]]; per-run scratch (CSV/JSON round trips,
+    * streaming checkpoints) stays on the pid-keyed [[stagePath]].
+    */
+  private[graft] def indexPath(tag: String, dir: String): String =
+    s"/tmp/graft_stage/${tag}_e${eraKey(dir)}_b$buildKey"
+
+  /** Build fingerprint mixed into every index path: a digest of the
+    * engine's own class files (or jar). Index artifacts are versioned
+    * by (data era, INDEX FORMAT) — reusing an artifact staged by an
+    * older build whose staging logic differed would silently serve
+    * stale semantics. Same build ⇒ same key ⇒ cross-process reuse;
+    * recompile ⇒ new key ⇒ rebuild. (Production analog: the format
+    * version a table format stamps into its manifests.)
+    */
+  private lazy val buildKey: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def walk(f: java.io.File): Unit = {
+      md.update(s"${f.getName}:${f.length}:${f.lastModified};".getBytes("UTF-8"))
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName).foreach(walk)
+    }
+    val src = getClass.getProtectionDomain.getCodeSource
+    if (src != null && src.getLocation != null)
+      walk(new java.io.File(src.getLocation.toURI))
+    md.digest().take(6).map("%02x".format(_)).mkString
+  }
+
+  /** Test hook: drop the memoized era keys so a spec can prove the
+    * path derivation is a pure function of (data, build) — what a
+    * fresh JVM would compute.
+    */
+  private[graft] def resetEraCacheForTest(): Unit = eraCache.clear()
+
+  private val eraCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def eraKey(dir: String): String =
+    eraCache.computeIfAbsent(dir, d => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(d.getBytes("UTF-8"))
+      def walk(f: java.io.File): Unit = {
+        md.update(s"${f.getName}:${f.length}:${f.lastModified};".getBytes("UTF-8"))
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName).foreach(walk)
+      }
+      val root = new java.io.File(d)
+      if (root.isDirectory)
+        Option(root.listFiles()).getOrElse(Array.empty).sortBy(_.getName).foreach(walk)
+      md.digest().take(8).map("%02x".format(_)).mkString
+    })
+
+  /** Atomic cross-process publish of a staged index: the build writes
+    * into a pid-suffixed temp location, then renames into the era
+    * path. Readers only ever see a complete, `_SUCCESS`-bearing
+    * directory; the loser of a concurrent-publish race discards its
+    * temp copy and adopts the winner's (both are byte-identical by
+    * determinism). A `_SUCCESS`-less corpse from a killed writer is
+    * cleared before the rename.
+    */
+  private[graft] def publishIndex(spark: SparkSession, tag: String, dir: String)(
+      write: String => Unit): String = {
+    val loc = indexPath(tag, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(loc)
+    val done = new org.apache.hadoop.fs.Path(loc, "_SUCCESS")
+    if (!fs.exists(done)) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        loc + s".tmp_p${ProcessHandle.current().pid()}")
+      fs.delete(tmp, true)
+      write(tmp.toString)
+      if (fs.exists(done)) fs.delete(tmp, true) // lost the race — adopt the winner
+      else {
+        fs.delete(dst, true)
+        if (!fs.rename(tmp, dst)) fs.delete(tmp, true)
+      }
+    }
+    loc
+  }
+
+  /** [[publishIndex]] for a single local FILE artifact (the serialized
+    * Bloom sketch): same tmp-write + atomic-rename publish.
+    */
+  private[graft] def publishIndexFile(tag: String, dir: String)(
+      write: java.io.File => Unit): java.io.File = {
+    val loc = new java.io.File(indexPath(tag, dir))
+    if (!loc.exists()) {
+      val tmp = new java.io.File(loc.getPath + s".tmp_p${ProcessHandle.current().pid()}")
+      tmp.getParentFile.mkdirs()
+      write(tmp)
+      if (loc.exists() || !tmp.renameTo(loc)) tmp.delete(): Unit
+    }
+    loc
+  }
+
   /** Explicit staging schema — the analog of the reference's dtype map:
     * never inferred, so a malformed extract fails loudly at read time
     * instead of silently shifting types.

@@ -51,14 +51,14 @@ object StreamCluster {
 
   def clusterMaintain(spark: SparkSession, dir: String): DataFrame = {
     val ss = StreamEnv.streamSession(spark)
-    // seed state + static corpus index, staged once per (process, dir)
+    // seed state + static corpus index, staged once per (data era, build), shared across processes
     val prior0 = Dedup.clusterLabels(spark, dir)
     Dedup.ccIndex(spark, dir)
-    val ccShPath = graft.ops.Staging.stagePath("cc_sh", dir)
-    val ccBandsPath = graft.ops.Staging.stagePath("cc_bands", dir)
+    val ccShPath = graft.ops.Staging.indexPath("cc_sh", dir)
+    val ccBandsPath = graft.ops.Staging.indexPath("cc_bands", dir)
 
     val base = graft.ops.Staging.stagePath("stream_cluster", dir)
-    val seedPath = graft.ops.Staging.stagePath("cc_labels", dir) // prior0's parquet
+    val seedPath = graft.ops.Staging.indexPath("cc_labels", dir) // prior0's parquet
     val fs = FileSystem.get(ss.sparkContext.hadoopConfiguration)
     fs.delete(new Path(base), true)
 

@@ -138,4 +138,16 @@ class CurationSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("t16b: spans cover every EXACT duplicated k-word window (the pinned bound)") {
+    val rows = Curation.spanBound(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("all_covered") == 1L,
+        s"doc ${r.getLong(0)}: ${r.getAs[Long]("n_covered")}/${r.getAs[Long]("n_dup_windows")} covered")
+      assert(r.getAs[Long]("excess_positions") >= 0L)
+    }
+    // the approximation found real duplicated mass, not an empty claim
+    assert(rows.map(_.getAs[Long]("n_dup_windows")).sum > 0L)
+  }
 }

@@ -87,4 +87,15 @@ class PqSpec extends AnyFunSuite {
     assert(nljs.forall(_.contains("Cross")),
       s"unexpected non-cross NLJ: ${nljs.mkString("; ")}")
   }
+
+  test("d40: one recall row per (method, query), n_hits within [0, K]") {
+    val rows = graft.llm.Similarity.annRecall(spark, Sf).collect()
+    val methods = Seq("d07_lsh", "d08_ivf", "d31_pq", "d33_ivfpq")
+    assert(rows.length == methods.size * graft.llm.Similarity.NumQueries)
+    rows.foreach { r =>
+      val (h, rec) = (r.getAs[Long]("n_hits"), r.getAs[Double]("recall"))
+      assert(h >= 0 && h <= graft.llm.Similarity.TopK)
+      assert(rec == h.toDouble / graft.llm.Similarity.TopK)
+    }
+  }
 }
