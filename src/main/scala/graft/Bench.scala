@@ -95,10 +95,29 @@ object Bench {
     // regression gate.
     val cap = sys.env.getOrElse("SPARK_GRAFT_QUERY_CAP_SECS", "10.0").toDouble
     if (sfDir.contains("sf0.1")) {
-      val over = results.collect { case (k, v, None) if v > cap => (k, v) }
+      // per-query caps from the committed reference run (BENCH_REF.json,
+      // refreshed each round): cap = clamp(4 × ref, [2 s, global cap]).
+      // 4× sits above the documented same-code ambient band (~1.5×,
+      // up to ~3× behind a cache-evicting DuckDB gate — SCALING.md) but
+      // catches the class the global cap is blind to: a sub-second
+      // query creeping to several seconds (q16's round-4 0.33→3.8 s
+      // went unflagged by the 10 s cap). Queries absent from the
+      // reference (new this round) get the global cap only.
+      val refCaps: Map[String, Double] =
+        try {
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_REF.json"))), "UTF-8")
+          val qsPart = txt.drop(txt.indexOf("\"queries\""))
+          "\"([A-Za-z0-9_]+)\":([0-9][0-9.Ee+-]*)".r.findAllMatchIn(qsPart)
+            .map(m => m.group(1) -> math.min(cap, math.max(2.0, 4.0 * m.group(2).toDouble)))
+            .toMap
+        } catch { case _: Throwable => Map.empty }
+      val over = results.collect {
+        case (k, v, None) if v > refCaps.getOrElse(k, cap) => (k, v, refCaps.getOrElse(k, cap))
+      }
       if (over.nonEmpty) {
-        over.foreach { case (k, v) =>
-          System.err.println(f"[bench] BUDGET BREACH: $k took $v%.2f s > $cap%.1f s cap")
+        over.foreach { case (k, v, c) =>
+          System.err.println(f"[bench] BUDGET BREACH: $k took $v%.2f s > $c%.1f s cap")
         }
         sys.exit(1)
       }

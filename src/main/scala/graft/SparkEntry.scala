@@ -106,6 +106,7 @@ object SparkEntry {
     "d36_pagerank"          -> (llm.Graph.pageRank(_, _)),
     "t16_dup_spans"         -> (llm.Curation.dupSpans(_, _)),
     "t16b_span_bound"       -> (llm.Curation.spanBound(_, _)),
+    "t17_exact_char_spans"  -> (llm.Curation.exactCharSpans(_, _)),
     "d40_ann_recall"        -> (llm.Similarity.annRecall(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
     "d38_triangles"         -> (llm.Graph.triangles(_, _)),
@@ -535,6 +536,7 @@ object SparkEntry {
     "d36_pagerank"      -> llm.Graph.oraclePageRank,
     "t16_dup_spans"     -> llm.Curation.oracleDupSpans,
     "t16b_span_bound"   -> llm.Curation.oracleSpanBound,
+    "t17_exact_char_spans" -> llm.Curation.oracleExactCharSpans,
     "d40_ann_recall"    -> llm.Similarity.oracleAnnRecall,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,
     "d38_triangles"     -> llm.Graph.oracleTriangles,

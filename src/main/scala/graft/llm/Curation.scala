@@ -482,6 +482,106 @@ object Curation {
        |ORDER BY p.doc_id""".stripMargin
   }
 
+  /** Min duplicated-substring length for t17 (chars) — the L = 50 knob
+    * of Lee et al.'s ExactSubstr, scaled to the fixture's ~500-char
+    * docs.
+    */
+  val ExactSpanL = 30
+
+  /** t17 — EXACT substring dedup at character granularity: the output
+    * of suffix-array substring dedup (Lee et al. arXiv:2107.06499,
+    * ExactSubstr with min length L = [[ExactSpanL]]), computed by a
+    * different, Spark-native algorithm. The identity that makes this
+    * EXACT, not an approximation: a position is covered by a
+    * cross-doc duplicated substring of length ≥ L iff it lies inside a
+    * duplicated L-char WINDOW (every length-≥L duplicate is the union
+    * of its own L-windows, each itself duplicated) — so the removal
+    * set equals the union of duplicated L-windows, and merging window
+    * starts with tolerance L−1 yields precisely the maximal covered
+    * char intervals a suffix array would report. Windows compare by
+    * FULL STRING EQUALITY (no hashing anywhere), so there is no
+    * collision error term: this is the audit-grade exact leg t16
+    * approximates at word granularity, and t16b's bound now has an
+    * in-engine exact reference.
+    *
+    * Scale: each position materializes its L-char window → the join
+    * mass is L× the corpus bytes (the trade suffix arrays exist to
+    * avoid). Every stage is still a hash-partitioned agg/join with
+    * map-side partials — no pairwise stage — so it runs at any scale
+    * that affords the L× shuffle; the production variants are (a) the
+    * hashed t16 shape (56-bit collisions ≈ 3·10⁻¹⁸/pair) when the
+    * error term is acceptable, or (b) this exact leg over a sample or
+    * per-shard for audits. Both are deliberate points on the same
+    * cost/exactness curve, now all three gated.
+    */
+  def exactCharSpans(spark: SparkSession, dir: String): DataFrame =
+    exactCharSpansOn(Tables.documents(spark, dir), ExactSpanL)
+
+  /** t17 core on any `(doc_id, text)` relation with min span length `l`.
+    *
+    * Single-phase by measurement: a hash-prefilter variant (find
+    * duplicated 64-bit window hashes first, move strings only for
+    * survivors, exact-confirm by string equality — lossless, since
+    * equal strings always share a hash) was built and benched at
+    * 8.7-11.0 s vs 7.5 s for this shape at sf0.1 — the fixture's cost
+    * is the window EXPLODE itself, not the string shuffle, so the
+    * second pass never repays. On a corpus whose duplicated fraction
+    * is small and whose string shuffle dominates, that two-phase
+    * variant is the production shape; at fixture scale the simple
+    * plan wins and is what the oracle replays.
+    */
+  def exactCharSpansOn(documents: DataFrame, l: Int): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .where(col("len") >= l)
+    val win = docs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), col("len") - lit(l - 1)),
+          i => col("text").substr(i, lit(l)))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("g"))
+    val dup = win.groupBy("g")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select("g")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    val isl = win.join(dup, Seq("g"))
+      .select("doc_id", "pos")
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) > lit(l - 1), 1L).otherwise(0L))
+      .withColumn("grp", sum("brk").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+    isl.groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(l - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_chars"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  val oracleExactCharSpans: String = {
+    val l = ExactSpanL
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS len FROM documents
+       |  WHERE length(text) >= $l),
+       |win AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos, substr(text, i::INT, $l) AS g
+       |  FROM d, unnest(range(1, len - ${l - 1} + 1)) AS t(i)),
+       |dup AS (SELECT g FROM win GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+       |brk AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |                   > ${l - 1} THEN 1 ELSE 0 END AS b
+       |  FROM win JOIN dup USING (g)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM brk)
+       |SELECT doc_id, min(pos) AS span_start, max(pos) + ${l - 1} AS span_end,
+       |       max(pos) + ${l - 1} - min(pos) + 1 AS span_chars
+       |FROM isl GROUP BY doc_id, grp
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
   val oracleDupSpans: String = {
     val k = SpanK
     s"""WITH toks AS (

@@ -1330,13 +1330,24 @@ object Dedup {
     * side: band-bucket candidates (batch↔existing via a broadcast of
     * the batch bands against the existing band table; batch↔batch via
     * a band self-join), verified by exact Jaccard on the shingle
-    * arrays. The batch shingle side broadcasts (batch-sized, MBs);
-    * only the existing-side shingle leg of the batch↔existing verify
-    * shuffles, keyed by the candidate doc ids — the batch↔batch verify
-    * never shuffles. Shared by d32 and the s13 streaming fold.
+    * arrays. The batch shingle side broadcasts (batch-sized, MBs).
+    * The existing-side shingle leg is SEMI-PRUNED to the candidate doc
+    * ids (a broadcast of the batch-sized id set) BEFORE any join — the
+    * corpus's heavy array rows never shuffle; only candidate-touched
+    * rows move. This is the 100 TB-load-bearing line: the prior shape
+    * shuffled the ENTIRE existing shingle relation per micro-batch
+    * (measured ~2 s/fold at sf0.1; a petabyte-scale non-starter).
+    * The batch↔batch verify never shuffles. Shared by d32 and the s13
+    * streaming fold.
     */
   private[graft] def batchEdges(bSh: DataFrame, bBands: DataFrame,
       exSh: DataFrame, exBands: DataFrame): DataFrame = {
+    // bc is read twice (semi-prune id set + verify join) and is NOT
+    // checkpointed on purpose: the probe is one broadcast map-side
+    // pass over the band index, and re-running it is measurably
+    // cheaper than materializing it (a localCheckpoint here cost
+    // +1.5 s/fold at sf0.1 — storage write + extra job beat a cheap
+    // recompute)
     val bc = exBands.as("e").join(broadcast(bBands).as("i"),
         col("i.band") === col("e.band") && col("i.band_hash") === col("e.band_hash"))
       .select(col("i.doc_id").as("id_a"), col("e.doc_id").as("id_b")).distinct()
@@ -1345,9 +1356,16 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
     def verified(cand: DataFrame, shB: DataFrame, broadcastB: Boolean): DataFrame = {
-      val right = shB.select(col("doc_id").as("id_b"), col("hs").as("hb"))
+      val right0 = shB.select(col("doc_id").as("id_b"), col("hs").as("hb"))
+      val right =
+        if (broadcastB) broadcast(right0)
+        // semi-prune to candidate ids (map-side, corpus arrays never
+        // shuffle), then broadcast the batch-sized survivor set so the
+        // verify join is shuffle-free end to end
+        else broadcast(
+          right0.join(broadcast(cand.select("id_b").distinct()), Seq("id_b"), "left_semi"))
       cand.join(broadcast(bSh.select(col("doc_id").as("id_a"), col("hs").as("ha"))), Seq("id_a"))
-        .join(if (broadcastB) broadcast(right) else right, Seq("id_b"))
+        .join(right, Seq("id_b"))
         .select(col("id_a"), col("id_b"),
           // all shingle relations entering here are SORTED (staged
           // cc_sh, sorted batch arrays, sorted appendices) — native

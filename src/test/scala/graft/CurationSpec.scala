@@ -150,4 +150,39 @@ class CurationSpec extends AnyFunSuite {
     // the approximation found real duplicated mass, not an empty claim
     assert(rows.map(_.getAs[Long]("n_dup_windows")).sum > 0L)
   }
+
+  test("t17: exact char spans equal hand-computed suffix-array output on a crafted corpus") {
+    import SparkTestBase.spark.implicits._
+    val l = 10
+    // doc 1/2 share chars 11..40 ("BBBB...B" block); doc 3 shares
+    // nothing ≥ l; doc 4 is an exact copy of doc 1 (fully covered)
+    val shared = "B" * 30
+    val d1 = "a" * 10 + shared + "c" * 10
+    val d2 = "x" * 5 + shared + "y" * 20
+    val d3 = "unique-" * 10
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d1)).toDF("doc_id", "text")
+    val got = graft.llm.Curation.exactCharSpansOn(docs, l).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // docs 1 and 4 are identical → whole doc covered; doc 2's covered
+    // region is exactly the shared block (chars 6..35 1-based)
+    assert(got == Set(
+      (1L, 1L, d1.length.toLong), (4L, 1L, d1.length.toLong),
+      (2L, 6L, 35L)), s"got $got")
+  }
+
+  test("t17 on corpus: spans exact, ≥ L chars, disjoint; exact-copy docs fully covered") {
+    val l = graft.llm.Curation.ExactSpanL
+    val rows = graft.llm.Curation.exactCharSpans(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (doc, spans) =>
+      val sorted = spans.sortBy(_._2)
+      sorted.foreach { case (_, s, e, w) =>
+        assert(e - s + 1 == w && w >= l, s"doc $doc span $s..$e") }
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) => assert(s2 > e1)
+        case _ =>
+      }
+    }
+  }
 }

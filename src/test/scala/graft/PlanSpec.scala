@@ -310,6 +310,20 @@ class PlanSpec extends AnyFunSuite {
       "array_intersect must not appear in the d37 verify plan")
   }
 
+  test("d36/d38/d39: graph trio's pair source is the staged REP graph, not a member pipeline") {
+    // the round-6 scale contract: the analytics consume the family-
+    // contracted rep graph (copy-factor-invariant) — at query time the
+    // pair source is ONE staged parquet scan, with no band join and no
+    // shingle-array verify left in its plan; and the rep edge set is
+    // never larger than the member-level pair set it contracts
+    val (_, edges, _) = graft.llm.Dedup.contractedPairGraph(spark, Sf)
+    val scan = edges.queryExecution.executedPlan.toString
+    assert(scan.contains("rep_graph"), s"expected the staged rep_graph scan:\n$scan")
+    assert(!scan.contains("band_hash") && !scan.contains("sorted_intersect_count"),
+      s"rep graph must be staged, not recomputed per query:\n$scan")
+    assert(edges.count() <= graft.llm.Dedup.lshJaccardPairs(spark, Sf).count())
+  }
+
   test("d35: an explicit repartition feeds the Levenshtein stage") {
     // the AQE-density lesson: without it the DP cells serialize onto
     // the single-file corpus scan's one partition
