@@ -108,8 +108,16 @@ object Bench {
           val txt = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_REF.json"))), "UTF-8")
           val qsPart = txt.drop(txt.indexOf("\"queries\""))
+          // cap = max(min(4·ref, global), 1.6·ref): 4× headroom for the
+          // sub-second majority, and a query whose reference already
+          // sits near the global cap (t17 7.5 s, s13 6.7 s) still gets
+          // the documented ~1.5× ambient band above its own reference
+          // instead of a cliff at the global value
           "\"([A-Za-z0-9_]+)\":([0-9][0-9.Ee+-]*)".r.findAllMatchIn(qsPart)
-            .map(m => m.group(1) -> math.min(cap, math.max(2.0, 4.0 * m.group(2).toDouble)))
+            .map { m =>
+              val ref = m.group(2).toDouble
+              m.group(1) -> math.max(math.min(cap, math.max(2.0, 4.0 * ref)), 1.6 * ref)
+            }
             .toMap
         } catch { case _: Throwable => Map.empty }
       val over = results.collect {
