@@ -80,6 +80,7 @@ object SparkEntry {
     "s12_stream_ingest" -> (streaming.StreamIngest.bloomIngest(_, _)),
     "s13_stream_cluster" -> (streaming.StreamCluster.clusterMaintain(_, _)),
     "s14_stream_sessions" -> (streaming.Sessionize.streamSessions(_, _)),
+    "s15_stream_vec_ingest" -> (streaming.StreamVecIngest.ivfIngest(_, _)),
     "m14_silence_spans" -> (llm.Multimodal.silenceSpans(_, _)),
     "q59_bucketed_agg"  -> (ops.Staging.bucketedAgg(_, _)),
     "q60_mad_outliers"  -> (ops.CoreOps.madOutliers(_, _)),
@@ -547,6 +548,7 @@ object SparkEntry {
     "s12_stream_ingest" -> streaming.StreamIngest.oracleBloomIngest,
     "s13_stream_cluster" -> streaming.StreamCluster.oracleClusterMaintain,
     "s14_stream_sessions" -> streaming.Sessionize.oracleStreamSessions,
+    "s15_stream_vec_ingest" -> streaming.StreamVecIngest.oracleIvfIngest,
     "m14_silence_spans" -> llm.Multimodal.oracleSilenceSpans,
     "q59_bucketed_agg"  -> ops.Staging.oracleBucketedAgg,
     "q60_mad_outliers"  -> ops.CoreOps.oracleMadOutliers,

@@ -403,7 +403,7 @@ object Similarity {
     * centroid doubles bit-identical to the Spark loop's, so assignment
     * and scores hash-match.
     */
-  private[llm] val lloydMembersSql: String = {
+  private[graft] val lloydMembersSql: String = {
     val rounds = (1 to LloydRounds).map { r =>
       s"""a$r AS MATERIALIZED (
          |  SELECT vec_id, e, cell FROM (

@@ -59,4 +59,14 @@ class StreamDedupSpec extends AnyFunSuite {
       assert(sorted.last.getLong(2) == total, s"$t: final cum_n != batch count")
     }
   }
+
+  test("s15: streamed IVF index inventories every vector exactly once") {
+    val out = graft.streaming.StreamVecIngest.ivfIngest(spark, Sf).collect()
+    assert(out.nonEmpty)
+    // cells are unique rows; vector counts sum to the corpus size —
+    // no batch dropped, none double-appended
+    assert(out.map(_.getAs[Int]("cell")).distinct.length == out.length)
+    val total = out.map(_.getAs[Long]("n_vecs")).sum
+    assert(total == graft.tables.Tables.embeddings(spark, Sf).count())
+  }
 }
