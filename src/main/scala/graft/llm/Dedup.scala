@@ -594,9 +594,20 @@ object Dedup {
     * (see [[SimhashChunks]]), and only those pay the Hamming verify.
     * Cost is O(Σ bucket²) instead of O(n²) — the chunk key is an
     * ordinary shuffle key, so the join scales out like any hash join.
+    *
+    * Like d35/d37, the pairwise stage runs on exact-content family
+    * REPRESENTATIVES only ([[contentFamilies]]): identical texts have
+    * identical signatures, so every chunk bucket on a k-copy corpus
+    * holds the same k members and the member-level join pays k² per
+    * bucket for pairs whose verdict is already decided. Rep pairs are
+    * fanned back to member level afterwards (cross pairs inherit the
+    * rep Hamming distance verbatim; within-family pairs are hd = 0) —
+    * result-exact, candidate mass copy-factor-INVARIANT.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = corpus(spark, dir)
+    val fams = contentFamilies(spark, dir)
+    val repSigs = corpus(spark, dir)
+      .join(fams.where(col("doc_id") === col("rep")).select("doc_id"), Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         graft.expr.HashFunctions.simHash56(col("text"), 99).as("simhash"))
       .filter(col("simhash").isNotNull)
@@ -610,16 +621,23 @@ object Dedup {
       struct(lit(c).as("ci"),
         shiftright(col("simhash"), c * ChunkBits).bitwiseAND(lit((1L << ChunkBits) - 1)).as("cv"))
     }
-    val chunks = sigs
+    val chunks = repSigs
       .select(col("doc_id"), col("simhash"), explode(array(chunkStructs: _*)).as("ch"))
       .select(col("doc_id"), col("simhash"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
-    chunks.as("a").join(chunks.as("b"),
+    val repPairs = chunks.as("a").join(chunks.as("b"),
         col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         expr("cast(bit_count(a.simhash ^ b.simhash) as int)").as("hamming"))
       .filter(col("hamming") <= HammingMax)
       .distinct() // a pair can agree on several chunks
+      .localCheckpoint() // eager: rep-pair set is small; frees the sig cache
+    // token-less docs (null signature) never pair at member level either;
+    // identical text ⇒ identical tokenization, so the family is dropped whole
+    val okReps = repSigs.select(col("doc_id").as("rep")).localCheckpoint()
+    repSigs.unpersist()
+    val sigFams = fams.join(okReps, Seq("rep"), "left_semi")
+    expandFamilies(repPairs, sigFams, Seq("hamming"), Seq(lit(0)))
       .orderBy("id_a", "id_b")
   }
 

@@ -232,18 +232,49 @@ object Similarity {
     * LSH-join layout that scales out on the bucket key.
     */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    // Exact-vector family contraction (the d05/d35/d37 pattern on the
+    // vector column): bitwise-identical embeddings share buckets and
+    // every pairwise cosine, so the LSH join runs on one REPRESENTATIVE
+    // per distinct vector and results fan back out — candidate mass is
+    // copy-factor-invariant on an exact-copy-heavy corpus. Grouping is
+    // on the raw array value (no hash key, so no collision risk); the
+    // two contraction shuffles are linear in the corpus.
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val fams = base.groupBy("embedding").agg(min("vec_id").as("rep")).persist()
+    val emb = fams.select(col("rep").as("vec_id"), col("embedding"))
       .withColumn("bucket", bucketCol("embedding"))
     val probeMasks = array((lit(0) +: (0 until NumPlanes).map(p => lit(1 << p))): _*)
     val probed = emb.select(
       col("vec_id").as("id_a"), col("embedding").as("ea"),
       explode(transform(probeMasks, m => col("bucket").bitwiseXOR(m))).as("bucket"))
-    probed.join(emb, Seq("bucket"))
+    val repPairs = probed.join(emb, Seq("bucket"))
       .filter(col("id_a") < col("vec_id"))
       .select(col("id_a"), col("vec_id").as("id_b"),
         round(cosineSimilarity(col("ea"), col("embedding")), 6).as("score"))
       .filter(col("score") >= NearDupThreshold)
-      .orderBy("id_a", "id_b")
+      .localCheckpoint() // eager: rep-pair set is the contracted answer core
+    val m = base.join(fams, Seq("embedding")).select(col("vec_id"), col("rep"))
+      .localCheckpoint() // eager membership map; frees the vector-keyed cache
+    // within-family score = the member-level expression over the rep's
+    // vector (members are bitwise-identical) — same bits, computed once
+    // per family; a degenerate self-score (NaN on a zero vector) drops
+    // the family exactly as it would drop every member pair
+    val selfScores = fams.select(col("rep"),
+        round(cosineSimilarity(col("embedding"), col("embedding")), 6).as("score"))
+      .filter(col("score") >= NearDupThreshold)
+      .localCheckpoint()
+    fams.unpersist()
+    val cross = repPairs
+      .join(m.select(col("rep").as("id_a"), col("vec_id").as("a2")), Seq("id_a"))
+      .join(m.select(col("rep").as("id_b"), col("vec_id").as("b2")), Seq("id_b"))
+      .select(least(col("a2"), col("b2")).as("id_a"),
+        greatest(col("a2"), col("b2")).as("id_b"), col("score"))
+    val within = m.as("x")
+      .join(m.as("y"), col("x.rep") === col("y.rep") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"), col("x.rep").as("rep"))
+      .join(selfScores, Seq("rep"))
+      .select(col("id_a"), col("id_b"), col("score"))
+    cross.unionByName(within).orderBy("id_a", "id_b")
   }
 
   /** d09 — embedding norm statistics per label: L2 norms via an ordered
