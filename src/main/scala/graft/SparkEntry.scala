@@ -108,6 +108,8 @@ object SparkEntry {
     "t16_dup_spans"         -> (llm.Curation.dupSpans(_, _)),
     "t16b_span_bound"       -> (llm.Curation.spanBound(_, _)),
     "t17_exact_char_spans"  -> (llm.Curation.exactCharSpans(_, _)),
+    "t18_perplexity"        -> (llm.LangModel.perplexityBuckets(_, _)),
+    "t19_bm25"              -> (llm.Retrieval.bm25TopK(_, _)),
     "d40_ann_recall"        -> (llm.Similarity.annRecall(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
     "d38_triangles"         -> (llm.Graph.triangles(_, _)),
@@ -538,6 +540,8 @@ object SparkEntry {
     "t16_dup_spans"     -> llm.Curation.oracleDupSpans,
     "t16b_span_bound"   -> llm.Curation.oracleSpanBound,
     "t17_exact_char_spans" -> llm.Curation.oracleExactCharSpans,
+    "t18_perplexity"    -> llm.LangModel.oraclePerplexityBuckets,
+    "t19_bm25"          -> llm.Retrieval.oracleBm25TopK,
     "d40_ann_recall"    -> llm.Similarity.oracleAnnRecall,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,
     "d38_triangles"     -> llm.Graph.oracleTriangles,

@@ -67,6 +67,93 @@ object LangModel {
       .orderBy("doc_id")
   }
 
+  /** t18 — perplexity-bucket filter (the CCNet shape: score every doc
+    * against a corpus-trained LM, split the corpus into head/middle/
+    * tail by perplexity, keep head+middle — Wenzek et al.,
+    * arXiv:1911.00359). The LM is the t12 bigram table with add-one
+    * smoothing over the corpus vocabulary.
+    *
+    * Cross-entropy is computed at INTEGER BIT RESOLUTION: each bigram
+    * occurrence contributes `ilog2(cc + V) − ilog2(bc + 1)` whole bits
+    * (`ilog2(n) = length(bin(n)) − 1`, exact in both engines — no
+    * float log anywhere), so the per-doc total is a BIGINT sum —
+    * order-independent, hash-exact — instead of a partition-order-
+    * dependent sum of doubles. The 1-bit-per-term resolution is the
+    * DECLARED approximation (the q56/d16 pattern: production would sum
+    * float log-probs; the integer twin is the cross-engine-verifiable
+    * form and preserves the head/middle/tail split semantics).
+    *
+    * Scale shape (100 TB): count tables as in t12 (shuffled equi-joins,
+    * no vocab broadcast), one BIGINT per-doc aggregate, then a single
+    * global `ntile(3)` sort on the compact (doc_id, bits) relation. At
+    * real scale the exact ntile becomes two approx-quantile thresholds
+    * (q56) + a map-side bucket compare; the exact sort is kept here
+    * because it is the oracle-checkable form.
+    */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ilog2(c: org.apache.spark.sql.Column) = length(bin(c)) - 1
+    // bg feeds four subtrees (bc, cc, vocab, the scoring join) — persist
+    // or the tokenize+explode runs once per consumer (the d18 lesson)
+    val bg = bigramRows(spark, dir).persist()
+    val occ = bg.filter(col("w1").isNotNull)
+    val bc = occ.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+    val cc = occ.groupBy("w1").agg(count(lit(1)).as("cc"))
+    val vocab = occ.select(col("w1").as("w"))
+      .unionByName(occ.select(col("w2").as("w")))
+      .agg(countDistinct("w").as("v"))
+    val perDoc = bg.join(bc, Seq("w1", "w2"), "left")
+      .join(cc, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(col("w1")).as("n_bigrams"),
+           coalesce(sum(ilog2(col("cc") + col("v")) - ilog2(col("bc") + 1)), lit(0L))
+             .cast("long").as("sum_bits"))
+      .withColumn("bits_x1000",
+        when(col("n_bigrams") > 0, expr("sum_bits * 1000 div n_bigrams")).otherwise(lit(0L)))
+    val scored = perDoc
+      .localCheckpoint() // compact (doc, bits) rows; the global ntile
+      // window + presentation sort would otherwise re-run the whole
+      // scoring chain (rangepartitioning samples its child)
+    bg.unpersist()
+    scored
+      .withColumn("tertile",
+        ntile(3).over(Window.orderBy(col("bits_x1000"), col("doc_id"))).cast("long"))
+      .withColumn("keep", col("tertile") <= 2)
+      .orderBy("doc_id")
+  }
+
+  val oraclePerplexityBuckets: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |  FROM documents),
+      |bg0 AS (
+      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) u),
+      |bc AS (SELECT w1, w2, count(*) AS bc FROM bg0 GROUP BY 1, 2),
+      |cc AS (SELECT w1, count(*) AS cc FROM bg0 GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v FROM (
+      |  SELECT w1 AS w FROM bg0 UNION ALL SELECT w2 FROM bg0)),
+      |agg AS (
+      |  SELECT doc_id,
+      |         count(*) AS n_bigrams,
+      |         sum(length(bin(cc.cc + v.v)) - 1 - (length(bin(bc.bc + 1)) - 1))::BIGINT AS sum_bits
+      |  FROM bg0 JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
+      |  GROUP BY doc_id),
+      |perdoc AS (
+      |  SELECT d.doc_id,
+      |         coalesce(n_bigrams, 0) AS n_bigrams,
+      |         coalesce(sum_bits, 0) AS sum_bits,
+      |         CASE WHEN coalesce(n_bigrams, 0) > 0
+      |              THEN (coalesce(sum_bits, 0) * 1000) // n_bigrams
+      |              ELSE 0 END AS bits_x1000
+      |  FROM documents d LEFT JOIN agg USING (doc_id))
+      |SELECT doc_id, n_bigrams, sum_bits, bits_x1000,
+      |  ntile(3) OVER (ORDER BY bits_x1000, doc_id) AS tertile,
+      |  ntile(3) OVER (ORDER BY bits_x1000, doc_id) <= 2 AS keep
+      |FROM perdoc
+      |ORDER BY doc_id""".stripMargin
+
   /** DuckDB twin: same bigram extraction (1-based `t[i]`/`t[i+1]`),
     * same count tables, same ratio-of-BIGINT-sums. `range(1, len(t))`
     * is empty for len < 2 (DuckDB ranges don't reverse), so short docs

@@ -148,4 +148,60 @@ class SketchAndLmSpec extends AnyFunSuite {
     assert(rows.exists(_.getLong(3) == 0L), "no top word read back collision-free")
     rows.foreach(r => assert(r.getLong(2) <= totalTokens))
   }
+
+  test("t18: tertiles balance, keep = head+middle, micro corpus bits by hand") {
+    import spark.implicits._
+    val out = LangModel.perplexityBuckets(spark, Sf).collect()
+    val nDocs = graft.tables.Tables.documents(spark, Sf).count()
+    assert(out.length == nDocs, "one bucket row per document")
+    val byTertile = out.groupBy(_.getLong(4)).view.mapValues(_.length).toMap
+    assert(byTertile.keySet == Set(1L, 2L, 3L))
+    assert(byTertile.values.max - byTertile.values.min <= 1, s"unbalanced: $byTertile")
+    out.foreach { r =>
+      assert(r.getBoolean(5) == (r.getLong(4) <= 2), "keep must be tertile <= 2")
+      assert(r.getLong(2) >= 0, "surprisal bits are non-negative")
+    }
+    // micro corpus: "a b a b" / "a b" / "c a" — bc(a,b)=3,(b,a)=1,(c,a)=1;
+    // cc a=3,b=1,c=1; V=3. Bits: d1 = 0+1+0 (333/1000), d2 = 0, d3 = 1 (1000)
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c a")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("t18micro").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val micro = LangModel.perplexityBuckets(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(micro == Set((1L, 1L, 333L, 2L), (2L, 0L, 0L, 1L), (3L, 1L, 1000L, 3L)),
+      s"hand-computed micro corpus mismatch: $micro")
+  }
+
+  test("t19: ranks are contiguous and ordered by the BM25 formula") {
+    val out = graft.llm.Retrieval.bm25TopK(spark, Sf).collect()
+    val byWord = out.groupBy(_.getString(0))
+    assert(byWord.size == graft.llm.Retrieval.QueryTerms)
+    // recompute N and avgdl the same way the query does
+    val tf = graft.tables.Tables.documents(spark, Sf)
+      .select(col("doc_id"), explode(graft.llm.TextStats.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nDocs = dl.size.toLong
+    val avgdl = dl.values.sum.toDouble / nDocs
+    def bm25(tfv: Long, dfv: Long, dlv: Long): Double = {
+      val idf = math.log(1.0 + (nDocs - dfv + 0.5) / (dfv + 0.5))
+      idf * (tfv * (graft.llm.Retrieval.K1 + 1.0)) /
+        (tfv + graft.llm.Retrieval.K1 *
+          (1.0 - graft.llm.Retrieval.B + graft.llm.Retrieval.B * dlv / avgdl))
+    }
+    byWord.foreach { case (word, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq,
+        s"$word: ranks not contiguous from 1")
+      assert(sorted.length <= graft.llm.Retrieval.TopK)
+      // emitted order must match the formula recomputed from the integers
+      val scores = sorted.map(r => (bm25(r.getLong(3), r.getLong(4), r.getLong(5)), r.getLong(2)))
+      val resorted = scores.sortBy { case (s, id) => (-s, id) }
+      assert(scores.toSeq == resorted.toSeq, s"$word: rank order violates BM25 scores")
+      rows.foreach(r => assert(r.getLong(3) <= r.getLong(5), "tf cannot exceed doc length"))
+    }
+  }
 }
