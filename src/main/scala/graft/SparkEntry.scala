@@ -81,6 +81,7 @@ object SparkEntry {
     "s13_stream_cluster" -> (streaming.StreamCluster.clusterMaintain(_, _)),
     "s14_stream_sessions" -> (streaming.Sessionize.streamSessions(_, _)),
     "s15_stream_vec_ingest" -> (streaming.StreamVecIngest.ivfIngest(_, _)),
+    "s16_stream_decontam"   -> (streaming.StreamDecontam.decontamIngest(_, _)),
     "m14_silence_spans" -> (llm.Multimodal.silenceSpans(_, _)),
     "q59_bucketed_agg"  -> (ops.Staging.bucketedAgg(_, _)),
     "q60_mad_outliers"  -> (ops.CoreOps.madOutliers(_, _)),
@@ -553,6 +554,7 @@ object SparkEntry {
     "s13_stream_cluster" -> streaming.StreamCluster.oracleClusterMaintain,
     "s14_stream_sessions" -> streaming.Sessionize.oracleStreamSessions,
     "s15_stream_vec_ingest" -> streaming.StreamVecIngest.oracleIvfIngest,
+    "s16_stream_decontam" -> streaming.StreamDecontam.oracleDecontamIngest,
     "m14_silence_spans" -> llm.Multimodal.oracleSilenceSpans,
     "q59_bucketed_agg"  -> ops.Staging.oracleBucketedAgg,
     "q60_mad_outliers"  -> ops.CoreOps.oracleMadOutliers,

@@ -45,7 +45,7 @@ object Curation {
     * (empty for docs with fewer than [[NgramWords]] words — the guard
     * keeps `sequence` from generating a negative-step range).
     */
-  private def ngramHashes(text: Column): Column = {
+  private[graft] def ngramHashes(text: Column): Column = {
     val ws = split(text, " ")
     when(size(ws) >= NgramWords,
       array_distinct(transform(

@@ -69,4 +69,13 @@ class StreamDedupSpec extends AnyFunSuite {
     val total = out.map(_.getAs[Long]("n_vecs")).sum
     assert(total == graft.tables.Tables.embeddings(spark, Sf).count())
   }
+
+  test("s16 streaming decontamination equals the one-shot d18 scan (Kappa)") {
+    val streamed = graft.streaming.StreamDecontam.decontamIngest(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.llm.Curation.decontaminate(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed.nonEmpty, "fixture must contain contamination to find")
+    assert(streamed == batch, "micro-batched union must equal the one-shot scan")
+  }
 }
