@@ -62,28 +62,65 @@ object Curation {
     * landing in `test` while its original landed in `train` is exactly
     * the leak this scan exists to catch.
     *
-    * Shuffle budget: one n-gram-hash aggregate (the df cap), then one
-    * equi-join on the hash, then one pair aggregate — all keyed, no
-    * broadcast of the corpus, no all-pairs anything.
+    * Shuffle budget: the posting index ([[decontamIndex]] — one
+    * explode + df aggregate, staged per era) then one equi-join on
+    * the hash and one pair aggregate — all keyed, no broadcast of the
+    * corpus, no all-pairs anything.
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    // persisted: the explode+md5 n-gram leg is the dominant CPU cost
-    // and feeds THREE subtrees (the df cap, the train side, the eval
-    // side) — uncached it would run three times
-    val ex = Dedup.corpus(spark, dir)
-      .select(col("doc_id"), Sampling.splitCol(col("doc_id")).as("split"),
-        explode(ngramHashes(col("text"))).as("h"))
-      .persist()
-    val allowed = ex.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxNgramDf)
-    val t = ex.filter(col("split") === "train").join(allowed, Seq("h"))
-      .select(col("h"), col("doc_id").as("train_id"))
-    val e = ex.filter(col("split") === "test")
-      .select(col("h"), col("doc_id").as("eval_id"))
-    t.join(e, Seq("h"))
+    val (_, evalPath, trainPath) = decontamIndex(spark, dir)
+    spark.read.parquet(trainPath)
+      .join(spark.read.parquet(evalPath), Seq("h"))
       .groupBy("train_id", "eval_id")
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("train_id", "eval_id")
+  }
+
+  /** Era-staged decontamination posting index shared by d18 (one-shot
+    * scan) and s16 (streaming admission): `dc_hot` — n-gram hashes
+    * with corpus df > [[MaxNgramDf]] (the boilerplate cap, stored
+    * INVERTED because the allowed set is corpus-sized and the hot set
+    * tiny by construction); `dc_eval` — (h, eval_id) postings of the
+    * test split; `dc_train` — (h, train_id) postings of the train
+    * split with the hot set already removed. Built in ONE
+    * explode+aggregate pass per (data era, build), atomically
+    * published ([[graft.ops.Staging.publishIndex]], `dc_train` last so
+    * its `_SUCCESS` implies the trio). At 100 TB this is the
+    * production shape: the n-gram posting index is corpus-era state
+    * paid once, reused by every batch scan, every new benchmark, and
+    * the streaming admission check.
+    */
+  private[graft] def decontamIndex(spark: SparkSession, dir: String)
+      : (String, String, String) = synchronized {
+    val hotPath = graft.ops.Staging.indexPath("dc_hot", dir)
+    val evalPath = graft.ops.Staging.indexPath("dc_eval", dir)
+    val trainPath = graft.ops.Staging.indexPath("dc_train", dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(trainPath, "_SUCCESS"))) {
+      // persisted: the explode+md5 n-gram leg is the dominant CPU cost
+      // and feeds all three artifacts — uncached it would run thrice
+      val ex = Dedup.corpus(spark, dir)
+        .select(col("doc_id"), Sampling.splitCol(col("doc_id")).as("split"),
+          explode(ngramHashes(col("text"))).as("h"))
+        .persist()
+      val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") > MaxNgramDf)
+        .select("h")
+        .localCheckpoint() // tiny; reused by the dc_train anti-join
+      graft.ops.Staging.publishIndex(spark, "dc_hot", dir)(p =>
+        hot.write.mode("overwrite").parquet(p))
+      graft.ops.Staging.publishIndex(spark, "dc_eval", dir)(p =>
+        ex.filter(col("split") === "test")
+          .select(col("h"), col("doc_id").as("eval_id"))
+          .write.mode("overwrite").parquet(p))
+      graft.ops.Staging.publishIndex(spark, "dc_train", dir)(p =>
+        ex.filter(col("split") === "train")
+          .select(col("h"), col("doc_id").as("train_id"))
+          .join(broadcast(hot), Seq("h"), "left_anti")
+          .write.mode("overwrite").parquet(p))
+      ex.unpersist()
+    }
+    (hotPath, evalPath, trainPath)
   }
 
   private def ngramHashesSql(wsExpr: String): String =

@@ -55,11 +55,25 @@ object Staging {
     */
   private lazy val buildKey: String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    def walk(f: java.io.File): Unit = {
-      md.update(s"${f.getName}:${f.length}:${f.lastModified};".getBytes("UTF-8"))
+    // digest CONTENT, never (path, mtime): launchers that repackage the
+    // classpath per invocation (sbt runMain writes a fresh
+    // target/bg-jobs/sbt_<rand>/...jar every run) change the location
+    // and mtime of byte-identical code, and an mtime-keyed fingerprint
+    // silently disabled cross-process index reuse under exactly the
+    // launcher the driver uses. For a jar, hash the file bytes; for a
+    // classes directory, hash every class file's bytes in sorted order.
+    def digestFile(f: java.io.File): Unit = {
+      val in = new java.io.FileInputStream(f)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n > 0) { md.update(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+    }
+    def walk(f: java.io.File): Unit =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName).foreach(walk)
-    }
+      else { md.update(f.getName.getBytes("UTF-8")); digestFile(f) }
     val src = getClass.getProtectionDomain.getCodeSource
     if (src != null && src.getLocation != null)
       walk(new java.io.File(src.getLocation.toURI))

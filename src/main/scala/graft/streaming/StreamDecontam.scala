@@ -49,28 +49,20 @@ object StreamDecontam {
 
   def decontamIngest(spark: SparkSession, dir: String): DataFrame = {
     import graft.llm.{Curation, Dedup, Sampling}
+    val debug = sys.env.contains("SPARK_GRAFT_S16_DEBUG")
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = if (debug) {
+      val t1 = System.nanoTime()
+      Console.err.println(f"[s16] $tag: ${(t1 - t0) / 1e9}%.2f s")
+      t0 = t1
+    }
     val ss = StreamEnv.streamSession(spark)
 
-    // ---- era-keyed benchmark index (dc_eval published LAST: its
-    // _SUCCESS implies the pair) ----
-    val hotPath = graft.ops.Staging.indexPath("dc_hot", dir)
-    val evalPath = graft.ops.Staging.indexPath("dc_eval", dir)
+    // the shared era-staged posting index (built by whichever of
+    // d18/s16 touches this era first)
+    val (hotPath, evalPath, _) = Curation.decontamIndex(spark, dir)
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(evalPath, "_SUCCESS"))) {
-      val ex = Dedup.corpus(spark, dir)
-        .select(col("doc_id"), Sampling.splitCol(col("doc_id")).as("split"),
-          explode(Curation.ngramHashes(col("text"))).as("h"))
-        .persist()
-      graft.ops.Staging.publishIndex(spark, "dc_hot", dir)(p =>
-        ex.groupBy("h").agg(count(lit(1)).as("df"))
-          .filter(col("df") > Curation.MaxNgramDf)
-          .select("h").write.mode("overwrite").parquet(p))
-      graft.ops.Staging.publishIndex(spark, "dc_eval", dir)(p =>
-        ex.filter(col("split") === "test")
-          .select(col("h"), col("doc_id").as("eval_id"))
-          .write.mode("overwrite").parquet(p))
-      ex.unpersist()
-    }
+    lap("index")
 
     // ---- the train feed as NumBatches ordered files (s12 convention) ----
     val base = graft.ops.Staging.stagePath("stream_decontam", dir)
@@ -78,16 +70,23 @@ object StreamDecontam {
     val feed = Dedup.corpus(spark, dir)
       .filter(Sampling.splitCol(col("doc_id")) === "train")
     fs.mkdirs(new Path(s"$base/in"))
-    (0 until NumBatches).foreach { k =>
+    // the four single-file feed writes are independent jobs — run them
+    // concurrently (each coalesce(1) is one task; serial they serialize
+    // the whole train-corpus write behind four single threads)
+    import scala.collection.parallel.CollectionConverters._
+    (0 until NumBatches).par.foreach { k =>
       val tmp = s"$base/tmp/b$k"
       feed.filter(pmod(col("doc_id"), lit(NumBatches)) === k)
         .coalesce(1).write.parquet(tmp)
-      val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
+    }
+    (0 until NumBatches).foreach { k =>
+      val part = fs.globStatus(new Path(s"$base/tmp/b$k/part-*.parquet"))(0).getPath
       val dest = new Path(s"$base/in/batch$k.parquet")
       fs.rename(part, dest)
       fs.setTimes(dest, 1700000000000L + k * 60000L, -1)
     }
 
+    lap("feed")
     val verdictsDir = s"$base/verdicts"
     val q = ss.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", "1")
@@ -95,25 +94,29 @@ object StreamDecontam {
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val s2 = batch.sparkSession
-        val bh = batch
+        // one job per trigger: batch n-grams, broadcast anti-join the
+        // hot set, broadcast-join the benchmark postings (benchmark-
+        // sized by definition — if a benchmark ever outgrows the
+        // broadcast, semi-prune it by the batch's key set first, the
+        // s13 convention), one batch-local pair aggregate, write
+        batch
+          // one file per trigger ⇒ one input split; spread the docs so
+          // the interpreted n-gram explode parallelizes (the d05 note)
+          .repartition(col("doc_id"))
           .select(col("doc_id").as("train_id"),
             explode(Curation.ngramHashes(col("text"))).as("h"))
           .join(broadcast(s2.read.parquet(hotPath)), Seq("h"), "left_anti")
-          .persist() // feeds the key set and the pair join
-        val keys = bh.select("h").distinct()
-        val evalPruned = s2.read.parquet(evalPath)
-          .join(broadcast(keys), Seq("h"))
-        bh.join(broadcast(evalPruned), Seq("h"))
+          .join(broadcast(s2.read.parquet(evalPath)), Seq("h"))
           .groupBy("train_id", "eval_id")
           .agg(count(lit(1)).as("n_shared"))
           .write.mode("overwrite").parquet(s"$verdictsDir/batch_$id")
-        bh.unpersist()
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    lap("stream")
     ss.read.parquet(s"$verdictsDir/batch_*").orderBy("train_id", "eval_id")
   }
 
