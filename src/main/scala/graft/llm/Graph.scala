@@ -407,6 +407,123 @@ object Graph {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Fixed synchronous label-propagation rounds for d41 — enough to
+    * converge the tiny-diameter near-dup communities; fixed (not
+    * to-fixpoint) because synchronous LPA can 2-cycle on bipartite
+    * structures, and a fixed unroll is what the oracle can replay.
+    */
+  val LpaRounds = 4
+
+  /** d41 — label-propagation communities (Raghavan et al. 2007,
+    * synchronous variant) over the verified near-dup graph: each
+    * vertex starts from its exact-content family representative and
+    * repeatedly adopts the most frequent label among its neighbors
+    * (ties → smallest label). Where d11's connected components give
+    * REACHABILITY clusters, LPA gives DENSITY communities: a chain of
+    * weak near-dup links that merges two template families into one
+    * CC is split back apart by majority voting — the signal curation
+    * wants when keep-one-per-cluster would otherwise collapse
+    * unrelated families glued by one bridge document.
+    *
+    * Vote counting is pure INTEGER (neighbor-label counts), so the
+    * rep-level contraction is exact by the same automorphism argument
+    * as d36: members of a family share one label every round
+    * (initially the family rep by construction), and a member of
+    * family i counts (f_i−1) votes for its own label plus f_j for
+    * each neighbor family j's label — computed here as the weighted-
+    * edge vote with the d36 self-loop construction. Deterministic
+    * end to end: integer counts, total tiebreak order, fixed rounds.
+    *
+    * Scale shape, per round: one equi-join of the weighted rep edges
+    * against the O(families) label table, one keyed count, one
+    * windowed argmax per vertex — keyed shuffles only, lineage cut per
+    * round, AQE scoped off in the loop (the d36/d11 discipline).
+    */
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val (verts, edges, members) = Dedup.contractedPairGraph(spark, dir)
+    val rep = lpaContracted(verts.toDF("id", "f"), edges.toDF("u", "v"))
+    val sizes = rep.join(verts.toDF("id", "f"), Seq("id"))
+      .groupBy("lab").agg(sum("f").as("comm_size"))
+    members.join(rep.withColumnRenamed("id", "rep"), Seq("rep"))
+      .join(sizes, Seq("lab"))
+      .select(col("doc_id"), col("lab").as("community"), col("comm_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Synchronous weighted LPA over the contracted multigraph (same
+    * vertex/edge contract as [[pageRankContracted]]). Returns
+    * `(id, lab)` after [[LpaRounds]] rounds.
+    */
+  private[graft] def lpaContracted(verts: DataFrame, edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = verts.sparkSession
+    val aqe0 = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val sp0 = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val v = verts.toDF("id", "f").localCheckpoint()
+      val e0 = edges.toDF("u", "v")
+      val sym = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      val wEdges = sym
+        .join(v.select(col("id").as("u"), col("f").as("w")), Seq("u"))
+        .select(col("u"), col("v"), col("w"))
+        .unionByName(v.where(col("f") > 1)
+          .select(col("id").as("u"), col("id").as("v"), (col("f") - 1).as("w")))
+        .localCheckpoint()
+      val width = math.max(1L, math.min(sp0.toLong, wEdges.count() / 500000L + 1L))
+      sess.conf.set("spark.sql.shuffle.partitions", width.toString)
+      var labels = v.select(col("id"), col("id").as("lab")).localCheckpoint()
+      for (_ <- 1 to LpaRounds) {
+        val votes = wEdges
+          .join(labels.withColumnRenamed("id", "u"), Seq("u"))
+          .groupBy(col("v").as("id"), col("lab")).agg(sum("w").as("c"))
+        val wv = Window.partitionBy("id").orderBy(col("c").desc, col("lab").asc)
+        labels = votes.withColumn("rn", row_number().over(wv))
+          .filter(col("rn") === 1).select("id", "lab")
+          .localCheckpoint()
+      }
+      labels
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", aqe0)
+      sess.conf.set("spark.sql.shuffle.partitions", sp0)
+    }
+  }
+
+  /** DuckDB replay of d41: member-level synchronous LPA with the
+    * rounds unrolled textually, initial labels = exact-content family
+    * representatives (min doc_id over md5(text)), majority vote with
+    * the (count DESC, label ASC) total order. `edges`/`lab{k}` are
+    * `AS MATERIALIZED` for the same measured reason as d36's oracle.
+    */
+  val oracleLabelPropagation: String = {
+    val rounds = (1 to LpaRounds).map { k =>
+      s"""votes$k AS (
+         |  SELECT e.v AS id, p.lab, count(*) AS c
+         |  FROM edges e JOIN lab${k - 1} p ON p.id = e.u
+         |  GROUP BY 1, 2),
+         |lab$k AS MATERIALIZED (
+         |  SELECT id, lab FROM (
+         |    SELECT id, lab, row_number() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rn
+         |    FROM votes$k) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Dedup.pairsCteSql},
+       |edges AS MATERIALIZED (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM pairs),
+       |fams AS MATERIALIZED (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+       |  FROM corpus),
+       |nodes AS (SELECT DISTINCT u AS id FROM edges),
+       |lab0 AS MATERIALIZED (
+       |  SELECT n.id, f.rep AS lab FROM nodes n JOIN fams f ON f.doc_id = n.id),
+       |$rounds,
+       |csizes AS (SELECT lab, count(*) AS comm_size FROM lab$LpaRounds GROUP BY 1)
+       |SELECT l.id AS doc_id, l.lab AS community, s.comm_size
+       |FROM lab$LpaRounds l JOIN csizes s USING (lab)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB replay: the same integer recurrence with the iterations
     * unrolled textually (standard-SQL recursive CTEs forbid the
     * per-round aggregate). `//` on non-negative BIGINTs truncates

@@ -211,6 +211,52 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("d41: contracted LPA equals a member-level replay on random family blow-ups") {
+    // independent reference model: synchronous majority-vote LPA over
+    // the explicit member graph, initial label = family representative
+    def lpaMember(edges: Seq[(Long, Long)], init: Map[Long, Long]): Map[Long, Long] = {
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lab = init
+      for (_ <- 1 to Graph.LpaRounds)
+        lab = adj.map { case (v, ns) =>
+          val votes = ns.groupBy(lab).view.mapValues(_.size)
+          v -> votes.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        } ++ (init.keySet -- adj.keySet).map(v => v -> lab(v))
+      lab
+    }
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 4) {
+      val n = 4 + rnd.nextInt(6)
+      val repEdges = (for {
+        a <- 0 until n; b <- (a + 1) until n if rnd.nextInt(3) == 0
+      } yield (a.toLong, b.toLong)).toSeq
+      val fOf = (0 until n).map(i => i.toLong -> (1L + rnd.nextInt(4))).toMap
+      def mem(i: Long): Seq[Long] = (0L until fOf(i)).map(k => i * 100 + k)
+      val touching = repEdges.flatMap(e => Seq(e._1, e._2)).toSet
+      val inGraph = (0L until n.toLong).filter(i => fOf(i) >= 2 || touching(i))
+      if (inGraph.nonEmpty) {
+        val memberEdges =
+          repEdges.flatMap { case (a, b) =>
+            for (x <- mem(a); y <- mem(b)) yield (x, y) } ++
+          inGraph.flatMap { i =>
+            val m = mem(i)
+            for (ai <- m.indices; bi <- (ai + 1) until m.size) yield (m(ai), m(bi)) }
+        if (memberEdges.nonEmpty) {
+          val verts = inGraph.map(i => (i * 100, fOf(i))).toDF("id", "f")
+          val edges =
+            (if (repEdges.nonEmpty) repEdges.map { case (a, b) => (a * 100, b * 100) }
+             else Seq.empty[(Long, Long)]).toDF("u", "v")
+          val contracted = Graph.lpaContracted(verts, edges).collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val expanded = contracted.flatMap { case (id, lab) => mem(id / 100).map(_ -> lab) }
+          val init = inGraph.flatMap(i => mem(i).map(_ -> i * 100)).toMap
+          assert(expanded == lpaMember(memberEdges, init), s"trial $trial lpa")
+        }
+      }
+    }
+  }
+
   test("k-core engine loop runs past the oracle unroll bound (deep peel chain)") {
     // P_n^2 (path square) peels one vertex per end per round at k = 3 —
     // a 44-vertex chain needs ~21 rounds, far past KCoreRounds = 12.
