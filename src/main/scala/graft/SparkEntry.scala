@@ -128,6 +128,7 @@ object SparkEntry {
     "d14_curated_corpus"    -> (llm.Pipeline.curatedCorpus(_, _)),
     "d15_stratified_sample" -> (llm.TextPrep.stratifiedSample(_, _)),
     "d16_distinct_sketch"   -> (llm.TextStats.distinctSketch(_, _)),
+    "d16b_sketch_bound"     -> (llm.TextStats.distinctSketchBound(_, _)),
     "d17_embed_quantize"    -> (llm.Similarity.embedQuantize(_, _)),
     "d18_decontaminate"     -> (llm.Curation.decontaminate(_, _)),
     "d19_span_dedup"        -> (llm.Curation.spanDedup(_, _)),
@@ -406,6 +407,7 @@ object SparkEntry {
     "t14_boilerplate"       -> llm.Curation.oracleBoilerplate,
     // d16_distinct_sketch: no oracle — HLL estimates are engine-specific;
     // rows-only check + TextPrepSpec error bound
+    "d16b_sketch_bound"     -> llm.TextStats.oracleDistinctSketchBound,
     "d17_embed_quantize"    -> llm.Similarity.oracleEmbedQuantize,
     "t07_pii_scrub"         -> llm.TextPrep.oraclePiiScrub,
     "t08_chunking"          -> llm.TextPrep.oracleChunk,

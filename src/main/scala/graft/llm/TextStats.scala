@@ -231,6 +231,30 @@ object TextStats {
            approx_count_distinct(col("word"), 0.05).as("n_distinct_approx"))
       .orderBy("source")
 
+  /** d16b — the ORACLE-CHECKED bound on d16's engine-specific HLL
+    * estimates (the q56/t16b declared-bound pattern): the estimate
+    * itself cannot cross engines, but the claim "within 15 % of the
+    * exact count" (3× the rsd-5 % sigma, the TextPrepSpec pin) can —
+    * emitted as a boolean against a constant-true oracle, so sketch
+    * drift breaks the hash match instead of hiding behind a rows-only
+    * check.
+    */
+  def distinctSketchBound(spark: SparkSession, dir: String): DataFrame =
+    distinctSketch(spark, dir)
+      .select(col("source"), col("n_tokens"), col("n_distinct_exact"),
+        (abs(col("n_distinct_approx") - col("n_distinct_exact")).cast("double")
+          <= lit(0.15) * col("n_distinct_exact")).as("sketch_ok"))
+
+  val oracleDistinctSketchBound: String =
+    """SELECT source,
+      |  count(*) AS n_tokens,
+      |  count(DISTINCT w) AS n_distinct_exact,
+      |  true AS sketch_ok
+      |FROM (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |      FROM documents)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   // ---- DuckDB oracles -------------------------------------------------------
 
   private val toksSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"

@@ -101,6 +101,10 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf("d05_simhash_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"all-pairs join leaked back into d05:\n$p")
+    // the pairwise stage must ride the staged family contraction —
+    // member-level chunk buckets square with the corpus copy factor
+    assert(p.contains("ap_families"),
+      s"d05 no longer reads the staged content-family index:\n$p")
   }
 
   test("d07: multi-probe is an equi-join on enumerated bucket keys, not an NLJ") {
@@ -114,6 +118,9 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf("d10_embed_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"all-pairs join in d10:\n$p")
+    // cross-family and within-family legs union after the rep-level
+    // probe join — the vector-value contraction's plan signature
+    assert(p.contains("Union"), s"d10 lost its contraction fan-out legs:\n$p")
   }
 
   test("q37: range join runs as a grain-bucketed equi-join, never a nested loop") {
