@@ -88,4 +88,124 @@ object Sketch {
        |GROUP BY word, exact_count
        |ORDER BY exact_count DESC, word""".stripMargin
   }
+
+  // ---- d42: corpus-pair overlap estimation via KMV sketches ---------------
+
+  /** KMV sketch size: abs error of the Jaccard estimate concentrates
+    * at ~1/√k ≈ 6.3 %; the emitted bound check allows 0.2 (> 3σ).
+    */
+  val KmvK = 256
+
+  /** d42 — source-pair content-overlap estimation from k-minimum-values
+    * sketches (Beyer et al. SIGMOD'07; the Theta-sketch set
+    * intersection shape): per SOURCE, keep the [[KmvK]] smallest
+    * shingle hashes; for a pair, the Jaccard estimate is the fraction
+    * of the union's k smallest values present in both sketches. The
+    * dataset-level planning question ("which corpora overlap enough
+    * that cross-corpus dedup is worth running?") answered from
+    * constant-size per-corpus state instead of a corpus×corpus
+    * shingle join.
+    *
+    * Everything is deterministic integer/set arithmetic over the
+    * portable hash — unlike HLL (d16) the estimate itself crosses
+    * engines, so this sketch is FULLY oracle-checked (the d22
+    * precedent), and the exact Jaccard is emitted alongside with a
+    * ≤ 0.2 bound boolean (the declared-bound pattern, here checked on
+    * top of an already-hash-matched estimate).
+    *
+    * Scale shape: one distinct (source, h) pass; per-source k-min via
+    * a ranked window (partial WindowGroupLimit prunes per-partition —
+    * no source's full shingle set ever sorts globally); everything
+    * pairwise happens on O(sources · k) sketch rows — broadcastable
+    * at any corpus size. The exact-Jaccard audit columns are the only
+    * corpus-sized pairwise leg and exist for the oracle; production
+    * ships the estimate alone.
+    */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextHash.hashedShingles(col("text"), 0)).as("h"))
+      .distinct()
+      .persist()
+    val wk = Window.partitionBy("source").orderBy("h")
+    val sk = sh.withColumn("rn", row_number().over(wk)).filter(col("rn") <= KmvK)
+      .select("source", "h")
+    val srcs = sh.select("source").distinct()
+    val pairs = srcs.toDF("sa").crossJoin(srcs.toDF("sb")).filter(col("sa") < col("sb"))
+    val pairSrc = pairs.select(col("sa"), col("sb"), col("sa").as("source"))
+      .unionByName(pairs.select(col("sa"), col("sb"), col("sb").as("source")))
+    // union sketch per pair: k smallest distinct values across both
+    // sketches; estimate = fraction of them present in BOTH sources
+    val uni = sk.join(pairSrc, Seq("source"))
+      .groupBy("sa", "sb", "h").agg(count(lit(1)).as("n_src"))
+    val wu = Window.partitionBy("sa", "sb").orderBy("h")
+    val est = uni.withColumn("rn", row_number().over(wu)).filter(col("rn") <= KmvK)
+      .groupBy("sa", "sb")
+      .agg(count(lit(1)).as("k_eff"),
+           sum(when(col("n_src") === 2, 1L).otherwise(0L)).as("n_both"))
+      .withColumn("est_x1000", expr("n_both * 1000 div k_eff"))
+    // exact audit leg (the oracle re-derives it): intersection via an
+    // h-keyed self-join — only SHARED shingles pay the pairwise step
+    // (shingles are mostly doc-unique, cf. t13), union by inclusion-
+    // exclusion from per-source counts. Never fans the full shingle
+    // relation into per-pair copies.
+    val counts = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = sh.toDF("sa", "h").join(sh.toDF("sb", "h2"),
+        col("h") === col("h2") && col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("n_inter"))
+    val ex = pairs.join(inter, Seq("sa", "sb"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(counts.toDF("sa", "na"), Seq("sa"))
+      .join(counts.toDF("sb", "nb"), Seq("sb"))
+      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+      .withColumn("exact_x1000", expr("n_inter * 1000 div n_union"))
+      .select("sa", "sb", "n_inter", "n_union", "exact_x1000")
+    est.join(ex, Seq("sa", "sb"))
+      .select(col("sa"), col("sb"), col("k_eff"), col("n_both"), col("est_x1000"),
+        col("n_inter"), col("n_union"), col("exact_x1000"),
+        (abs(col("est_x1000") - col("exact_x1000")) <= 200).as("bound_ok"))
+      .orderBy("sa", "sb")
+  }
+
+  val oracleKmvOverlap: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT source, unnest(${TextHash.hashedShinglesSql("text", 0)}) AS h
+       |  FROM documents),
+       |sk AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM sh) WHERE rn <= $KmvK),
+       |srcs AS (SELECT DISTINCT source FROM sh),
+       |pairs AS (
+       |  SELECT a.source AS sa, b.source AS sb
+       |  FROM srcs a JOIN srcs b ON a.source < b.source),
+       |pairsrc AS (
+       |  SELECT sa, sb, sa AS source FROM pairs
+       |  UNION ALL
+       |  SELECT sa, sb, sb AS source FROM pairs),
+       |uni AS (
+       |  SELECT sa, sb, h, count(*) AS n_src
+       |  FROM sk JOIN pairsrc USING (source)
+       |  GROUP BY 1, 2, 3),
+       |est AS (
+       |  SELECT sa, sb, count(*) AS k_eff,
+       |         sum(CASE WHEN n_src = 2 THEN 1 ELSE 0 END)::BIGINT AS n_both
+       |  FROM (
+       |    SELECT sa, sb, h, n_src,
+       |           row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+       |    FROM uni) WHERE rn <= $KmvK
+       |  GROUP BY 1, 2),
+       |ex AS (
+       |  SELECT sa, sb, count(*) AS n_union,
+       |         sum(CASE WHEN n_src = 2 THEN 1 ELSE 0 END)::BIGINT AS n_inter
+       |  FROM (
+       |    SELECT sa, sb, h, count(*) AS n_src
+       |    FROM sh JOIN pairsrc USING (source)
+       |    GROUP BY 1, 2, 3)
+       |  GROUP BY 1, 2)
+       |SELECT sa, sb, k_eff, n_both, (n_both * 1000) // k_eff AS est_x1000,
+       |       n_inter, n_union, (n_inter * 1000) // n_union AS exact_x1000,
+       |       abs((n_both * 1000) // k_eff - (n_inter * 1000) // n_union) <= 200 AS bound_ok
+       |FROM est JOIN ex USING (sa, sb)
+       |ORDER BY sa, sb""".stripMargin
 }

@@ -149,6 +149,22 @@ class SketchAndLmSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(2) <= totalTokens))
   }
 
+  test("d42: KMV estimate is exact when sketches hold the full sets, bounded otherwise") {
+    val rows = Sketch.kmvOverlap(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (kEff, nBoth, est) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (nInter, nUnion, exact) = (r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(kEff <= Sketch.KmvK && nBoth <= kEff)
+      assert(nInter <= nUnion)
+      assert(r.getBoolean(8), s"bound violated for ${r.getString(0)}/${r.getString(1)}")
+      // when the union sketch wasn't truncated it IS the union: exact
+      if (kEff < Sketch.KmvK)
+        assert(est == exact && nBoth == nInter && kEff == nUnion,
+          s"untruncated sketch must be exact: $r")
+    }
+  }
+
   test("t18: tertiles balance, keep = head+middle, micro corpus bits by hand") {
     import spark.implicits._
     val out = LangModel.perplexityBuckets(spark, Sf).collect()
