@@ -32,6 +32,7 @@ object SparkEntry {
     "q11_join_revenue"  -> (ops.CoreOps.joinRevenue(_, _)),
     "q12_json_extract"  -> (ops.CoreOps.jsonExtract(_, _)),
     "q13_price"         -> (ops.Pricing.priceBatch(_, _)),
+    "q62_config_price"  -> (ops.Pricing.priceBatchFromConfig(_, _)),
     "q14_validate"      -> (ops.CoreOps.validateRequests(_, _)),
     "q15_sql_surface"   -> (ops.CoreOps.sqlSurface(_, _)),
     "q16_stats"         -> (ops.CoreOps.statsSurface(_, _)),
@@ -82,6 +83,7 @@ object SparkEntry {
     "s14_stream_sessions" -> (streaming.Sessionize.streamSessions(_, _)),
     "s15_stream_vec_ingest" -> (streaming.StreamVecIngest.ivfIngest(_, _)),
     "s16_stream_decontam"   -> (streaming.StreamDecontam.decontamIngest(_, _)),
+    "s17_backfill"          -> (streaming.DailyIngest.backfillRange(_, _)),
     "m14_silence_spans" -> (llm.Multimodal.silenceSpans(_, _)),
     "q59_bucketed_agg"  -> (ops.Staging.bucketedAgg(_, _)),
     "q60_mad_outliers"  -> (ops.CoreOps.madOutliers(_, _)),
@@ -182,6 +184,49 @@ object SparkEntry {
     * microseconds on read (graft.tables.Tables), so oracles cast
     * `ts::TIMESTAMP` wherever sub-second precision could matter.
     */
+  /** The flagship pricing oracle, parameterized by the four
+    * deployment constants (q13 = compiled defaults, q62 = the staged
+    * INI's overrides) — one template so the two can never drift.
+    */
+  private def priceOracleSql(tariff: String, fee: String, lo: String, hi: String): String =
+    s"""WITH requests AS (
+       |  SELECT c_custkey, r_name AS region,
+       |         CAST(c_custkey % 4 + 1 AS INT) AS nb_personne,
+       |         CAST(20 + c_custkey % 180 AS INT) AS nb_m2
+       |  FROM customer
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey),
+       |m AS (
+       |  SELECT least(0.05, 0.01 * (round(sum(value), 2) / count(value)) / 4000.0) AS m
+       |  FROM events
+       |  WHERE ts::TIMESTAMP >= (SELECT max(ts::TIMESTAMP) - INTERVAL 30 DAYS FROM events)),
+       |region_year AS (
+       |  SELECT r_name AS region, CAST(year(o_orderdate) AS INT) AS yr,
+       |         sum(o_totalprice) AS v
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation   ON c_nationkey = n_nationkey
+       |  JOIN region   ON n_regionkey = r_regionkey
+       |  GROUP BY 1, 2),
+       |ratio AS (
+       |  SELECT region, yr,
+       |         lead(v) OVER (PARTITION BY region ORDER BY yr) / v AS ratio
+       |  FROM region_year),
+       |alpha AS (
+       |  SELECT region,
+       |         round(coalesce(least($hi, greatest($lo, ratio)), 1.0), 6) AS alpha
+       |  FROM ratio
+       |  WHERE yr = (SELECT CAST(max(year(o_orderdate)) AS INT) - 1 FROM orders))
+       |SELECT c_custkey, region, nb_personne, nb_m2,
+       |  coalesce(alpha, 1.0) AS alpha, m,
+       |  round_even(($tariff + coalesce(alpha, 1.0) * m)
+       |             * (110.0 * nb_m2 + 800.0 * nb_personne + 200.0 * nb_personne + 1100.0)
+       |             / 12.0 + $fee, 2) AS price
+       |FROM requests
+       |LEFT JOIN alpha USING (region)
+       |CROSS JOIN m
+       |ORDER BY c_custkey""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_pruned_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
@@ -304,44 +349,13 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
 
-    "q13_price" ->
-      """WITH requests AS (
-        |  SELECT c_custkey, r_name AS region,
-        |         CAST(c_custkey % 4 + 1 AS INT) AS nb_personne,
-        |         CAST(20 + c_custkey % 180 AS INT) AS nb_m2
-        |  FROM customer
-        |  JOIN nation ON c_nationkey = n_nationkey
-        |  JOIN region ON n_regionkey = r_regionkey),
-        |m AS (
-        |  SELECT least(0.05, 0.01 * (round(sum(value), 2) / count(value)) / 4000.0) AS m
-        |  FROM events
-        |  WHERE ts::TIMESTAMP >= (SELECT max(ts::TIMESTAMP) - INTERVAL 30 DAYS FROM events)),
-        |region_year AS (
-        |  SELECT r_name AS region, CAST(year(o_orderdate) AS INT) AS yr,
-        |         sum(o_totalprice) AS v
-        |  FROM orders
-        |  JOIN customer ON o_custkey = c_custkey
-        |  JOIN nation   ON c_nationkey = n_nationkey
-        |  JOIN region   ON n_regionkey = r_regionkey
-        |  GROUP BY 1, 2),
-        |ratio AS (
-        |  SELECT region, yr,
-        |         lead(v) OVER (PARTITION BY region ORDER BY yr) / v AS ratio
-        |  FROM region_year),
-        |alpha AS (
-        |  SELECT region,
-        |         round(coalesce(least(1.3, greatest(1.0, ratio)), 1.0), 6) AS alpha
-        |  FROM ratio
-        |  WHERE yr = (SELECT CAST(max(year(o_orderdate)) AS INT) - 1 FROM orders))
-        |SELECT c_custkey, region, nb_personne, nb_m2,
-        |  coalesce(alpha, 1.0) AS alpha, m,
-        |  round_even((0.1558 + coalesce(alpha, 1.0) * m)
-        |             * (110.0 * nb_m2 + 800.0 * nb_personne + 200.0 * nb_personne + 1100.0)
-        |             / 12.0 + 6.0, 2) AS price
-        |FROM requests
-        |LEFT JOIN alpha USING (region)
-        |CROSS JOIN m
-        |ORDER BY c_custkey""".stripMargin,
+    "q13_price" -> priceOracleSql("0.1558", "6.0", "1.0", "1.3"),
+
+    // q62: q13's oracle with the staged INI's constants substituted —
+    // a parse bug or a default leaking back breaks the hash
+    "q62_config_price" -> priceOracleSql(
+      ops.Pricing.CfgTariff.toString, ops.Pricing.CfgFee.toString,
+      ops.Pricing.CfgAlphaLo.toString, ops.Pricing.CfgAlphaHi.toString),
 
     "q14_validate" ->
       """WITH p AS (
@@ -561,6 +575,7 @@ object SparkEntry {
     "s14_stream_sessions" -> streaming.Sessionize.oracleStreamSessions,
     "s15_stream_vec_ingest" -> streaming.StreamVecIngest.oracleIvfIngest,
     "s16_stream_decontam" -> streaming.StreamDecontam.oracleDecontamIngest,
+    "s17_backfill"      -> streaming.DailyIngest.oracleBackfillRange,
     "m14_silence_spans" -> llm.Multimodal.oracleSilenceSpans,
     "q59_bucketed_agg"  -> ops.Staging.oracleBucketedAgg,
     "q60_mad_outliers"  -> ops.CoreOps.oracleMadOutliers,

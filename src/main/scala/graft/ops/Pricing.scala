@@ -21,6 +21,14 @@ object Pricing {
   /** Yearly subscription C = 6 €/month — reference `api.py:99` (6*12). */
   val MonthlyFee = 6.0
 
+  /** q62's staged-INI override values (distinct from every compiled
+    * default so a silent fallback cannot pass the gate).
+    */
+  val CfgTariff = 0.2
+  val CfgFee = 9.5
+  val CfgAlphaLo = 1.05
+  val CfgAlphaHi = 1.25
+
   /** Household yearly consumption estimate x (kWh):
     * 110·m² + (800+200)·persons + 1100 — reference `api.py:111-115`.
     */
@@ -136,7 +144,10 @@ object Pricing {
   /** The α dimension of q13 standalone: per-region YoY order-total
     * ratio at the penultimate year, clamped — one row per region.
     */
-  def regionAlpha(spark: SparkSession, dir: String): DataFrame = {
+  def regionAlpha(spark: SparkSession, dir: String): DataFrame =
+    regionAlpha(spark, dir, 1.0, 1.3)
+
+  def regionAlpha(spark: SparkSession, dir: String, lo: Double, hi: Double): DataFrame = {
     val cust = Tables.customer(spark, dir)
     val nat  = Tables.nation(spark, dir)
     val reg  = Tables.region(spark, dir)
@@ -154,10 +165,13 @@ object Pricing {
       .crossJoin(broadcast(maxYr))
       .filter(col("yr") === col("max_yr") - 1)
       .select(col("region"),
-              round(coalesce(clamp(col("ratio"), 1.0, 1.3), lit(1.0)), 6).as("alpha"))
+              round(coalesce(clamp(col("ratio"), lo, hi), lit(1.0)), 6).as("alpha"))
   }
 
-  def priceBatch(spark: SparkSession, dir: String): DataFrame = {
+  def priceBatch(spark: SparkSession, dir: String): DataFrame =
+    priceBatch(spark, dir, PricingParams(Tariff, MonthlyFee, 1.0, 1.3))
+
+  def priceBatch(spark: SparkSession, dir: String, params: PricingParams): DataFrame = {
     val cust = Tables.customer(spark, dir)
     val nat  = Tables.nation(spark, dir)
     val reg  = Tables.region(spark, dir)
@@ -173,7 +187,7 @@ object Pricing {
         (lit(20) + pmod(col("c_custkey"), lit(180))).cast("int").as("nb_m2"))
 
     val m = modulationScalar(spark, dir)
-    val alpha = regionAlpha(spark, dir)
+    val alpha = regionAlpha(spark, dir, params.alphaLo, params.alphaHi)
 
     requests
       .join(broadcast(alpha), Seq("region"), "left")
@@ -181,9 +195,36 @@ object Pricing {
       .select(
         col("c_custkey"), col("region"), col("nb_personne"), col("nb_m2"),
         coalesce(col("alpha"), lit(1.0)).as("alpha"), col("m"),
-        monthlyPrice(
+        monthlyPrice(params)(
           coalesce(col("alpha"), lit(1.0)), col("m"),
           consoFoyer(col("nb_m2"), col("nb_personne"))).as("price"))
       .orderBy("c_custkey")
+  }
+
+  /** q62 — the S9 config source driving the flagship query: a staged
+    * INI re-tariffs the deployment (tariff, monthly fee, α clamp
+    * bounds all read from `[pricing]`), and the SAME q13 plan runs
+    * under the loaded [[PricingParams]]. The oracle is the q13 oracle
+    * with the file's constants substituted — a parse bug, a defaulted
+    * key, or a constant leaking back to the compiled value all break
+    * the hash. Config is read ONCE on the driver and closed over by
+    * the plan (never consulted per-row), exactly the reference's
+    * `configparser` bootstrap shape (`api.py:12-13`).
+    */
+  val ConfigIni: Seq[String] = Seq(
+    "# deployment re-tariff (q62)",
+    "[pricing]",
+    s"tariff = $CfgTariff",
+    s"monthly_fee = $CfgFee",
+    s"alpha_lo = $CfgAlphaLo",
+    s"alpha_hi = $CfgAlphaHi")
+
+  def priceBatchFromConfig(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Paths.get(Staging.stagePath("config", dir))
+    java.nio.file.Files.createDirectories(base)
+    val ini = base.resolve("app.cfg")
+    java.nio.file.Files.write(ini, ConfigIni.mkString("\n").getBytes("UTF-8"))
+    val params = AppConfig.load(ini).pricingParams
+    priceBatch(spark, dir, params)
   }
 }

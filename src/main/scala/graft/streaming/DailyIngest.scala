@@ -152,4 +152,31 @@ object DailyIngest {
     dailyAgg(graft.tables.Tables.events(spark, dir))
       .filter(col("d").between(lit(from), lit(to)))
       .orderBy("event_type", "d")
+
+  /** s17 — D3 backfill as a GATED query: replay a closed 10-day range
+    * (derived from the data so it exists at every SF: days +3..+12
+    * from the first event) through the same daily aggregation the
+    * stream runs — the reference's
+    * `airflow dags backfill -s .. -e ..` re-expressed Kappa-style.
+    * The range bound is the only difference from the live pipeline;
+    * pairing with `Ingest.loadDailyPartitioned` makes a re-run
+    * replace exactly those partitions. The min-date lookup is one
+    * 1-row driver aggregate (the bounded-driver-state convention).
+    */
+  def backfillRange(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.tables.Tables.events(spark, dir)
+    val d0 = ev.agg(min(to_date(col("ts"))).as("d0")).head.getDate(0).toLocalDate
+    backfill(spark, dir,
+      java.sql.Date.valueOf(d0.plusDays(3)), java.sql.Date.valueOf(d0.plusDays(12)))
+  }
+
+  val oracleBackfillRange: String =
+    """SELECT event_type, (ts::TIMESTAMP)::DATE AS d,
+      |  round(sum(value), 2) / count(value) AS daily_mwh
+      |FROM events
+      |WHERE (ts::TIMESTAMP)::DATE
+      |  BETWEEN (SELECT min(ts::TIMESTAMP)::DATE + 3 FROM events)
+      |      AND (SELECT min(ts::TIMESTAMP)::DATE + 12 FROM events)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
 }

@@ -51,4 +51,16 @@ class ConfigSpec extends AnyFunSuite {
     // doubling the tariff doubles the consumption term; fee shifts by 6
     assert(math.abs((defPrice - 6.0) * 2 + 12.0 - cfgPrice) < 1e-9)
   }
+
+  test("q62: the staged INI re-tariffs the flagship query (never the compiled defaults)") {
+    val sf = SparkTestBase.Sf
+    val cfg = Pricing.priceBatchFromConfig(spark, sf)
+      .select("c_custkey", "price").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val def_ = Pricing.priceBatch(spark, sf)
+      .select("c_custkey", "price").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cfg.keySet == def_.keySet)
+    // CfgTariff > Tariff and CfgFee > MonthlyFee: every priced row moves up
+    assert(cfg.forall { case (k, p) => p > def_(k) },
+      "config override must change every price upward")
+  }
 }
