@@ -33,6 +33,7 @@ object SparkEntry {
     "q12_json_extract"  -> (ops.CoreOps.jsonExtract(_, _)),
     "q13_price"         -> (ops.Pricing.priceBatch(_, _)),
     "q62_config_price"  -> (ops.Pricing.priceBatchFromConfig(_, _)),
+    "q63_quarantine"    -> (ops.Staging.corruptQuarantine(_, _)),
     "q14_validate"      -> (ops.CoreOps.validateRequests(_, _)),
     "q15_sql_surface"   -> (ops.CoreOps.sqlSurface(_, _)),
     "q16_stats"         -> (ops.CoreOps.statsSurface(_, _)),
@@ -356,6 +357,8 @@ object SparkEntry {
     "q62_config_price" -> priceOracleSql(
       ops.Pricing.CfgTariff.toString, ops.Pricing.CfgFee.toString,
       ops.Pricing.CfgAlphaLo.toString, ops.Pricing.CfgAlphaHi.toString),
+
+    "q63_quarantine" -> ops.Staging.oracleCorruptQuarantine,
 
     "q14_validate" ->
       """WITH p AS (

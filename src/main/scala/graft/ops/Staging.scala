@@ -226,6 +226,60 @@ object Staging {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** q63 — corrupt-record quarantine read: the production JSON-feed
+    * reality q42's clean round trip skips. Every 13th event's JSON
+    * line is deterministically truncated (the last two characters —
+    * `"}` after a trailing string field — leave an unterminated
+    * string, guaranteed invalid); the read-back runs PERMISSIVE with
+    * `columnNameOfCorruptRecord`, good rows aggregate normally and
+    * corrupt rows land in a `__quarantined__` bucket carrying only a
+    * count. The oracle models the INTENT (exactly the corrupted ids
+    * quarantined, everyone else parsed with full fidelity) — a parser
+    * that silently accepts a truncated line, drops a good one, or
+    * nulls a parsed field breaks the hash. The parsed frame is
+    * persisted before the corrupt-column reference (the Spark rule
+    * that queries may not reference ONLY the corrupt record column
+    * from a raw file scan).
+    */
+  val QuarantineMod = 13
+
+  def corruptQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stagePath("json_corrupt", dir)
+    val js = to_json(struct(col("event_id"), col("user_id"), col("value"), col("event_type")))
+    Tables.events(spark, dir)
+      .withColumn("js", js)
+      .select(when(pmod(col("event_id"), lit(QuarantineMod)) === 0,
+          expr("substring(js, 1, length(js) - 2)"))
+        .otherwise(col("js")).as("line"))
+      .write.mode("overwrite").text(stage)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_bad", org.apache.spark.sql.types.StringType)))
+    val parsed = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(stage)
+      .persist()
+    parsed
+      .groupBy(when(col("_bad").isNotNull, lit("__quarantined__"))
+        .otherwise(col("event_type")).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+           round(sum("value"), 2).as("good_value"))
+      .orderBy("bucket")
+  }
+
+  val oracleCorruptQuarantine: String =
+    s"""SELECT CASE WHEN event_id % $QuarantineMod = 0 THEN '__quarantined__'
+       |            ELSE event_type END AS bucket,
+       |  count(*) AS n,
+       |  round(sum(CASE WHEN event_id % $QuarantineMod = 0 THEN NULL ELSE value END), 2) AS good_value
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   /** q43 — ORC staging round trip: the columnar alternative to parquet
     * (bundled with Spark, predicate pushdown and column pruning both
     * apply), exercised with a pushed filter + pruned projection so the
