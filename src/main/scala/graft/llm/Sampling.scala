@@ -140,6 +140,51 @@ object Sampling {
       .orderBy("epoch", "shard", "pos")
   }
 
+  /** d43 — leakage-free split ENFORCEMENT: the fix for what d18
+    * detects. Hash-mod splits (d13) assign near-duplicate documents
+    * independently, so a near-dup cluster can span train and test —
+    * the classic eval leak. Enforcement reassigns every document to
+    * the split of its cluster's CANONICAL member (the d11 min-id
+    * label): deterministic, order-free, and by construction no
+    * verified near-dup cluster spans splits afterwards. Singletons
+    * keep their hash split (their canonical is themselves), so only
+    * genuinely-linked docs move.
+    *
+    * Scale shape: one broadcast-free keyed join of the staged d11
+    * label relation against nothing at all — the split columns are
+    * pure expressions of (doc_id, label); cost is a read of cc_labels
+    * plus the presentation sort.
+    */
+  def splitEnforce(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clusterLabels(spark, dir)
+      .select(col("doc_id"), col("label").as("canonical_id"),
+        splitCol(col("doc_id")).as("old_split"),
+        splitCol(col("label")).as("new_split"))
+      .withColumn("moved", col("old_split") =!= col("new_split"))
+      .orderBy("doc_id")
+
+  /** d11's closure chain labels + the d13 split expression on both
+    * member and canonical ids.
+    */
+  val oracleSplitEnforce: String =
+    s"""WITH RECURSIVE ${Dedup.pairsCteSql},
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+       |labeled AS (
+       |  SELECT u AS doc_id, min(v) AS canonical_id FROM reach GROUP BY u)
+       |SELECT doc_id, canonical_id,
+       |  ${splitCaseSql("doc_id")} AS old_split,
+       |  ${splitCaseSql("canonical_id")} AS new_split,
+       |  ${splitCaseSql("doc_id")} <> ${splitCaseSql("canonical_id")} AS moved
+       |FROM labeled
+       |ORDER BY doc_id""".stripMargin
+
   val oracleEpochShuffle: String = {
     val h = TextHash.phashSql("(epoch::VARCHAR || ':' || doc_id::VARCHAR)", ShufSeed)
     s"""WITH e AS (SELECT doc_id, unnest(range($Epochs)) AS epoch FROM documents),

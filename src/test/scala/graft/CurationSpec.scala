@@ -185,4 +185,21 @@ class CurationSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("d43: after enforcement no near-dup cluster spans splits; only linked docs move") {
+    val rows = graft.llm.Sampling.splitEnforce(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    // every cluster lands on exactly ONE new split
+    rows.groupBy(_._2).foreach { case (c, ms) =>
+      assert(ms.map(_._4).distinct.length == 1, s"cluster $c still spans splits")
+    }
+    // moved flag is consistent, canonical members never move,
+    // and the fixture must contain at least one genuine leak to fix
+    rows.foreach { case (id, canon, old, nw, moved) =>
+      assert(moved == (old != nw))
+      if (id == canon) assert(!moved, s"canonical $id moved")
+    }
+    assert(rows.exists(_._5), "fixture should contain a split-spanning cluster")
+  }
 }
