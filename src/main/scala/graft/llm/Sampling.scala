@@ -185,6 +185,75 @@ object Sampling {
        |FROM labeled
        |ORDER BY doc_id""".stripMargin
 
+  val ShardTokens   = 4096L // target token mass per output shard
+  val PrefixBuckets = 32L   // id-range buckets for the distributed prefix sum
+
+  /** d44 — token-budgeted output sharding: assign each document to the
+    * training shard that contains its global token OFFSET, so shards
+    * carry ~`ShardTokens` tokens each regardless of document-length
+    * skew (the export step every pretraining pipeline runs before
+    * writing webdataset/parquet shards).
+    *
+    * The global running token sum is the scale problem: a single
+    * `sum OVER (ORDER BY doc_id)` window is one range partition and
+    * one task at 100 TB. This runs the classic two-pass distributed
+    * prefix sum instead: (1) cut the id space into `PrefixBuckets`
+    * contiguous ranges (order-preserving by construction); (2) one
+    * tiny per-bucket total agg — O(buckets) rows collected, bounded
+    * driver state like Percentiles' histogram — prefix-summed on the
+    * driver into per-bucket offsets; (3) a within-bucket running-sum
+    * window, parallel across buckets, plus the broadcast offset.
+    * Every pass is linear, the only wide op is the final presentation
+    * sort. Token count is t03's `est_bpe_tokens` arithmetic
+    * ((alnum_chars+3) div 4, integer-exact in both engines).
+    */
+  def tokenShards(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        aggregate(transform(TextStats.tokens(col("text")), t => length(t)),
+          lit(0), (a, x) => a + x).as("alnum"))
+      .select(col("doc_id"), expr("cast((alnum + 3) div 4 as bigint)").as("n_tokens"))
+    // pass 1: contiguous id-range buckets (two scalar aggregates; the
+    // span is driver-computed from min/max, not a sampled range sort)
+    val b = docs.agg(min("doc_id"), max("doc_id")).head()
+    val (minId, maxId) = (b.getLong(0), b.getLong(1))
+    val span = (maxId - minId) / PrefixBuckets + 1
+    val bucketed = docs.withColumn("b", expr(s"(doc_id - $minId) div $span"))
+    // pass 2: per-bucket totals → driver-side exclusive prefix sum
+    val totals = bucketed.groupBy("b").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((-1L, 0L)) { case ((_, acc), (bk, t)) => (bk, acc + t) }
+      .init.zip(totals).map { case ((_, off), (bk, _)) => (bk, off) }
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("b", "off")
+    // pass 3: within-bucket running sum (parallel windows) + offset
+    val w = Window.partitionBy("b").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(offDf), Seq("b"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w) + col("off"))
+      .withColumn("shard", expr(s"(cum_tokens - n_tokens) div $ShardTokens"))
+      .select("doc_id", "n_tokens", "cum_tokens", "shard")
+      .orderBy("doc_id")
+  }
+
+  /** One flat window — the oracle states WHAT (the global running sum);
+    * the bucketed two-pass plan is the HOW at scale.
+    */
+  val oracleTokenShards: String = {
+    val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    ((list_sum(list_transform($toks, x -> length(x)))::BIGINT + 3) // 4)::BIGINT AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+       |  FROM t)
+       |SELECT doc_id, n_tokens, cum_tokens,
+       |       ((cum_tokens - n_tokens) // $ShardTokens)::BIGINT AS shard
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   val oracleEpochShuffle: String = {
     val h = TextHash.phashSql("(epoch::VARCHAR || ':' || doc_id::VARCHAR)", ShufSeed)
     s"""WITH e AS (SELECT doc_id, unnest(range($Epochs)) AS epoch FROM documents),

@@ -312,6 +312,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(shardsOf.values.exists(_ > 1), "every doc landed on the same shard in all epochs")
   }
 
+  test("d44 token shards: bucketed prefix sum equals the flat running sum; shard mass is budget-bounded") {
+    val rows = Sampling.tokenShards(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // the distributed two-pass cum equals the single-order running sum
+    var acc = 0L
+    rows.foreach { case (_, n, cum, shard) =>
+      acc += n
+      assert(cum == acc, s"prefix-sum drift at cum=$cum expected $acc")
+      assert(shard == (cum - n) / Sampling.ShardTokens)
+    }
+    // shards are dense from 0 and non-decreasing in doc order
+    val shards = rows.map(_._4)
+    assert(shards.head == 0L)
+    assert(shards.zip(shards.tail).forall { case (a, b) => b == a || b == a + 1 })
+    // every shard except possibly the last crosses the token budget:
+    // mass(s) >= ShardTokens - (first-doc overhang) and a shard never
+    // holds more than budget + one max-document of tokens
+    val maxDoc = rows.map(_._2).max
+    val mass = rows.groupBy(_._4).view.mapValues(_.map(_._2).sum).toMap
+    val last = shards.last
+    mass.foreach { case (s, m) =>
+      if (s != last) assert(m >= Sampling.ShardTokens - maxDoc && m <= Sampling.ShardTokens + maxDoc,
+        s"shard $s mass $m outside budget band")
+    }
+  }
+
   test("curation pipeline: survivors pass the filters and are cluster/content-unique") {
     import graft.llm.Pipeline
     val rows = Pipeline.curatedCorpus(spark, Sf).collect()
