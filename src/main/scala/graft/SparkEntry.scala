@@ -119,6 +119,7 @@ object SparkEntry {
     "d42_kmv_overlap"       -> (llm.Sketch.kmvOverlap(_, _)),
     "d43_split_enforce"     -> (llm.Sampling.splitEnforce(_, _)),
     "d44_token_shards"      -> (llm.Sampling.tokenShards(_, _)),
+    "d45_quality_dedup"     -> (llm.Dedup.qualityDedup(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
     "d38_triangles"         -> (llm.Graph.triangles(_, _)),
     "d39_kcore"             -> (llm.Graph.kCore(_, _)),
@@ -571,6 +572,7 @@ object SparkEntry {
     "d42_kmv_overlap"   -> llm.Sketch.oracleKmvOverlap,
     "d43_split_enforce" -> llm.Sampling.oracleSplitEnforce,
     "d44_token_shards"  -> llm.Sampling.oracleTokenShards,
+    "d45_quality_dedup" -> llm.Dedup.oracleQualityDedup,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,
     "d38_triangles"     -> llm.Graph.oracleTriangles,
     "d39_kcore"         -> llm.Graph.oracleKCore,

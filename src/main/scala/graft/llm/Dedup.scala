@@ -209,6 +209,56 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d45 — quality-aware canonical selection: inside each near-dup
+    * cluster keep the highest-quality member (t02's composite score;
+    * ties broken by min doc_id), not the arbitrary min-id canonical —
+    * the Dolma/FineWeb-style "best representative" dedup step, where
+    * dropping the boilerplate-laden copy and keeping the clean one
+    * measurably improves the trained model.
+    *
+    * Scale shape: the per-cluster argmax is an AGGREGATE
+    * (`max(struct(quality, -doc_id))` — map-side partial combine,
+    * spillable hash agg), never a per-cluster window sort: at 100 TB
+    * the cluster-count is huge but each partial fits in a hash map,
+    * while a window would range-sort the full corpus. Labels come
+    * from the staged d11 index; quality is a map-side expression.
+    */
+  def qualityDedup(spark: SparkSession, dir: String): DataFrame = {
+    val q = corpus(spark, dir)
+      .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
+    val members = clusterLabels(spark, dir).join(q, Seq("doc_id"))
+    val best = members.groupBy("label")
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("label"), (-col("b.nid")).as("kept_id"))
+    members.join(best, Seq("label"))
+      .select(col("doc_id"), col("label"), col("quality"),
+        col("kept_id"), (col("doc_id") === col("kept_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  // lazy: references pairsCteSql, declared later in this object
+  lazy val oracleQualityDedup: String =
+    s"""WITH RECURSIVE $pairsCteSql,
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+       |labeled AS (SELECT u AS doc_id, min(v) AS label FROM reach GROUP BY u),
+       |q AS (${TextStats.qualityScoreSql("corpus")}),
+       |m AS (SELECT l.doc_id, l.label, q.quality FROM labeled l JOIN q USING (doc_id)),
+       |b AS (
+       |  SELECT DISTINCT label,
+       |    first_value(doc_id) OVER (PARTITION BY label ORDER BY quality DESC, doc_id) AS kept_id
+       |  FROM m)
+       |SELECT m.doc_id, m.label, m.quality, b.kept_id,
+       |       m.doc_id = b.kept_id AS keep
+       |FROM m JOIN b USING (label)
+       |ORDER BY m.doc_id""".stripMargin
+
   /** The converged (doc_id, label=component-min) relation behind d11,
     * d12 and d14 — MATERIALIZED ONCE per (data era, build) to a
     * parquet staging table and re-read by every consumer. Label once,

@@ -339,6 +339,25 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d45 quality dedup: one keeper per cluster, and it is the max-quality min-id member") {
+    val rows = Dedup.qualityDedup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (label, ms) =>
+      val keepers = ms.filter(_._5)
+      assert(keepers.length == 1, s"cluster $label has ${keepers.length} keepers")
+      val best = ms.minBy { case (id, _, q, _, _) => (-q, id) }
+      assert(keepers.head._1 == best._1, s"cluster $label kept ${keepers.head._1}, best is ${best._1}")
+      ms.foreach { case (id, _, _, kid, keep) =>
+        assert(kid == best._1 && keep == (id == kid))
+      }
+    }
+    // the fixture exercises the interesting case: some cluster keeps a
+    // member that is NOT the min-id canonical (quality overrode id order)
+    assert(rows.exists { case (_, label, _, kid, _) => kid != label },
+      "no cluster kept a non-canonical member; quality argmax untested")
+  }
+
   test("curation pipeline: survivors pass the filters and are cluster/content-unique") {
     import graft.llm.Pipeline
     val rows = Pipeline.curatedCorpus(spark, Sf).collect()
