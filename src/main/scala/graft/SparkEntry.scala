@@ -120,6 +120,7 @@ object SparkEntry {
     "d43_split_enforce"     -> (llm.Sampling.splitEnforce(_, _)),
     "d44_token_shards"      -> (llm.Sampling.tokenShards(_, _)),
     "d45_quality_dedup"     -> (llm.Dedup.qualityDedup(_, _)),
+    "t20_vocab_growth"      -> (llm.TextStats.vocabGrowth(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
     "d38_triangles"         -> (llm.Graph.triangles(_, _)),
     "d39_kcore"             -> (llm.Graph.kCore(_, _)),
@@ -573,6 +574,7 @@ object SparkEntry {
     "d43_split_enforce" -> llm.Sampling.oracleSplitEnforce,
     "d44_token_shards"  -> llm.Sampling.oracleTokenShards,
     "d45_quality_dedup" -> llm.Dedup.oracleQualityDedup,
+    "t20_vocab_growth"  -> llm.TextStats.oracleVocabGrowth,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,
     "d38_triangles"     -> llm.Graph.oracleTriangles,
     "d39_kcore"         -> llm.Graph.oracleKCore,

@@ -515,6 +515,66 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  val GrowthDeciles = 10L
+
+  /** t20 — vocabulary-growth (Heaps-law) curve: distinct-vocabulary
+    * size after each tenth of the corpus in doc_id order — the
+    * diagnostic a pretraining run reads to see whether more data still
+    * buys new vocabulary or the corpus has gone stale.
+    *
+    * The naive form recounts `count(DISTINCT word)` over every prefix —
+    * ten full dedup passes. This computes each word's FIRST-OCCURRENCE
+    * doc (`min(doc_id)` — one spillable hash agg with map-side partial
+    * combine) once; the vocab size at checkpoint c is then just the
+    * count of words whose first occurrence lands at or before c — a
+    * 10-row rollup. Checkpoints are fixed fractions of the id RANGE
+    * (the d44 bucketing: pure expression of doc_id and driver-held
+    * min/max, no rank window over the corpus). The final cumulative
+    * sum runs over exactly `GrowthDeciles` rows — bounded output, like
+    * the Percentiles locator table.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val b = docs.agg(min("doc_id"), max("doc_id")).head()
+    val (minId, maxId) = (b.getLong(0), b.getLong(1))
+    val span = (maxId - minId) / GrowthDeciles + 1
+    def decileOf(c: String) = expr(s"($c - $minId) div $span + 1")
+    val firstDoc = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("word"))
+      .groupBy("word").agg(min("doc_id").as("first_doc"))
+    val newWords = firstDoc.groupBy(decileOf("first_doc").as("decile"))
+      .agg(count(lit(1)).as("new_words"))
+    val nDocs = docs.groupBy(decileOf("doc_id").as("decile"))
+      .agg(count(lit(1)).as("n_docs"))
+    nDocs.join(newWords, Seq("decile"), "left")
+      .withColumn("new_words", coalesce(col("new_words"), lit(0L)))
+      // GrowthDeciles rows total — the unpartitioned window is bounded
+      .withColumn("vocab_size", sum("new_words").over(
+        Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("decile", "n_docs", "new_words", "vocab_size")
+      .orderBy("decile")
+  }
+
+  val oracleVocabGrowth: String =
+    s"""WITH b AS (SELECT min(doc_id) AS mn,
+       |                  (max(doc_id) - min(doc_id)) // $GrowthDeciles + 1 AS span
+       |           FROM documents),
+       |w AS (
+       |  SELECT word, min(doc_id) AS first_doc
+       |  FROM (SELECT doc_id, unnest(list_distinct($toksSql)) AS word FROM documents)
+       |  GROUP BY word),
+       |nw AS (SELECT (first_doc - mn) // span + 1 AS decile, count(*)::BIGINT AS new_words
+       |       FROM w, b GROUP BY 1),
+       |nd AS (SELECT (doc_id - mn) // span + 1 AS decile, count(*)::BIGINT AS n_docs
+       |       FROM documents, b GROUP BY 1)
+       |SELECT nd.decile, nd.n_docs,
+       |       coalesce(nw.new_words, 0)::BIGINT AS new_words,
+       |       sum(coalesce(nw.new_words, 0)) OVER (ORDER BY nd.decile
+       |         ROWS UNBOUNDED PRECEDING)::BIGINT AS vocab_size
+       |FROM nd LEFT JOIN nw USING (decile)
+       |ORDER BY nd.decile""".stripMargin
+
   val oracleQualityLogit: String =
     s"""WITH f AS (
        |  SELECT doc_id,

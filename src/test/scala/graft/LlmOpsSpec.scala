@@ -358,6 +358,25 @@ class LlmOpsSpec extends AnyFunSuite {
       "no cluster kept a non-canonical member; quality argmax untested")
   }
 
+  test("t20 vocab growth: cumulative, complete, and equal to the exact distinct vocabulary") {
+    val rows = TextStats.vocabGrowth(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    // vocab_size is the running sum of new_words
+    var acc = 0L
+    rows.foreach { case (_, _, nw, vs) => acc += nw; assert(vs == acc) }
+    // totals reconcile against independent exact counts
+    val docs = graft.tables.Tables.documents(spark, Sf)
+    assert(rows.map(_._2).sum == docs.count())
+    val exactVocab = docs
+      .select(explode(array_distinct(graft.llm.TextStats.tokens(col("text")))).as("w"))
+      .agg(countDistinct("w")).head().getLong(0)
+    assert(rows.last._4 == exactVocab, s"final vocab ${rows.last._4} != exact $exactVocab")
+    // growth actually decays (Heaps): the first checkpoint mints more
+    // new words than the last one
+    assert(rows.head._3 > rows.last._3)
+  }
+
   test("curation pipeline: survivors pass the filters and are cluster/content-unique") {
     import graft.llm.Pipeline
     val rows = Pipeline.curatedCorpus(spark, Sf).collect()
