@@ -121,6 +121,7 @@ object SparkEntry {
     "d44_token_shards"      -> (llm.Sampling.tokenShards(_, _)),
     "d45_quality_dedup"     -> (llm.Dedup.qualityDedup(_, _)),
     "t20_vocab_growth"      -> (llm.TextStats.vocabGrowth(_, _)),
+    "s18_stream_shards"     -> (streaming.StreamShards.tokenShardIngest(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
     "d38_triangles"         -> (llm.Graph.triangles(_, _)),
     "d39_kcore"             -> (llm.Graph.kCore(_, _)),
@@ -575,6 +576,7 @@ object SparkEntry {
     "d44_token_shards"  -> llm.Sampling.oracleTokenShards,
     "d45_quality_dedup" -> llm.Dedup.oracleQualityDedup,
     "t20_vocab_growth"  -> llm.TextStats.oracleVocabGrowth,
+    "s18_stream_shards" -> streaming.StreamShards.oracleStreamShards,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,
     "d38_triangles"     -> llm.Graph.oracleTriangles,
     "d39_kcore"         -> llm.Graph.oracleKCore,

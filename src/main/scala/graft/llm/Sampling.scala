@@ -207,23 +207,38 @@ object Sampling {
     * sort. Token count is t03's `est_bpe_tokens` arithmetic
     * ((alnum_chars+3) div 4, integer-exact in both engines).
     */
-  def tokenShards(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        aggregate(transform(TextStats.tokens(col("text")), t => length(t)),
-          lit(0), (a, x) => a + x).as("alnum"))
+  def tokenShards(spark: SparkSession, dir: String): DataFrame =
+    prefixShards(tokenCounts(Tables.documents(spark, dir)), 0L).orderBy("doc_id")
+
+  /** (doc_id, n_tokens) with t03's est_bpe_tokens arithmetic. */
+  private[graft] def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      aggregate(transform(TextStats.tokens(col("text")), t => length(t)),
+        lit(0), (a, x) => a + x).as("alnum"))
       .select(col("doc_id"), expr("cast((alnum + 3) div 4 as bigint)").as("n_tokens"))
+
+  /** The two-pass distributed prefix sum over (doc_id, n_tokens),
+    * starting the global running total at `base` (0 for the batch
+    * query; the carried-forward corpus total for s18's per-trigger
+    * folds). Unordered output — callers add the presentation sort.
+    */
+  private[graft] def prefixShards(docs: DataFrame, base: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val out = Seq("doc_id", "n_tokens", "cum_tokens", "shard")
     // pass 1: contiguous id-range buckets (two scalar aggregates; the
     // span is driver-computed from min/max, not a sampled range sort)
     val b = docs.agg(min("doc_id"), max("doc_id")).head()
+    if (b.isNullAt(0)) // empty slice (a range micro-batch can be)
+      return docs.select(col("doc_id"), col("n_tokens"),
+        col("n_tokens").as("cum_tokens"), col("n_tokens").as("shard")).limit(0)
     val (minId, maxId) = (b.getLong(0), b.getLong(1))
     val span = (maxId - minId) / PrefixBuckets + 1
     val bucketed = docs.withColumn("b", expr(s"(doc_id - $minId) div $span"))
     // pass 2: per-bucket totals → driver-side exclusive prefix sum
     val totals = bucketed.groupBy("b").agg(sum("n_tokens").as("t"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = totals.scanLeft((-1L, 0L)) { case ((_, acc), (bk, t)) => (bk, acc + t) }
+    val offsets = totals.scanLeft((-1L, base)) { case ((_, acc), (bk, t)) => (bk, acc + t) }
       .init.zip(totals).map { case ((_, off), (bk, _)) => (bk, off) }
     val offDf = spark.createDataFrame(offsets.toSeq).toDF("b", "off")
     // pass 3: within-bucket running sum (parallel windows) + offset
@@ -232,8 +247,7 @@ object Sampling {
     bucketed.join(broadcast(offDf), Seq("b"))
       .withColumn("cum_tokens", sum("n_tokens").over(w) + col("off"))
       .withColumn("shard", expr(s"(cum_tokens - n_tokens) div $ShardTokens"))
-      .select("doc_id", "n_tokens", "cum_tokens", "shard")
-      .orderBy("doc_id")
+      .select(out.head, out.tail: _*)
   }
 
   /** One flat window — the oracle states WHAT (the global running sum);
