@@ -122,6 +122,7 @@ object SparkEntry {
     "d45_quality_dedup"     -> (llm.Dedup.qualityDedup(_, _)),
     "t20_vocab_growth"      -> (llm.TextStats.vocabGrowth(_, _)),
     "s18_stream_shards"     -> (streaming.StreamShards.tokenShardIngest(_, _)),
+    "d46_ivf_rerank"        -> (llm.Pq.annIvfRerank(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
     "d38_triangles"         -> (llm.Graph.triangles(_, _)),
     "d39_kcore"             -> (llm.Graph.kCore(_, _)),
@@ -577,6 +578,7 @@ object SparkEntry {
     "d45_quality_dedup" -> llm.Dedup.oracleQualityDedup,
     "t20_vocab_growth"  -> llm.TextStats.oracleVocabGrowth,
     "s18_stream_shards" -> streaming.StreamShards.oracleStreamShards,
+    "d46_ivf_rerank"    -> llm.Pq.oracleAnnIvfRerank,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,
     "d38_triangles"     -> llm.Graph.oracleTriangles,
     "d39_kcore"         -> llm.Graph.oracleKCore,

@@ -205,7 +205,15 @@ object Pq {
     * broadcast LUT of |queries|·NProbe·M·K longs. Nothing about the
     * corpus is touched at query time except cell + code columns.
     */
-  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame =
+    ivfPqRanked(spark, dir)
+      .filter(col("rank") <= TopK)
+      .orderBy("query_id", "rank")
+
+  /** The full ADC ranking behind d33 (unfiltered) — d46 widens the cut
+    * to [[RerankR]] for its exact-rerank shortlist.
+    */
+  private[graft] def ivfPqRanked(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cents = Similarity.lloydCentroids(spark, dir).sortBy(_._1)
     val emb = Tables.embeddings(spark, dir)
@@ -260,9 +268,41 @@ object Pq {
       .groupBy("query_id", "vec_id", "cell")
       .agg(sum("pq").as("adq"))
       .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= TopK)
       .select(col("query_id"), col("vec_id"), col("cell"),
         round(col("adq") / lit(QuantScale), 6).as("adist"), col("rank"))
+  }
+
+  val RerankR = 30
+
+  /** d46 — two-stage retrieval: the IVFADC shortlist ([[RerankR]] ADC
+    * candidates per query, d33's index) REFINED by an exact cosine
+    * over the original vectors, re-ranked to the final top-k — FAISS's
+    * `IndexRefineFlat` serving shape (Johnson et al. 2017 §4.2;
+    * arXiv:1702.08734): the compressed index does the recall work, the
+    * exact pass fixes ADC's quantization-error ordering, and only
+    * |queries|·R full vectors are ever touched at query time.
+    *
+    * Scale shape: the shortlist (queries × R rows, with each query's
+    * embedding riding along) is BROADCAST into the corpus scan — an
+    * equi-join on vec_id that prunes to shortlist members map-side, so
+    * the 100 TB vector table never shuffles and the exact cosines are
+    * one codegen'd projection over R·|queries| rows.
+    */
+  def annIvfRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val short = ivfPqRanked(spark, dir).filter(col("rank") <= RerankR)
+      .select(col("query_id"), col("vec_id"), col("adist"))
+    val qe = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val pairs = short.join(broadcast(qe), Seq("query_id"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    emb.join(broadcast(pairs), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(graft.expr.VectorFunctions.cosineSimilarity(col("qe"), col("embedding")), 6)
+          .as("score"),
+        col("adist"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= TopK)
       .orderBy("query_id", "rank")
   }
 
@@ -338,7 +378,10 @@ object Pq {
     * from the Lloyd a/c names), per-probed-cell LUTs, integer-sum
     * ranking.
     */
-  val oracleAnnIvfPq: String = {
+  /** WITH-body of the full IVFADC replay, ending in the ranked `rr`
+    * relation — shared by the d33 and d46 oracles.
+    */
+  private lazy val ivfPqCtesSql: String = {
     val ms = (0 until PqM).map(m => s"($m)").mkString(", ")
     val rounds = (1 to PqRounds).map { r =>
       s"""pa$r AS MATERIALIZED (
@@ -355,7 +398,7 @@ object Pq {
          |    GROUP BY m, code, d)
          |  GROUP BY m, code)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${Similarity.lloydMembersSql},
+    s"""${Similarity.lloydMembersSql},
        |cent AS (SELECT cell, ce FROM c${Similarity.LloydRounds}),
        |resid AS MATERIALIZED (
        |  SELECT mb.vec_id, mb.cell,
@@ -399,9 +442,32 @@ object Pq {
        |  SELECT query_id, vec_id, cell, round(adq / $QuantScale, 6) AS adist,
        |         CAST(row_number() OVER (PARTITION BY query_id
        |                                 ORDER BY adq ASC, vec_id) AS INT) AS rank
-       |  FROM adc)
+       |  FROM adc)""".stripMargin
+  }
+
+  lazy val oracleAnnIvfPq: String =
+    s"""WITH $ivfPqCtesSql
        |SELECT query_id, vec_id, cell, adist, rank
        |FROM rr WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
-  }
+
+  lazy val oracleAnnIvfRerank: String =
+    s"""WITH $ivfPqCtesSql,
+       |short AS (SELECT query_id, vec_id, adist FROM rr WHERE rank <= $RerankR),
+       |ex AS (
+       |  SELECT s.query_id, s.vec_id,
+       |         round(list_cosine_similarity(q.embedding::DOUBLE[],
+       |                                      e.embedding::DOUBLE[]), 6) AS score,
+       |         s.adist
+       |  FROM short s
+       |  JOIN embeddings q ON q.vec_id = s.query_id
+       |  JOIN embeddings e ON e.vec_id = s.vec_id),
+       |rk AS (
+       |  SELECT query_id, vec_id, score, adist,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY score DESC, vec_id) AS INT) AS rank
+       |  FROM ex)
+       |SELECT query_id, vec_id, score, adist, rank
+       |FROM rk WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
 }

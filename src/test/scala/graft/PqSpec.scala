@@ -88,6 +88,34 @@ class PqSpec extends AnyFunSuite {
       s"unexpected non-cross NLJ: ${nljs.mkString("; ")}")
   }
 
+  test("d46: exact rerank never loses recall vs raw ADC, and draws only from the shortlist") {
+    import graft.llm.Similarity
+    val exact = Similarity.cosineTopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val adc = Pq.annIvfPq(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rr = Pq.annIvfRerank(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(4)))
+    val rrBy = rr.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(rr.nonEmpty && rrBy.keySet == adc.keySet)
+    rrBy.foreach { case (q, got) =>
+      assert(got.size <= Similarity.TopK)
+      // refine reorders the wider shortlist: recall@K against the exact
+      // top-K must be >= the raw ADC top-K's recall for every query
+      val ex = exact(q)
+      assert((got & ex).size >= (adc(q) & ex).size,
+        s"query $q: rerank recall ${(got & ex).size} < ADC ${(adc(q) & ex).size}")
+    }
+    // scores are exact cosines in rank order
+    rr.groupBy(_._1).foreach { case (_, qs) =>
+      val byRank = qs.sortBy(_._4).map(_._3).toSeq
+      assert(byRank == byRank.sorted.reverse)
+    }
+    // the refine stage visibly corrects at least one ADC ordering miss
+    assert(rrBy.exists { case (q, got) => got != adc(q) },
+      "rerank returned ADC's exact sets everywhere; refine untested on this fixture")
+  }
+
   test("d40: one recall row per (method, query), n_hits within [0, K]") {
     val rows = graft.llm.Similarity.annRecall(spark, Sf).collect()
     val methods = Seq("d07_lsh", "d08_ivf", "d31_pq", "d33_ivfpq")
