@@ -384,6 +384,7 @@ object Similarity {
       .unionByName(leg("d08_ivf", annIvf(spark, dir)))
       .unionByName(leg("d31_pq", Pq.annPq(spark, dir)))
       .unionByName(leg("d33_ivfpq", Pq.annIvfPq(spark, dir)))
+      .unionByName(leg("d46_rerank", Pq.annIvfRerank(spark, dir)))
       .orderBy("method", "query_id")
   }
 
@@ -395,7 +396,8 @@ object Similarity {
   def oracleAnnRecall: String = {
     val legs = Seq(
       ("d07_lsh", oracleAnnLsh), ("d08_ivf", oracleAnnIvf),
-      ("d31_pq", Pq.oracleAnnPq), ("d33_ivfpq", Pq.oracleAnnIvfPq)).map { case (n, sql) =>
+      ("d31_pq", Pq.oracleAnnPq), ("d33_ivfpq", Pq.oracleAnnIvfPq),
+      ("d46_rerank", Pq.oracleAnnIvfRerank)).map { case (n, sql) =>
       s"""SELECT '$n' AS method, e.query_id, count(m.vec_id) AS n_hits
          |FROM exact e LEFT JOIN (SELECT query_id, vec_id FROM ($sql)) m
          |  ON m.query_id = e.query_id AND m.vec_id = e.vec_id
