@@ -123,6 +123,7 @@ object SparkEntry {
     "t20_vocab_growth"      -> (llm.TextStats.vocabGrowth(_, _)),
     "s18_stream_shards"     -> (streaming.StreamShards.tokenShardIngest(_, _)),
     "d46_ivf_rerank"        -> (llm.Pq.annIvfRerank(_, _)),
+    "t21_mmr_diverse"       -> (llm.Retrieval.mmrTopK(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
     "d38_triangles"         -> (llm.Graph.triangles(_, _)),
     "d39_kcore"             -> (llm.Graph.kCore(_, _)),
@@ -579,6 +580,7 @@ object SparkEntry {
     "t20_vocab_growth"  -> llm.TextStats.oracleVocabGrowth,
     "s18_stream_shards" -> streaming.StreamShards.oracleStreamShards,
     "d46_ivf_rerank"    -> llm.Pq.oracleAnnIvfRerank,
+    "t21_mmr_diverse"   -> llm.Retrieval.oracleMmrTopK,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,
     "d38_triangles"     -> llm.Graph.oracleTriangles,
     "d39_kcore"         -> llm.Graph.oracleKCore,

@@ -42,6 +42,18 @@ object Retrieval {
   val B = 0.75
 
   def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("word").orderBy(col("score").desc, col("doc_id"))
+    scoredPostings(spark, dir)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("word", "rank", "doc_id", "tf", "df", "dl")
+      .orderBy("word", "rank")
+  }
+
+  /** The probed postings with their BM25 score (internal double) —
+    * shared by t19's per-term top-k and t21's diversified pool.
+    */
+  private def scoredPostings(spark: SparkSession, dir: String): DataFrame = {
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
@@ -58,19 +70,18 @@ object Retrieval {
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfNorm = (col("tf") * lit(K1 + 1.0)) /
       (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / avgdl))
-    val w = Window.partitionBy("word").orderBy(col("score").desc, col("doc_id"))
     tf.join(broadcast(qterms), Seq("word"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("score", idf * tfNorm)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
-      .select("word", "rank", "doc_id", "tf", "df", "dl")
-      .orderBy("word", "rank")
+      .select("word", "doc_id", "tf", "df", "dl", "score")
   }
 
-  val oracleBm25TopK: String =
-    s"""WITH tf AS (
+  /** WITH-body down to the BM25 `scored` postings — shared by the t19
+    * and t21 oracles.
+    */
+  private val bm25CtesSql: String =
+    s"""tf AS (
        |  SELECT doc_id, w AS word, count(*) AS tf
        |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
        |        FROM documents)
@@ -94,11 +105,111 @@ object Retrieval {
        |  FROM tf
        |  JOIN qterms q USING (word)
        |  JOIN dl USING (doc_id)
-       |  CROSS JOIN stats s),
+       |  CROSS JOIN stats s)""".stripMargin
+
+  val oracleBm25TopK: String =
+    s"""WITH $bm25CtesSql,
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY word ORDER BY score DESC, doc_id) AS rank
        |  FROM scored)
        |SELECT word, rank, doc_id, tf, df, dl
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY word, rank""".stripMargin
+
+  val MmrPool   = 10  // diversified selection draws from the BM25 top-10
+  val MmrK      = 5   // picks per query term
+  val MmrLambda = 0.5 // relevance/diversity balance
+
+  /** t21 — MMR-diversified retrieval (Carbonell & Goldstein, SIGIR'98):
+    * greedily re-rank each query term's BM25 pool so every next pick
+    * maximizes `λ·rel − (1−λ)·max cosine to the already-picked` — the
+    * de-dup step a RAG pipeline runs so its context window isn't five
+    * near-identical passages. Relevance is the integer-derived
+    * `(pool+1−rank)/pool` (the BM25 ORDER is gate-proven; reusing the
+    * float score would put ln() parity back on the hook), diversity is
+    * the d06 rounded cosine over the document embeddings.
+    *
+    * Scale shape: the pool is `queries × MmrPool` rows (BM25 prunes
+    * the corpus first — only probed postings with embeddings are
+    * ranked), so each of the MmrK−1 greedy rounds is a join between
+    * two bounded relations; corpus cost is t19's posting probe plus
+    * one embeddings equi-join, both broadcast-pruned. The loop is
+    * K-bounded, independent of corpus size.
+    */
+  def mmrTopK(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.VectorFunctions.cosineSimilarity
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val wPool = Window.partitionBy("word").orderBy(col("score").desc, col("doc_id"))
+    val pool = scoredPostings(spark, dir)
+      .join(emb, Seq("doc_id"))
+      .withColumn("prank", row_number().over(wPool))
+      .filter(col("prank") <= MmrPool)
+      .select(col("word"), col("doc_id"),
+        ((lit(MmrPool + 1) - col("prank")).cast("double") / lit(MmrPool.toDouble)).as("rel"),
+        col("embedding"))
+      .localCheckpoint() // scanned by every greedy round
+    var selected = pool.filter(col("rel") === 1.0)
+      .select(col("word"), col("doc_id"), col("embedding"), lit(1L).as("pick"))
+      .localCheckpoint()
+    (2 to MmrK).foreach { step =>
+      val cand = pool.join(selected.select("word", "doc_id"), Seq("word", "doc_id"), "left_anti")
+      val simmed = cand
+        .join(selected.select(col("word"), col("embedding").as("se")), Seq("word"))
+        .groupBy("word", "doc_id", "rel")
+        .agg(max(round(cosineSimilarity(col("embedding"), col("se")), 6)).as("maxsim"))
+      val wPick = Window.partitionBy("word").orderBy(
+        (lit(MmrLambda) * col("rel") - lit(1 - MmrLambda) * col("maxsim")).desc, col("doc_id"))
+      val pick = simmed.withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+        .select("word", "doc_id")
+        .join(pool.select("word", "doc_id", "embedding"), Seq("word", "doc_id"))
+        .select(col("word"), col("doc_id"), col("embedding"), lit(step.toLong).as("pick"))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected.select(col("word"), col("pick"), col("doc_id")).orderBy("word", "pick")
+  }
+
+  /** The greedy selection unrolled step-by-step (the d36 oracle
+    * pattern): `all_k` carries everything picked through step k.
+    */
+  lazy val oracleMmrTopK: String = {
+    val steps = (2 to MmrK).map { k =>
+      s"""sel$k AS (
+         |  SELECT word, doc_id FROM (
+         |    SELECT c.word, c.doc_id,
+         |           row_number() OVER (PARTITION BY c.word
+         |             ORDER BY $MmrLambda::DOUBLE * c.rel
+         |                      - ${1 - MmrLambda}::DOUBLE * c.maxsim DESC,
+         |                    c.doc_id) AS rn
+         |    FROM (
+         |      SELECT p.word, p.doc_id, p.rel,
+         |             max(round(list_cosine_similarity(p.embedding::DOUBLE[],
+         |                                              a.embedding::DOUBLE[]), 6)) AS maxsim
+         |      FROM pool p
+         |      JOIN all${k - 1} a USING (word)
+         |      WHERE NOT EXISTS (SELECT 1 FROM all${k - 1} x
+         |                        WHERE x.word = p.word AND x.doc_id = p.doc_id)
+         |      GROUP BY p.word, p.doc_id, p.rel) c)
+         |  WHERE rn = 1),
+         |all$k AS (
+         |  SELECT word, doc_id, embedding, pick FROM all${k - 1}
+         |  UNION ALL
+         |  SELECT p.word, p.doc_id, p.embedding, $k AS pick
+         |  FROM pool p JOIN sel$k USING (word, doc_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bm25CtesSql,
+       |pool AS (
+       |  SELECT word, doc_id, ($MmrPool + 1 - prank)::DOUBLE / $MmrPool AS rel, embedding
+       |  FROM (SELECT s.word, s.doc_id, e.embedding,
+       |               row_number() OVER (PARTITION BY s.word
+       |                                  ORDER BY s.score DESC, s.doc_id) AS prank
+       |        FROM scored s JOIN embeddings e ON e.vec_id = s.doc_id)
+       |  WHERE prank <= $MmrPool),
+       |all1 AS (
+       |  SELECT word, doc_id, embedding, 1 AS pick FROM pool WHERE rel = 1.0::DOUBLE),
+       |$steps
+       |SELECT word, pick::BIGINT AS pick, doc_id
+       |FROM all$MmrK
+       |ORDER BY word, pick""".stripMargin
+  }
 }

@@ -377,6 +377,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.head._3 > rows.last._3)
   }
 
+  test("t21 MMR: dense distinct picks per term, and diversity visibly reorders pure relevance") {
+    import graft.llm.Retrieval
+    val rows = Retrieval.mmrTopK(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val byWord = rows.groupBy(_._1)
+    byWord.foreach { case (w, ps) =>
+      val picks = ps.sortBy(_._2)
+      assert(picks.map(_._2).toSeq == (1L to picks.length), s"$w picks not dense")
+      assert(picks.length <= Retrieval.MmrK)
+      assert(picks.map(_._3).distinct.length == picks.length, s"$w repeated a doc")
+    }
+    // diversity is live: at least one term's MMR set differs from its
+    // relevance-ordered (BM25 among embedded docs) top-MmrK prefix
+    val emb = graft.tables.Tables.embeddings(spark, Sf)
+      .select(col("vec_id").as("doc_id")).collect().map(_.getLong(0)).toSet
+    val relTop = graft.llm.Retrieval.bm25TopK(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+      .filter { case (_, d) => emb(d) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).take(Retrieval.MmrK).toSet).toMap
+    assert(byWord.exists { case (w, ps) =>
+      relTop.get(w).exists(_ != ps.map(_._3).toSet)
+    }, "MMR equals relevance ordering for every term; diversity untested")
+  }
+
   test("curation pipeline: survivors pass the filters and are cluster/content-unique") {
     import graft.llm.Pipeline
     val rows = Pipeline.curatedCorpus(spark, Sf).collect()
