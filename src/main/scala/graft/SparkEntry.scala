@@ -34,6 +34,7 @@ object SparkEntry {
     "q13_price"         -> (ops.Pricing.priceBatch(_, _)),
     "q62_config_price"  -> (ops.Pricing.priceBatchFromConfig(_, _)),
     "q63_quarantine"    -> (ops.Staging.corruptQuarantine(_, _)),
+    "q64_equidepth"     -> (ops.CoreOps.equidepthHist(_, _)),
     "q14_validate"      -> (ops.CoreOps.validateRequests(_, _)),
     "q15_sql_surface"   -> (ops.CoreOps.sqlSurface(_, _)),
     "q16_stats"         -> (ops.CoreOps.statsSurface(_, _)),
@@ -366,6 +367,7 @@ object SparkEntry {
       ops.Pricing.CfgAlphaLo.toString, ops.Pricing.CfgAlphaHi.toString),
 
     "q63_quarantine" -> ops.Staging.oracleCorruptQuarantine,
+    "q64_equidepth"  -> ops.CoreOps.oracleEquidepthHist,
 
     "q14_validate" ->
       """WITH p AS (

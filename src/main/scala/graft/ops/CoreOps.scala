@@ -442,6 +442,45 @@ object CoreOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  val DepthBuckets = 10
+
+  /** q64 — equi-depth histogram: per event type, [[DepthBuckets]]
+    * buckets holding ~equal ROW COUNTS (the histogram an optimizer or
+    * a monitoring system wants when the distribution is skewed — q29's
+    * fixed-width buckets put 90 % of a heavy-tailed column in one
+    * bar). Boundaries are the exact k/10 quantiles from the bounded
+    * two-pass percentile plan ([[Percentiles.boundedPercentiles]] —
+    * spillable hash aggs, no per-group value buffer); each row's
+    * bucket is then `Σ (value > boundary_k)` — a codegen'd sum of nine
+    * comparisons against the group's broadcast boundary row, never a
+    * per-row array scan — and one final count/min/max aggregate per
+    * (group, bucket). Three linear passes at 100 TB, all spillable.
+    */
+  def equidepthHist(spark: SparkSession, dir: String): DataFrame = {
+    val ps = (1 until DepthBuckets).map(k => (s"q$k", k / 10.0))
+    val bounds = Percentiles.boundedPercentiles(
+      Tables.events(spark, dir), "event_type", "value", ps)
+    val bucket = (1 until DepthBuckets)
+      .map(k => (col("value") > col(s"q$k")).cast("long")).reduce(_ + _)
+    Tables.events(spark, dir)
+      .join(broadcast(bounds), Seq("event_type"))
+      .withColumn("bucket", bucket)
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))
+      .orderBy("event_type", "bucket")
+  }
+
+  val oracleEquidepthHist: String = {
+    val qs = (1 to 9).map(k => s"quantile_cont(value, 0.$k) AS q$k").mkString(", ")
+    val bucket = (1 to 9).map(k => s"(e.value > b.q$k)::BIGINT").mkString(" + ")
+    s"""WITH b AS (SELECT event_type, $qs FROM events GROUP BY event_type)
+       |SELECT e.event_type, ($bucket) AS bucket,
+       |       count(*) AS n, min(e.value) AS lo, max(e.value) AS hi
+       |FROM events e JOIN b USING (event_type)
+       |GROUP BY 1, 2
+       |ORDER BY e.event_type, bucket""".stripMargin
+  }
+
   /** Robust-z cut for q60: 3σ equivalent via the Gaussian consistency
     * constant (3 × 1.4826). A plain decimal literal parses to the same
     * IEEE double in Spark and DuckDB, so the strict `>` comparison has

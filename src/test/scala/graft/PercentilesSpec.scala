@@ -93,4 +93,31 @@ class PercentilesSpec extends AnyFunSuite {
       assert(g.getLong(3) < g.getLong(4))
     }
   }
+
+  test("q64 equi-depth: all buckets present and depths near-equal per group") {
+    import org.apache.spark.sql.functions.col
+    val rows = ops.CoreOps.equidepthHist(spark, SparkTestBase.Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val nByType = graft.tables.Tables.events(spark, SparkTestBase.Sf)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (t, bs) =>
+      val buckets = bs.map(_._2).sorted.toSeq
+      assert(buckets == (0L until ops.CoreOps.DepthBuckets), s"$t buckets $buckets")
+      assert(bs.map(_._3).sum == nByType(t))
+      // equi-DEPTH on a continuous column: every bucket within 25% of n/10
+      val target = nByType(t).toDouble / ops.CoreOps.DepthBuckets
+      bs.foreach { case (_, b, n, lo, hi) =>
+        assert(math.abs(n - target) <= 0.25 * target, s"$t bucket $b depth $n vs $target")
+        assert(lo <= hi)
+      }
+      // buckets tile the range in order
+      val sorted = bs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 <= b._4, s"$t overlap at bucket ${b._2}")
+        case _ =>
+      }
+    }
+  }
 }
