@@ -226,7 +226,9 @@ object Dedup {
   def qualityDedup(spark: SparkSession, dir: String): DataFrame = {
     val q = corpus(spark, dir)
       .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
-    val members = clusterLabels(spark, dir).join(q, Seq("doc_id"))
+    // consumed by both the argmax agg and the final join — eager
+    // materialization, not a leaked persist (GC frees the blocks)
+    val members = clusterLabels(spark, dir).join(q, Seq("doc_id")).localCheckpoint()
     val best = members.groupBy("label")
       .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("b"))
       .select(col("label"), (-col("b.nid")).as("kept_id"))

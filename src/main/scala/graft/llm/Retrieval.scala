@@ -50,10 +50,15 @@ object Retrieval {
       .orderBy("word", "rank")
   }
 
+  private def scoredPostings(spark: SparkSession, dir: String): DataFrame =
+    scoredPostingsWithCache(spark, dir)._1
+
   /** The probed postings with their BM25 score (internal double) —
-    * shared by t19's per-term top-k and t21's diversified pool.
+    * shared by t19's per-term top-k and t21's diversified pool. Also
+    * returns the persisted tf relation so an eagerly-materializing
+    * caller (t21) can release it once its checkpoint lands.
     */
-  private def scoredPostings(spark: SparkSession, dir: String): DataFrame = {
+  private def scoredPostingsWithCache(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
@@ -70,11 +75,11 @@ object Retrieval {
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfNorm = (col("tf") * lit(K1 + 1.0)) /
       (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / avgdl))
-    tf.join(broadcast(qterms), Seq("word"))
+    (tf.join(broadcast(qterms), Seq("word"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("score", idf * tfNorm)
-      .select("word", "doc_id", "tf", "df", "dl", "score")
+      .select("word", "doc_id", "tf", "df", "dl", "score"), tf)
   }
 
   /** WITH-body down to the BM25 `scored` postings — shared by the t19
@@ -141,7 +146,8 @@ object Retrieval {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("doc_id"), col("embedding"))
     val wPool = Window.partitionBy("word").orderBy(col("score").desc, col("doc_id"))
-    val pool = scoredPostings(spark, dir)
+    val (postings, tfCache) = scoredPostingsWithCache(spark, dir)
+    val pool = postings
       .join(emb, Seq("doc_id"))
       .withColumn("prank", row_number().over(wPool))
       .filter(col("prank") <= MmrPool)
@@ -149,6 +155,7 @@ object Retrieval {
         ((lit(MmrPool + 1) - col("prank")).cast("double") / lit(MmrPool.toDouble)).as("rel"),
         col("embedding"))
       .localCheckpoint() // scanned by every greedy round
+    tfCache.unpersist() // pool is materialized; the posting cache can go
     var selected = pool.filter(col("rel") === 1.0)
       .select(col("word"), col("doc_id"), col("embedding"), lit(1L).as("pick"))
       .localCheckpoint()
