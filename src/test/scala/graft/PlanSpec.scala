@@ -331,6 +331,35 @@ class PlanSpec extends AnyFunSuite {
     assert(edges.count() <= graft.llm.Dedup.lshJaccardPairs(spark, Sf).count())
   }
 
+  test("d44: the prefix sum windows per-bucket — no single-partition global window") {
+    val p = planOf("d44_token_shards")
+    // every Window must be partitioned (partial window spec renders as
+    // "windowspecdefinition(<order> ..." when no PARTITION BY exists)
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.contains("b#")),
+      s"found a window not partitioned by bucket:\n${windows.mkString("\n")}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("d45: the per-cluster argmax is an aggregate, not a window sort") {
+    val p = planOf("d45_quality_dedup")
+    assert(!p.contains("windowspecdefinition"),
+      s"d45 must not window over clusters:\n$p")
+    assert(p.contains("max(struct("), s"struct-argmax aggregate missing:\n$p")
+  }
+
+  test("d46: the rerank broadcasts the shortlist — the vector table never shuffles") {
+    val p = planOf("d46_ivf_rerank")
+    // embeddings appear only behind BroadcastHashJoins (plus the tiny
+    // query×centroid cross); no exchange repartitions the corpus scan
+    assert(p.contains("BroadcastHashJoin"), p)
+    val nljs = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(nljs.forall(_.contains("Cross")), s"non-cross NLJ:\n${nljs.mkString("\n")}")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side shuffle join in the serving path:\n$p")
+  }
+
   test("d35: an explicit repartition feeds the Levenshtein stage") {
     // the AQE-density lesson: without it the DP cells serialize onto
     // the single-file corpus scan's one partition
