@@ -107,6 +107,14 @@ object Pq {
         size() > Similarity.CentroidCacheCap
     })
 
+  /** d33/d46's residual codebooks, same LRU discipline. */
+  private val residCbCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Seq[(Int, Int, Seq[Double])]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[(Int, Int, Seq[Double])]]): Boolean =
+        size() > Similarity.CentroidCacheCap
+    })
+
   private[graft] def pqCodebooks(spark: SparkSession, dir: String): Seq[(Int, Int, Seq[Double])] = {
     val cached = codebookCache.get(dir)
     if (cached != null) return cached
@@ -235,7 +243,19 @@ object Pq {
         slice(col("r"), col("m") * PqSub + 1, lit(PqSub)).as("e"))
       .localCheckpoint() // scanned by training rounds, encode, and the query side
 
-    val cb = trainCodebooks(spark, rsv)
+    // residual codebooks are deterministic per dir — memoize through
+    // the same bounded LRU as the raw-slice codebooks, so d33, d46 and
+    // d40's two IVFADC legs train ONCE per (process, corpus) instead
+    // of re-running the Lloyd rounds per query
+    val cb = {
+      val hit = residCbCache.get(dir)
+      if (hit != null) hit
+      else {
+        val computed = trainCodebooks(spark, rsv)
+        residCbCache.put(dir, computed)
+        computed
+      }
+    }
     val cbDf = cb.toDF("m", "code", "ce")
     val codes = rsv.select(col("vec_id"), col("cell"), col("m"),
       nearestByM(cb).as("code"))
