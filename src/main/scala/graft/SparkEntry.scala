@@ -125,6 +125,7 @@ object SparkEntry {
     "s18_stream_shards"     -> (streaming.StreamShards.tokenShardIngest(_, _)),
     "d46_ivf_rerank"        -> (llm.Pq.annIvfRerank(_, _)),
     "t21_mmr_diverse"       -> (llm.Retrieval.mmrTopK(_, _)),
+    "d47_dedup_report"      -> (llm.Dedup.dedupReport(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
     "d38_triangles"         -> (llm.Graph.triangles(_, _)),
     "d39_kcore"             -> (llm.Graph.kCore(_, _)),
@@ -583,6 +584,7 @@ object SparkEntry {
     "s18_stream_shards" -> streaming.StreamShards.oracleStreamShards,
     "d46_ivf_rerank"    -> llm.Pq.oracleAnnIvfRerank,
     "t21_mmr_diverse"   -> llm.Retrieval.oracleMmrTopK,
+    "d47_dedup_report"  -> llm.Dedup.oracleDedupReport,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,
     "d38_triangles"     -> llm.Graph.oracleTriangles,
     "d39_kcore"         -> llm.Graph.oracleKCore,

@@ -209,6 +209,62 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d47 — dedup efficiency report: the cluster-size SPECTRUM of the
+    * near-dup graph plus what dedup buys — for each cluster size f:
+    * how many clusters, how many member documents, their total token
+    * mass (t03 arithmetic), and the tokens REMOVED by keep-one-per-
+    * cluster dedup (mass minus the per-cluster minimum member is what
+    * d12 keeps; here the report charges the canonical's tokens as
+    * kept). This is the "how duplicated is my corpus, and is dedup
+    * worth the pass" table every pipeline paper prints (cf. Lee et
+    * al. arXiv:2107.06499 §5's dup-cluster histograms).
+    *
+    * Scale shape: one token-count projection, one label-keyed join,
+    * two hash aggregates (cluster roll-up, then size roll-up) — all
+    * spillable map-side-combining aggs over the staged d11 labels;
+    * output is O(distinct cluster sizes) rows.
+    */
+  def dedupReport(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Sampling.tokenCounts(corpus(spark, dir))
+    val perCluster = clusterLabels(spark, dir).join(toks, Seq("doc_id"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("f"), sum("n_tokens").as("mass"),
+        min(when(col("doc_id") === col("label"), col("n_tokens"))).as("kept"))
+    perCluster.groupBy("f")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum("mass").as("tokens_total"),
+        sum(col("mass") - col("kept")).as("tokens_removed"))
+      .orderBy("f")
+  }
+
+  lazy val oracleDedupReport: String = {
+    val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    s"""WITH RECURSIVE $pairsCteSql,
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+       |labeled AS (SELECT u AS doc_id, min(v) AS label FROM reach GROUP BY u),
+       |tk AS (
+       |  SELECT doc_id,
+       |    ((list_sum(list_transform($toks, x -> length(x)))::BIGINT + 3) // 4)::BIGINT
+       |      AS n_tokens
+       |  FROM corpus),
+       |pc AS (
+       |  SELECT l.label, count(*)::BIGINT AS f, sum(t.n_tokens)::BIGINT AS mass,
+       |         min(CASE WHEN l.doc_id = l.label THEN t.n_tokens END)::BIGINT AS kept
+       |  FROM labeled l JOIN tk t USING (doc_id)
+       |  GROUP BY l.label)
+       |SELECT f, count(*)::BIGINT AS n_clusters,
+       |       sum(mass)::BIGINT AS tokens_total,
+       |       sum(mass - kept)::BIGINT AS tokens_removed
+       |FROM pc GROUP BY f ORDER BY f""".stripMargin
+  }
+
   /** d45 — quality-aware canonical selection: inside each near-dup
     * cluster keep the highest-quality member (t02's composite score;
     * ties broken by min doc_id), not the arbitrary min-id canonical —

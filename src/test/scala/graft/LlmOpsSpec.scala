@@ -402,6 +402,22 @@ class LlmOpsSpec extends AnyFunSuite {
     }, "MMR equals relevance ordering for every term; diversity untested")
   }
 
+  test("d47 dedup report: spectrum reconciles with the corpus; singletons remove nothing") {
+    val rows = Dedup.dedupReport(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length)
+    val corpusN = Dedup.corpus(spark, Sf).count()
+    assert(rows.map { case (f, nc, _, _) => f * nc }.sum == corpusN,
+      "cluster spectrum does not tile the corpus")
+    rows.foreach { case (f, nc, total, removed) =>
+      assert(f >= 1 && nc >= 1 && total > 0)
+      assert(removed >= 0 && removed < total)
+      if (f == 1) assert(removed == 0, "a singleton cluster claims removed tokens")
+      else assert(removed > 0, s"size-$f clusters remove nothing")
+    }
+    assert(rows.exists(_._1 > 1), "fixture has no non-trivial cluster")
+  }
+
   test("curation pipeline: survivors pass the filters and are cluster/content-unique") {
     import graft.llm.Pipeline
     val rows = Pipeline.curatedCorpus(spark, Sf).collect()
