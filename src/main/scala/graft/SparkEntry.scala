@@ -126,6 +126,7 @@ object SparkEntry {
     "d46_ivf_rerank"        -> (llm.Pq.annIvfRerank(_, _)),
     "t21_mmr_diverse"       -> (llm.Retrieval.mmrTopK(_, _)),
     "d47_dedup_report"      -> (llm.Dedup.dedupReport(_, _)),
+    "m15_xformat_dedup"     -> (llm.Multimodal.crossFormatDedup(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
     "d38_triangles"         -> (llm.Graph.triangles(_, _)),
     "d39_kcore"             -> (llm.Graph.kCore(_, _)),
@@ -585,6 +586,7 @@ object SparkEntry {
     "d46_ivf_rerank"    -> llm.Pq.oracleAnnIvfRerank,
     "t21_mmr_diverse"   -> llm.Retrieval.oracleMmrTopK,
     "d47_dedup_report"  -> llm.Dedup.oracleDedupReport,
+    "m15_xformat_dedup" -> llm.Multimodal.oracleCrossFormatDedup,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,
     "d38_triangles"     -> llm.Graph.oracleTriangles,
     "d39_kcore"         -> llm.Graph.oracleKCore,

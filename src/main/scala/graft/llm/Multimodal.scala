@@ -1182,6 +1182,86 @@ object Multimodal {
        |UNION ALL SELECT * FROM gif
        |ORDER BY doc_id""".stripMargin
 
+  // -- m15: cross-format duplicate detection ----------------------------------
+
+  case class XfmtSig(doc_id: Long, fmt: String, width: Int, height: Int, sig: String)
+
+  val XfmtIdOffset: Long = 10 * Dedup.TwinIdOffset
+  val XfmtEvery = 4L
+
+  /** m15 — cross-FORMAT image dedup: the same picture re-uploaded
+    * behind a different container (every [[XfmtEvery]]-th image also
+    * exists as a single-frame GIF re-encode of the PNG's exact
+    * grayscale raster) must be caught by content, not by bytes — a
+    * byte-level d01 sees two unrelated blobs. The reader sniffs each
+    * blob's magic (the m08 dispatch), decodes through the REAL
+    * matching codec, and joins on the md5 of the decoded
+    * (width, height, pixels) tuple; PNG and 256-gray-palette GIF are
+    * both lossless, so a true re-encode matches bit-for-bit.
+    *
+    * The oracle states the expected pair set arithmetically — the
+    * engine only reproduces it by actually decoding both containers
+    * to identical rasters, so a codec/palette/sniff bug breaks the
+    * join. Scale shape: decode is per-row map-side (the m02/m08
+    * discipline — pixels never shuffle, only the 16-byte signature
+    * enters the exchange), and the pair join is an equi-join on the
+    * signature.
+    */
+  def crossFormatDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobs = docIds(spark, dir).mapPartitions { ids =>
+      val icm = grayIcm()
+      ids.flatMap { id =>
+        val png = (id, pngBytesOf(id))
+        if (id % XfmtEvery == 0) Seq(png, (id + XfmtIdOffset, gifStillBytesOf(id, icm)))
+        else Seq(png)
+      }
+    }
+    val sigs = blobs.mapPartitions { rows =>
+      CodecInit.ready
+      rows.map { case (id, b) =>
+        val fmt =
+          if (b.length >= 4 && (b(0) & 0xff) == 0x89 && b(1) == 'P') "png"
+          else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
+          else "unknown"
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        val px = img.getRaster.getSamples(0, 0, img.getWidth, img.getHeight, 0, null: Array[Int])
+        val bb = java.nio.ByteBuffer.allocate(px.length * 4 + 8)
+        bb.putInt(img.getWidth).putInt(img.getHeight)
+        px.foreach(bb.putInt)
+        val sig = java.security.MessageDigest.getInstance("MD5")
+          .digest(bb.array()).map("%02x".format(_)).mkString
+        XfmtSig(id, fmt, img.getWidth, img.getHeight, sig)
+      }
+    }.toDF().localCheckpoint() // both join legs read it; decode once
+    sigs.filter(col("fmt") === "png").as("a")
+      .join(sigs.filter(col("fmt") === "gif").as("b"), col("a.sig") === col("b.sig"))
+      .select(col("a.doc_id").as("id_orig"), col("b.doc_id").as("id_reupload"),
+        col("a.width").as("width"), col("a.height").as("height"))
+      .orderBy("id_orig")
+  }
+
+  /** A 256-gray single-frame GIF of the SAME raster [[pngBytesOf]]
+    * encodes — the lossless "re-upload".
+    */
+  private def gifStillBytesOf(id: Long, icm: java.awt.image.IndexColorModel): Array[Byte] = {
+    CodecInit.ready
+    val (w, h) = dims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    img.getRaster.setSamples(0, 0, w, h, 0, pixelsOf(id, w, h))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    bos.toByteArray
+  }
+
+  val oracleCrossFormatDedup: String =
+    s"""SELECT doc_id AS id_orig, doc_id + $XfmtIdOffset AS id_reupload,
+       |       (8 + doc_id % 9)::INT AS width, (8 + doc_id % 7)::INT AS height
+       |FROM documents
+       |WHERE doc_id % $XfmtEvery = 0
+       |ORDER BY id_orig""".stripMargin
+
   // -- m09: scene-change detection over decoded video frames ------------------
 
   case class SceneDelta(doc_id: Long, frame_idx: Int, n_frames: Int,

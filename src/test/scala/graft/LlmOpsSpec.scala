@@ -418,6 +418,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._1 > 1), "fixture has no non-trivial cluster")
   }
 
+  test("m15 cross-format dedup: exactly the re-uploads pair up, none missed, none invented") {
+    val rows = Multimodal.crossFormatDedup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    val ids = graft.tables.Tables.documents(spark, Sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = ids.filter(_ % Multimodal.XfmtEvery == 0)
+      .map(id => (id, id + Multimodal.XfmtIdOffset)).toSet
+    assert(rows.nonEmpty)
+    assert(rows.map(p => (p._1, p._2)).toSet == expected,
+      "decoded-content join disagrees with the constructed re-upload set")
+    rows.foreach { case (id, _, w, h) =>
+      assert(w == 8 + (id % 9).toInt && h == 8 + (id % 7).toInt)
+    }
+  }
+
   test("curation pipeline: survivors pass the filters and are cluster/content-unique") {
     import graft.llm.Pipeline
     val rows = Pipeline.curatedCorpus(spark, Sf).collect()
