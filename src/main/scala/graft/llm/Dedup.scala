@@ -1537,10 +1537,26 @@ object Dedup {
     * output is O(configs).
     */
   def lshTuningReport(spark: SparkSession, dir: String): DataFrame = {
+    // Family contraction (the d05/d35/d37 pattern, applied to COUNTS):
+    // members of an exact-content family share every minhash, every
+    // band key, and every Jaccard score, so (a) each within-family
+    // member pair is a candidate under EVERY config and verifies at
+    // Jaccard 1 — a config-invariant C(f,2) closed form — and (b) each
+    // cross-family rep-level candidate/verified pair stands for
+    // f_a·f_b member pairs. The report's member-level counts are
+    // recovered exactly while the band self-join runs on
+    // representatives only — candidate mass stops scaling with the
+    // corpus copy factor (the 100×/16× fixture's f² blow-up: 57 s →
+    // rep-level work).
+    val sizes = contentFamilies(spark, dir).groupBy("rep")
+      .agg(count(lit(1)).as("f")).localCheckpoint()
+    val within = sizes.agg(
+      coalesce(sum(expr("f * (f - 1) div 2")), lit(0L))).head().getLong(0)
     val (sh, _) = ccIndex(spark, dir)
-    val mhDf = sh.select(col("doc_id"), col("hs"),
+    val mhDf = sh.join(sizes.withColumnRenamed("rep", "doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("f"), col("hs"),
         graft.expr.HashFunctions.minHash56(col("hs"), TextHash.minhashKeys(MinhashSeeds)).as("mh"))
-      .localCheckpoint() // one minhash pass feeds all three configs
+      .localCheckpoint() // one rep-level minhash pass feeds all three configs
     val rows = LshConfigs.map { case (b, r) =>
       val bands = mhDf.select(col("doc_id"),
           explode(bandStructsCfg(col("mh"), b, r)).as("bb"))
@@ -1549,15 +1565,20 @@ object Dedup {
           col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+        .join(mhDf.select(col("doc_id").as("id_a"), col("f").as("fa"), col("hs").as("ha")), Seq("id_a"))
+        .join(mhDf.select(col("doc_id").as("id_b"), col("f").as("fb"), col("hs").as("hb")), Seq("id_b"))
+        .select(col("ha"), col("hb"), (col("fa") * col("fb")).as("w"))
+        .localCheckpoint() // counted twice: raw and verified
       val verified = cand
-        .join(mhDf.select(col("doc_id").as("id_a"), col("hs").as("ha")), Seq("id_a"))
-        .join(mhDf.select(col("doc_id").as("id_b"), col("hs").as("hb")), Seq("id_b"))
-        .select(size(array_intersect(col("ha"), col("hb"))).as("i"),
+        // ci_shingles arrays are staged sorted → the native two-pointer
+        // count, no per-row hash set or materialized intersection
+        .select(col("w"), graft.expr.VectorFunctions.sortedIntersectCount(
+            col("ha"), col("hb")).as("i"),
           size(col("ha")).as("sa"), size(col("hb")).as("sb"))
         .filter(col("i").cast("double") / (col("sa") + col("sb") - col("i"))
           >= JaccardThreshold)
-      cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+      cand.agg((coalesce(sum("w"), lit(0L)) + lit(within)).as("n_candidates"))
+        .crossJoin(verified.agg((coalesce(sum("w"), lit(0L)) + lit(within)).as("n_verified")))
         .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
           col("n_candidates"), col("n_verified"))
     }

@@ -208,7 +208,11 @@ object Sampling {
     * ((alnum_chars+3) div 4, integer-exact in both engines).
     */
   def tokenShards(spark: SparkSession, dir: String): DataFrame =
-    prefixShards(tokenCounts(Tables.documents(spark, dir)), 0L).orderBy("doc_id")
+    // materialize the token counts once: the prefix sum scans them
+    // three times (min/max, bucket totals, window), and the HOF
+    // tokenize is the dominant per-row cost (interpreted, no codegen)
+    prefixShards(tokenCounts(Tables.documents(spark, dir)).localCheckpoint(), 0L)
+      .orderBy("doc_id")
 
   /** (doc_id, n_tokens) with t03's est_bpe_tokens arithmetic. */
   private[graft] def tokenCounts(docs: DataFrame): DataFrame =

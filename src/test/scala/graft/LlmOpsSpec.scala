@@ -402,6 +402,44 @@ class LlmOpsSpec extends AnyFunSuite {
     }, "MMR equals relevance ordering for every term; diversity untested")
   }
 
+  test("d34 contraction: family-weighted counts equal the member-level band join exactly") {
+    import graft.llm.{Dedup => D}
+    val got = D.lshTuningReport(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // independent member-level replay of one config (2 bands × 8 rows):
+    // the shape the contraction replaced
+    val (sh, _) = D.ccIndex(spark, Sf)
+    val mh = sh.select(col("doc_id"), col("hs"),
+      graft.expr.HashFunctions.minHash56(col("hs"),
+        graft.llm.TextHash.minhashKeys(D.MinhashSeeds)).as("mh")).localCheckpoint()
+    val bandCols = (0 until 2).map { band =>
+      val cols = (0 until 8).map(i => element_at(col("mh"), band * 8 + i + 1))
+      struct(lit(band).as("band"),
+        graft.llm.TextHash.phash(concat_ws(",", cols: _*), 1).as("band_hash"))
+    }
+    val bands = mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+      .localCheckpoint()
+    val nCand = cand.count()
+    val nVer = cand
+      .join(mh.select(col("doc_id").as("id_a"), col("hs").as("ha")), Seq("id_a"))
+      .join(mh.select(col("doc_id").as("id_b"), col("hs").as("hb")), Seq("id_b"))
+      .select(size(array_intersect(col("ha"), col("hb"))).as("i"),
+        size(col("ha")).as("sa"), size(col("hb")).as("sb"))
+      .filter(col("i").cast("double") / (col("sa") + col("sb") - col("i"))
+        >= D.JaccardThreshold)
+      .count()
+    assert(got((2, 8)) == ((nCand, nVer)),
+      s"contracted counts ${got((2, 8))} != member-level ($nCand, $nVer)")
+    // LSH monotonicity: more, shorter bands admit more candidates
+    assert(got((1, 16))._1 <= got((2, 8))._1 && got((2, 8))._1 <= got((4, 4))._1)
+    got.values.foreach { case (c, v) => assert(v <= c && v > 0) }
+  }
+
   test("d47 dedup report: spectrum reconciles with the corpus; singletons remove nothing") {
     val rows = Dedup.dedupReport(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
