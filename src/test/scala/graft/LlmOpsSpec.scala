@@ -438,6 +438,12 @@ class LlmOpsSpec extends AnyFunSuite {
     // LSH monotonicity: more, shorter bands admit more candidates
     assert(got((1, 16))._1 <= got((2, 8))._1 && got((2, 8))._1 <= got((4, 4))._1)
     got.values.foreach { case (c, v) => assert(v <= c && v > 0) }
+    // plan shape: the only nested loops are the 1-row scalar-count
+    // crosses; the band join itself is a hash equi-join
+    val p = D.lshTuningReport(spark, Sf).queryExecution.executedPlan.toString
+    val nljs = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(nljs.forall(_.contains("Cross")), s"non-cross NLJ in d34:\n${nljs.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), "cartesian in d34")
   }
 
   test("d47 dedup report: spectrum reconciles with the corpus; singletons remove nothing") {
