@@ -127,6 +127,7 @@ object SparkEntry {
     "t21_mmr_diverse"       -> (llm.Retrieval.mmrTopK(_, _)),
     "d47_dedup_report"      -> (llm.Dedup.dedupReport(_, _)),
     "m15_xformat_dedup"     -> (llm.Multimodal.crossFormatDedup(_, _)),
+    "d48_cluster_agreement" -> (llm.Dedup.clusterAgreement(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
     "d38_triangles"         -> (llm.Graph.triangles(_, _)),
     "d39_kcore"             -> (llm.Graph.kCore(_, _)),
@@ -587,6 +588,7 @@ object SparkEntry {
     "t21_mmr_diverse"   -> llm.Retrieval.oracleMmrTopK,
     "d47_dedup_report"  -> llm.Dedup.oracleDedupReport,
     "m15_xformat_dedup" -> llm.Multimodal.oracleCrossFormatDedup,
+    "d48_cluster_agreement" -> llm.Dedup.oracleClusterAgreement,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,
     "d38_triangles"     -> llm.Graph.oracleTriangles,
     "d39_kcore"         -> llm.Graph.oracleKCore,

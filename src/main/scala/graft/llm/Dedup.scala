@@ -265,6 +265,69 @@ object Dedup {
        |FROM pc GROUP BY f ORDER BY f""".stripMargin
   }
 
+  /** d48 — clustering agreement: how much of the near-dup clustering
+    * (d11's verified-Jaccard closure) is explained by EXACT
+    * duplication (the content families)? The pair-counting Rand index
+    * between the two partitions, computed entirely from closed forms —
+    * pairs-together-in-X is Σ_groups C(n,2), so the metric needs three
+    * spillable hash aggs and ZERO pairwise joins (at 100 TB a
+    * pair-materializing agreement metric is quadratic dead weight).
+    * The diagnostic a pipeline reads before paying for the fuzzy pass:
+    * Rand ≈ 1 with same_both ≈ same_cluster means exact hashing
+    * already finds almost everything the MinHash pipeline finds.
+    *
+    * Both label relations come from staged indexes; the ratio is one
+    * double division of exact BIGINTs (cross-engine bit parity).
+    */
+  def clusterAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val j = clusterLabels(spark, dir)
+      .join(contentFamilies(spark, dir).select("doc_id", "rep"), Seq("doc_id"))
+      .localCheckpoint() // three aggregates read it
+    val sameBoth = j.groupBy("label", "rep").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))).head().getLong(0)
+    val sameCluster = j.groupBy("label").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))).head().getLong(0)
+    val sameFamily = j.groupBy("rep").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))).head().getLong(0)
+    val n = j.count()
+    val total = n * (n - 1) / 2
+    val agree = total + 2 * sameBoth - sameCluster - sameFamily
+    import spark.implicits._
+    Seq((n, total, sameCluster, sameFamily, sameBoth,
+      agree.toDouble / total))
+      .toDF("n_docs", "pairs_total", "same_cluster", "same_family",
+        "same_both", "rand_index")
+  }
+
+  lazy val oracleClusterAgreement: String =
+    s"""WITH RECURSIVE $pairsCteSql,
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+       |labeled AS (SELECT u AS doc_id, min(v) AS label FROM reach GROUP BY u),
+       |fams AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+       |  FROM corpus),
+       |j AS (SELECT l.doc_id, l.label, f.rep FROM labeled l JOIN fams f USING (doc_id)),
+       |sb AS (SELECT coalesce(sum(n * (n - 1) // 2), 0)::BIGINT AS v FROM
+       |         (SELECT count(*) AS n FROM j GROUP BY label, rep)),
+       |sc AS (SELECT coalesce(sum(n * (n - 1) // 2), 0)::BIGINT AS v FROM
+       |         (SELECT count(*) AS n FROM j GROUP BY label)),
+       |sf AS (SELECT coalesce(sum(n * (n - 1) // 2), 0)::BIGINT AS v FROM
+       |         (SELECT count(*) AS n FROM j GROUP BY rep)),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM j)
+       |SELECT nn.n AS n_docs,
+       |       (nn.n * (nn.n - 1) // 2)::BIGINT AS pairs_total,
+       |       sc.v AS same_cluster, sf.v AS same_family, sb.v AS same_both,
+       |       ((nn.n * (nn.n - 1) // 2) + 2 * sb.v - sc.v - sf.v)::DOUBLE
+       |         / (nn.n * (nn.n - 1) // 2) AS rand_index
+       |FROM nn, sb, sc, sf""".stripMargin
+
   /** d45 — quality-aware canonical selection: inside each near-dup
     * cluster keep the highest-quality member (t02's composite score;
     * ties broken by min doc_id), not the arbitrary min-id canonical —

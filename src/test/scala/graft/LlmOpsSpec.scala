@@ -446,6 +446,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "cartesian in d34")
   }
 
+  test("d48 agreement: families refine clusters, and the closed forms match a brute-force pair count") {
+    val r = Dedup.clusterAgreement(spark, Sf).head()
+    val (n, total, sc, sf0, sb, rand) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+    assert(total == n * (n - 1) / 2)
+    // exact-content families REFINE the reachability clusters (equal
+    // text => verified Jaccard 1 => same cluster), so every same-family
+    // pair is a same-cluster pair
+    assert(sb == sf0, s"family pairs $sf0 not contained in clusters (agree on $sb)")
+    assert(sb <= sc && sc <= total)
+    assert(rand == (total + 2 * sb - sc - sf0).toDouble / total && rand > 0.9)
+    // brute-force pair count on the collected labels agrees
+    val labs = Dedup.clusterLabels(spark, Sf).collect().map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
+    val pairsSameCluster = labs.values.groupBy(identity).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    assert(pairsSameCluster == sc, s"closed form $sc != brute $pairsSameCluster")
+  }
+
   test("d47 dedup report: spectrum reconciles with the corpus; singletons remove nothing") {
     val rows = Dedup.dedupReport(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
