@@ -128,6 +128,7 @@ object SparkEntry {
     "d47_dedup_report"      -> (llm.Dedup.dedupReport(_, _)),
     "m15_xformat_dedup"     -> (llm.Multimodal.crossFormatDedup(_, _)),
     "d48_cluster_agreement" -> (llm.Dedup.clusterAgreement(_, _)),
+    "s19_stream_sketch"     -> (streaming.StreamSketch.cmsIngest(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
     "d38_triangles"         -> (llm.Graph.triangles(_, _)),
     "d39_kcore"             -> (llm.Graph.kCore(_, _)),
@@ -589,6 +590,7 @@ object SparkEntry {
     "d47_dedup_report"  -> llm.Dedup.oracleDedupReport,
     "m15_xformat_dedup" -> llm.Multimodal.oracleCrossFormatDedup,
     "d48_cluster_agreement" -> llm.Dedup.oracleClusterAgreement,
+    "s19_stream_sketch"     -> streaming.StreamSketch.oracleCmsIngest,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,
     "d38_triangles"     -> llm.Graph.oracleTriangles,
     "d39_kcore"         -> llm.Graph.oracleKCore,

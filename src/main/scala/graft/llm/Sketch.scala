@@ -31,8 +31,10 @@ object Sketch {
   val Width = 512
   val TopK = 20
 
-  /** (d, bucket) struct per depth row for a word column. */
-  private def cellKeys(word: Column): Column =
+  /** (d, bucket) struct per depth row for a word column (shared with
+    * s19's streaming grid fold).
+    */
+  private[graft] def cellKeys(word: Column): Column =
     array((0 until Depth).map { d =>
       struct(lit(d).as("d"), pmod(TextHash.phash(word, 100 + d), lit(Width)).as("b"))
     }: _*)

@@ -26,4 +26,20 @@ class StreamShardsSpec extends AnyFunSuite {
     assert(totals == totals.sorted, s"carried totals not monotone: $totals")
     assert(totals.last == batch.map(_._2).sum, "final carry != corpus token mass")
   }
+
+  test("s19 streamed CMS report equals the one-shot d22 build (the monoid fold)") {
+    val streamed = graft.streaming.StreamSketch.cmsIngest(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val batch = graft.llm.Sketch.countMinTopK(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq, "streamed grid fold diverged from the one-shot sketch")
+    // the state generations exist per batch (resumability contract)
+    val base = graft.ops.Staging.stagePath("stream_sketch", Sf)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    (0 until graft.streaming.StreamSketch.NumBatches).foreach { k =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/grid_$k")), s"missing grid_$k")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/wc_$k")), s"missing wc_$k")
+    }
+  }
 }
