@@ -281,4 +281,155 @@ object Sampling {
        |         ORDER BY okey, doc_id) AS pos, doc_id, okey
        |FROM s ORDER BY epoch, shard, pos""".stripMargin
   }
+
+  val DsirSeed    = 49
+  val DsirBuckets = 512L
+  val DsirTarget  = "en"
+
+  /** Half-bit-resolution floor(2·log2 n): `length(bin(n²)) − 1`, exact
+    * integer in both engines for n < 2^31.5 (n² must fit a BIGINT —
+    * fine for per-bucket feature counts at any realistic shard size;
+    * production swaps in float log2 and loses the oracle, t18's
+    * declared trade at double the resolution).
+    */
+  private def il2sq(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (length(bin(n * n)) - 1).cast("long")
+
+  private def il2sqSql(e: String): String =
+    s"(length(bin(($e) * ($e))) - 1)"
+
+  /** d49 — DSIR data selection (Xie et al., arXiv:2302.03169):
+    * importance-resample a raw corpus toward a target distribution by
+    * scoring every document with the log-likelihood ratio of a
+    * bag-of-hashed-n-grams unigram model of the TARGET (here: the
+    * `lang = 'en'` slice) against one of the RAW corpus. Features are
+    * word unigrams + bigrams hashed into [[DsirBuckets]] buckets
+    * (the paper's hashed n-gram generative model); both models are
+    * add-one smoothed; a document's importance log-weight is the sum
+    * of its features' per-bucket log-ratios, and `selected` keeps the
+    * docs whose per-feature average log-ratio beats the corpus
+    * average (see [[dsirFlag]]).
+    *
+    * Log arithmetic is INTEGER HALF-BITS ([[il2sq]] — the t18
+    * integer-bit pattern at 2× resolution): each occurrence of bucket
+    * b contributes `il2sq(ct_b+1) − il2sq(cr_b+1)` plus the constant
+    * `il2sq(R+B) − il2sq(T+B)`, so the per-doc total is an
+    * order-independent BIGINT sum — hash-exact across engines, no
+    * float log anywhere.
+    *
+    * Scale shape (100 TB): tokenize+explode is map-side; ONE
+    * (doc, bucket) count shuffle feeds everything; the bucket
+    * log-ratio table is B=512 rows (a broadcast), the model totals one
+    * scalar agg cross-joined in; the per-doc score is a BIGINT
+    * group-by. No window, no global sort except presentation, and —
+    * unlike rank-based selection — the mean threshold needs only a
+    * scalar agg, never a corpus-wide quantile pass.
+    */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    // one shuffle: per-(doc, bucket) multiplicities; feeds the bucket
+    // model, the totals and the per-doc score (persist — the d18 lesson)
+    val feats = dsirFeats(spark, dir).persist()
+    val scored = dsirScored(spark, dir, feats).localCheckpoint()
+    feats.unpersist()
+    dsirFlag(scored).orderBy("doc_id")
+  }
+
+  /** The full scoring tree lazily, no persist/checkpoint — PlanSpec
+    * pins the shape on this; [[dsirSelect]] adds the materialization.
+    */
+  private[graft] def dsirLazy(spark: SparkSession, dir: String): DataFrame =
+    dsirFlag(dsirScored(spark, dir, dsirFeats(spark, dir))).orderBy("doc_id")
+
+  /** `selected` keeps docs whose PER-FEATURE average log-ratio beats
+    * the corpus per-feature average — an integer cross-multiply
+    * (`halfbits·Σfeats > feats·Σhalfbits`, exact for the BIGINT ranges
+    * here), so the deterministic stand-in for the paper's top-k
+    * resample costs one scalar agg over the compact per-doc relation,
+    * never a corpus-wide quantile or rank pass. Normalizing by feature
+    * count removes the length bias a raw log-weight threshold has
+    * (long docs accumulate the positive smoothing constant).
+    */
+  private def dsirFlag(scored: DataFrame): DataFrame = {
+    val tot = scored.agg(sum("n_feats").as("tf"), sum("dsir_halfbits").as("s"))
+    scored.crossJoin(broadcast(tot))
+      .withColumn("selected", col("dsir_halfbits") * col("tf") > col("n_feats") * col("s"))
+      .drop("tf", "s")
+  }
+
+  private def dsirFeats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), TextStats.tokens(col("text")).as("ws"))
+    val uni = docs.select(col("doc_id"), col("lang"), explode(col("ws")).as("f"))
+    val bi = docs
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat(element_at(col("ws"), i), lit(" "),
+                      element_at(col("ws"), i + 1)))).as("f"))
+    uni.unionByName(bi)
+      .select(col("doc_id"), col("lang"),
+        pmod(TextHash.phash(col("f"), DsirSeed), lit(DsirBuckets)).as("b"))
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
+  }
+
+  private def dsirScored(spark: SparkSession, dir: String, feats: DataFrame): DataFrame = {
+    val lam = feats.groupBy("b")
+      .agg(sum("c").as("cr"),
+           sum(when(col("lang") === DsirTarget, col("c")).otherwise(0L)).as("ct"))
+      .select(col("b"), (il2sq(col("ct") + 1) - il2sq(col("cr") + 1)).as("hb"))
+    val totals = feats.agg(
+      sum("c").as("r"),
+      sum(when(col("lang") === DsirTarget, col("c")).otherwise(0L)).as("t"))
+    val perDoc = feats.join(broadcast(lam), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("nf"), sum(col("c") * col("hb")).as("s1"))
+    Tables.documents(spark, dir).select("doc_id", "lang")
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("nf"), lit(0L)).as("n_feats"),
+        (coalesce(col("s1"), lit(0L)) +
+          coalesce(col("nf"), lit(0L)) *
+            (il2sq(col("r") + lit(DsirBuckets)) -
+             il2sq(col("t") + lit(DsirBuckets)))).as("dsir_halfbits"))
+  }
+
+  val oracleDsirSelect: String = {
+    val h = s"${TextHash.phashSql("f", DsirSeed)} % $DsirBuckets"
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |  FROM documents),
+       |uni AS (SELECT doc_id, lang, unnest(ws) AS f FROM toks),
+       |bi AS (SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS f
+       |       FROM toks, LATERAL (SELECT unnest(range(1, len(ws))) AS i) u),
+       |feats AS (
+       |  SELECT doc_id, lang, $h AS b, count(*)::BIGINT AS c
+       |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+       |  GROUP BY 1, 2, 3),
+       |lam AS (
+       |  SELECT b, ${il2sqSql("ct + 1")} - ${il2sqSql("cr + 1")} AS hb
+       |  FROM (SELECT b, sum(c)::BIGINT AS cr,
+       |               sum(CASE WHEN lang = '$DsirTarget' THEN c ELSE 0 END)::BIGINT AS ct
+       |        FROM feats GROUP BY b)),
+       |tot AS (
+       |  SELECT sum(c)::BIGINT AS r,
+       |         sum(CASE WHEN lang = '$DsirTarget' THEN c ELSE 0 END)::BIGINT AS t
+       |  FROM feats),
+       |perdoc AS (
+       |  SELECT doc_id, sum(c)::BIGINT AS nf, sum(c * hb)::BIGINT AS s1
+       |  FROM feats JOIN lam USING (b) GROUP BY doc_id),
+       |scored AS (
+       |  SELECT d.doc_id, d.lang,
+       |    coalesce(nf, 0)::BIGINT AS n_feats,
+       |    (coalesce(s1, 0) + coalesce(nf, 0) *
+       |      (${il2sqSql(s"r + $DsirBuckets")} - ${il2sqSql(s"t + $DsirBuckets")}))::BIGINT
+       |      AS dsir_halfbits
+       |  FROM documents d LEFT JOIN perdoc USING (doc_id) CROSS JOIN tot),
+       |tot2 AS (
+       |  SELECT sum(n_feats)::BIGINT AS tf, sum(dsir_halfbits)::BIGINT AS s
+       |  FROM scored)
+       |SELECT doc_id, lang, n_feats, dsir_halfbits,
+       |       dsir_halfbits * tf > n_feats * s AS selected
+       |FROM scored CROSS JOIN tot2 ORDER BY doc_id""".stripMargin
+  }
 }

@@ -292,6 +292,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(expected.nonEmpty && expected.size < docs.length)
   }
 
+  test("d49 DSIR: selection favors the target language and the flag is the mean threshold") {
+    val rows = Sampling.dsirSelect(spark, Sf).collect()
+    val all = graft.tables.Tables.documents(spark, Sf).count()
+    assert(rows.length == all)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    // the flag is exactly the per-feature-normalized mean threshold
+    val tf = rows.map(_.getLong(2)).sum
+    val s = rows.map(_.getLong(3)).sum
+    rows.foreach(r =>
+      assert(r.getBoolean(4) == (r.getLong(3) * tf > r.getLong(2) * s)))
+    // semantic direction: target-language docs average a higher
+    // importance weight than the rest, selection is non-degenerate,
+    // and the selected set is target-dominated
+    val (en, other) = rows.partition(_.getString(1) == Sampling.DsirTarget)
+    def mean(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getLong(3)).sum.toDouble / rs.length
+    assert(mean(en) > mean(other))
+    val sel = rows.filter(_.getBoolean(4))
+    assert(sel.nonEmpty && sel.length < rows.length)
+    assert(sel.count(_.getString(1) == Sampling.DsirTarget) * 2 > sel.length)
+  }
+
   test("d27 epoch shuffle: per-shard positions are dense and epochs permute differently") {
     val rows = Sampling.epochShuffle(spark, Sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -360,6 +360,19 @@ class PlanSpec extends AnyFunSuite {
       s"corpus-side shuffle join in the serving path:\n$p")
   }
 
+  test("d49: the bucket model broadcasts; no window/rank selection pass") {
+    val p = graft.llm.Sampling.dsirLazy(spark, Sf)
+      .queryExecution.executedPlan.toString
+    // the 512-row log-ratio table and the 1-row totals are broadcast;
+    // the corpus-side feature relation never nested-loops or windows
+    assert(p.contains("BroadcastHashJoin"), s"lam not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    val nljs = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(nljs.forall(_.contains("Cross")), s"non-cross NLJ:\n${nljs.mkString("\n")}")
+    assert(!p.contains("windowspecdefinition"),
+      s"d49 selection must be a threshold, not a rank window:\n$p")
+  }
+
   test("d35: an explicit repartition feeds the Levenshtein stage") {
     // the AQE-density lesson: without it the DP cells serialize onto
     // the single-file corpus scan's one partition
