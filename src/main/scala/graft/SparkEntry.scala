@@ -129,6 +129,7 @@ object SparkEntry {
     "m15_xformat_dedup"     -> (llm.Multimodal.crossFormatDedup(_, _)),
     "d48_cluster_agreement" -> (llm.Dedup.clusterAgreement(_, _)),
     "d49_dsir_select"       -> (llm.Sampling.dsirSelect(_, _)),
+    "s20_stream_asof"       -> (streaming.StreamAsOf.asOfEnrich(_, _)),
     "s19_stream_sketch"     -> (streaming.StreamSketch.cmsIngest(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
     "d38_triangles"         -> (llm.Graph.triangles(_, _)),
@@ -592,6 +593,7 @@ object SparkEntry {
     "m15_xformat_dedup" -> llm.Multimodal.oracleCrossFormatDedup,
     "d48_cluster_agreement" -> llm.Dedup.oracleClusterAgreement,
     "d49_dsir_select"       -> llm.Sampling.oracleDsirSelect,
+    "s20_stream_asof"       -> ops.AsOfJoin.oraclePurchaseAsOfClick,
     "s19_stream_sketch"     -> streaming.StreamSketch.oracleCmsIngest,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,
     "d38_triangles"     -> llm.Graph.oracleTriangles,
