@@ -131,6 +131,7 @@ object SparkEntry {
     "d49_dsir_select"       -> (llm.Sampling.dsirSelect(_, _)),
     "s20_stream_asof"       -> (streaming.StreamAsOf.asOfEnrich(_, _)),
     "s21_stream_drift"      -> (streaming.StreamDrift.driftReport(_, _)),
+    "q65_constraints"       -> (ops.Warehouse.constraintSuite(_, _)),
     "s19_stream_sketch"     -> (streaming.StreamSketch.cmsIngest(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
     "d38_triangles"         -> (llm.Graph.triangles(_, _)),
@@ -596,6 +597,7 @@ object SparkEntry {
     "d49_dsir_select"       -> llm.Sampling.oracleDsirSelect,
     "s20_stream_asof"       -> ops.AsOfJoin.oraclePurchaseAsOfClick,
     "s21_stream_drift"      -> streaming.StreamDrift.oracleDriftReport,
+    "q65_constraints"       -> ops.Warehouse.oracleConstraintSuite,
     "s19_stream_sketch"     -> streaming.StreamSketch.oracleCmsIngest,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,
     "d38_triangles"     -> llm.Graph.oracleTriangles,

@@ -360,6 +360,18 @@ class PlanSpec extends AnyFunSuite {
       s"corpus-side shuffle join in the serving path:\n$p")
   }
 
+  test("q65: checks fuse into one pass per fact table, dims broadcast") {
+    val p = planOf("q65_constraints")
+    // each fact feeds ONE fused aggregate: exactly one lineitem scan
+    // and two orders scans (the orders pass + the lineitem pass's fk
+    // side) — k constraints never mean k jobs
+    assert("lineitem\\.parquet".r.findAllIn(p).length == 1,
+      s"lineitem scanned more than once:\n$p")
+    assert("orders\\.parquet".r.findAllIn(p).length == 2,
+      s"orders scanned beyond the two passes:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("d49: the bucket model broadcasts; no window/rank selection pass") {
     val p = graft.llm.Sampling.dsirLazy(spark, Sf)
       .queryExecution.executedPlan.toString
