@@ -242,10 +242,13 @@ object Warehouse {
         count(when(col("c_custkey").isNull, lit(1))).as("fk_orders_customer"),
         count(when(!col("o_orderstatus").isin("O", "F", "P"), lit(1)))
           .as("accepted_order_status"))
+    // NOT a forced broadcast: orders is fact-sized — at sf0.1 Catalyst
+    // auto-broadcasts the 2-column projection, at 100 TB this must be
+    // free to become a shuffled join (AQE decides from runtime stats)
     val orderSide = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
     val lineitemPass = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_quantity", "l_shipdate")
-      .join(broadcast(orderSide), col("l_orderkey") === col("o_orderkey"), "left")
+      .join(orderSide, col("l_orderkey") === col("o_orderkey"), "left")
       .agg(
         count(when(col("o_orderkey").isNull, lit(1))).as("fk_lineitem_orders"),
         count(when(col("o_orderkey").isNotNull &&

@@ -369,7 +369,10 @@ class PlanSpec extends AnyFunSuite {
       s"lineitem scanned more than once:\n$p")
     assert("orders\\.parquet".r.findAllIn(p).length == 2,
       s"orders scanned beyond the two passes:\n$p")
-    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p)
+    // the customer-key dim is broadcast; the lineitem⋈orders side is
+    // deliberately NOT forced — Catalyst broadcasts it at this SF and
+    // is free to shuffle it at fact scale
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("d49: the bucket model broadcasts; no window/rank selection pass") {
