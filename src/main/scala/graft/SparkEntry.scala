@@ -129,6 +129,7 @@ object SparkEntry {
     "m15_xformat_dedup"     -> (llm.Multimodal.crossFormatDedup(_, _)),
     "d48_cluster_agreement" -> (llm.Dedup.clusterAgreement(_, _)),
     "d49_dsir_select"       -> (llm.Sampling.dsirSelect(_, _)),
+    "d50_ivf_probe_sweep"   -> (llm.Similarity.ivfProbeSweep(_, _)),
     "s20_stream_asof"       -> (streaming.StreamAsOf.asOfEnrich(_, _)),
     "s21_stream_drift"      -> (streaming.StreamDrift.driftReport(_, _)),
     "q65_constraints"       -> (ops.Warehouse.constraintSuite(_, _)),
@@ -595,6 +596,7 @@ object SparkEntry {
     "m15_xformat_dedup" -> llm.Multimodal.oracleCrossFormatDedup,
     "d48_cluster_agreement" -> llm.Dedup.oracleClusterAgreement,
     "d49_dsir_select"       -> llm.Sampling.oracleDsirSelect,
+    "d50_ivf_probe_sweep"   -> llm.Similarity.oracleIvfProbeSweep,
     "s20_stream_asof"       -> ops.AsOfJoin.oraclePurchaseAsOfClick,
     "s21_stream_drift"      -> streaming.StreamDrift.oracleDriftReport,
     "q65_constraints"       -> ops.Warehouse.oracleConstraintSuite,

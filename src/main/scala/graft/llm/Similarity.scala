@@ -640,4 +640,100 @@ object Similarity {
        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) >= $NearDupThreshold
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  // ---- d50: IVF probe-sensitivity sweep -------------------------------------
+
+  val ProbeSweep = Seq(1, 2, 4, 8)
+
+  /** d50 — IVF probe-sensitivity report (the d34 banding sweep for the
+    * vector index): recall@K and scanned-fraction for every
+    * `nprobe ∈ {1,2,4,8}` from ONE shared assignment pass. The key
+    * observation: a candidate (query, vec) pair is scanned at nprobe p
+    * iff the rank of the vector's cell in the query's cell ranking is
+    * ≤ p — so ranking every query against all cells ONCE and
+    * histogramming pairs/hits by that cell-rank yields the whole sweep
+    * as cumulative sums over ≤ [[NumCells]] rows; the corpus is never
+    * re-probed per configuration. This is the tuning table an index
+    * operator reads to pick nprobe (recall vs cost) before committing
+    * a 100 TB build.
+    *
+    * Scale shape: one (vec, cell) ranking window (d08's shape), one
+    * bucketed members⋈probes equi-join on cell, K·queries exact rows
+    * (the d40 sampled-evaluation stance) — then O(cells) driver math
+    * (the Percentiles bounded-driver-state pattern). Integer counts;
+    * `recall` is an int/int ratio, `scanned_ppm` truncating division.
+    */
+  def ivfProbeSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = lloydCentroids(spark, dir).toDF("cell", "ce")
+    val wCell = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("cell"))
+    val rankedAll = emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cell"),
+        cosineSimilarity(col("embedding"), col("ce")).as("cscore"))
+      .withColumn("crank", row_number().over(wCell))
+    val members = rankedAll.filter(col("crank") === 1)
+      .select(col("vec_id"), col("cell")).localCheckpoint()
+    val probes = rankedAll.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("cell"), col("crank"))
+      .localCheckpoint()
+    val scannedByRank = members.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("crank").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val hitsByRank = cosineTopK(spark, dir).select("query_id", "vec_id")
+      .join(members, Seq("vec_id"))
+      .join(broadcast(probes), Seq("query_id", "cell"))
+      .groupBy("crank").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val corpusN = emb.count()
+    val rows = ProbeSweep.map { p =>
+      val scanned = (1 to p).map(scannedByRank.getOrElse(_, 0L)).sum
+      val hits = (1 to p).map(hitsByRank.getOrElse(_, 0L)).sum
+      Row(p, scanned, hits, hits.toDouble / (TopK.toLong * NumQueries),
+        scanned * 1000000L / (NumQueries.toLong * corpusN))
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
+      StructField("nprobe", IntegerType, nullable = false),
+      StructField("scanned", LongType, nullable = false),
+      StructField("n_hits", LongType, nullable = false),
+      StructField("recall", DoubleType, nullable = false),
+      StructField("scanned_ppm", LongType, nullable = false))))
+      .orderBy("nprobe")
+  }
+
+  /** SQL replay: the same cell-rank histograms as correlated sums over
+    * the Lloyd `ranked` relation — algorithm-independent exact leg.
+    */
+  lazy val oracleIvfProbeSweep: String =
+    s"""WITH $lloydMembersSql,
+       |exact AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM ($oracleCosineTopK)),
+       |probes AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, cell, crank FROM ranked
+       |  WHERE vec_id < $NumQueries),
+       |sc AS MATERIALIZED (
+       |  SELECT p.crank, count(*)::BIGINT AS n
+       |  FROM members m JOIN probes p ON m.cell = p.cell
+       |  WHERE m.vec_id != p.query_id
+       |  GROUP BY 1),
+       |h AS MATERIALIZED (
+       |  SELECT p.crank, count(*)::BIGINT AS n
+       |  FROM exact e
+       |  JOIN members m ON e.vec_id = m.vec_id
+       |  JOIN probes p ON p.query_id = e.query_id AND p.cell = m.cell
+       |  GROUP BY 1),
+       |nv AS (SELECT count(*)::BIGINT AS cn FROM e),
+       |grid AS (
+       |  SELECT pl.nprobe,
+       |    (SELECT coalesce(sum(n), 0) FROM sc WHERE crank <= pl.nprobe)::BIGINT AS scanned,
+       |    (SELECT coalesce(sum(n), 0) FROM h WHERE crank <= pl.nprobe)::BIGINT AS n_hits
+       |  FROM (SELECT unnest([${ProbeSweep.mkString(", ")}]) AS nprobe) pl)
+       |SELECT nprobe::INT AS nprobe, scanned, n_hits,
+       |       n_hits::DOUBLE / ${TopK * NumQueries} AS recall,
+       |       (scanned * 1000000 // ($NumQueries * nv.cn))::BIGINT AS scanned_ppm
+       |FROM grid CROSS JOIN nv
+       |ORDER BY nprobe""".stripMargin
 }

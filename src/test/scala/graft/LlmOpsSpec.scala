@@ -292,6 +292,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(expected.nonEmpty && expected.size < docs.length)
   }
 
+  test("d50 probe sweep: scanned cost and recall ramp monotonically with nprobe") {
+    val rows = Similarity.ivfProbeSweep(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Similarity.ProbeSweep)
+    rows.sliding(2).foreach { case Array((_, s0, h0, _), (_, s1, h1, _)) =>
+      assert(s1 >= s0 && h1 >= h0, "sweep not monotone")
+    }
+    val denom = Similarity.TopK.toLong * Similarity.NumQueries
+    rows.foreach { case (_, s, h, r) =>
+      assert(h <= denom && r == h.toDouble / denom)
+      assert(s >= h, "cannot hit more pairs than were scanned")
+    }
+  }
+
   test("d49 DSIR: selection favors the target language and the flag is the mean threshold") {
     val rows = Sampling.dsirSelect(spark, Sf).collect()
     val all = graft.tables.Tables.documents(spark, Sf).count()
