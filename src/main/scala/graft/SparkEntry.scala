@@ -133,6 +133,11 @@ object SparkEntry {
     "s20_stream_asof"       -> (streaming.StreamAsOf.asOfEnrich(_, _)),
     "s21_stream_drift"      -> (streaming.StreamDrift.driftReport(_, _)),
     "q65_constraints"       -> (ops.Warehouse.constraintSuite(_, _)),
+    "q66_cdc_apply"         -> (ops.Warehouse.cdcApply(_, _)),
+    "d51_threshold_sweep"   -> (llm.Dedup.thresholdSweep(_, _)),
+    "t22_contam_attrib"     -> (llm.Curation.contamAttribution(_, _)),
+    "m16_audio_neardup"     -> (llm.Multimodal.audioNearDup(_, _)),
+    "s22_stream_router"     -> (streaming.StreamRouter.qualityRoute(_, _)),
     "s19_stream_sketch"     -> (streaming.StreamSketch.cmsIngest(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
     "d38_triangles"         -> (llm.Graph.triangles(_, _)),
@@ -600,6 +605,11 @@ object SparkEntry {
     "s20_stream_asof"       -> ops.AsOfJoin.oraclePurchaseAsOfClick,
     "s21_stream_drift"      -> streaming.StreamDrift.oracleDriftReport,
     "q65_constraints"       -> ops.Warehouse.oracleConstraintSuite,
+    "q66_cdc_apply"         -> ops.Warehouse.oracleCdcApply,
+    "d51_threshold_sweep"   -> llm.Dedup.oracleThresholdSweep,
+    "t22_contam_attrib"     -> llm.Curation.oracleContamAttribution,
+    "m16_audio_neardup"     -> llm.Multimodal.oracleAudioNearDup,
+    "s22_stream_router"     -> streaming.StreamRouter.oracleQualityRoute,
     "s19_stream_sketch"     -> streaming.StreamSketch.oracleCmsIngest,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,
     "d38_triangles"     -> llm.Graph.oracleTriangles,

@@ -139,6 +139,98 @@ object Curation {
        |GROUP BY 1, 2
        |ORDER BY train_id, eval_id""".stripMargin
 
+  /** A test doc is FLAGGED contaminated when at least this fraction
+    * (in parts-per-million) of its eligible n-grams also appear in
+    * the train split — the "drop the benchmark item" threshold of a
+    * decontamination audit (GPT-3 appendix C / Lee et al. use 50-70%
+    * overlap; 50% here).
+    */
+  val ContamFlagPpm = 500000L
+
+  /** t22 — per-eval-doc contamination ATTRIBUTION: where d18 emits the
+    * raw (train, eval, shared-n-gram) pair counts, this is the audit
+    * report a decontamination decision actually reads — for every
+    * test-split doc, what FRACTION of its eligible n-grams leak from
+    * the train split (`contam_ppm`, integer parts-per-million), which
+    * single train doc explains the most overlap (`top_train_id`, the
+    * likely source), and whether the doc crosses the
+    * [[ContamFlagPpm]] drop threshold. "Eligible" = the doc's
+    * distinct n-grams minus the > [[MaxNgramDf]]-df hot set — phrases
+    * shared by hundreds of docs are boilerplate, not leakage, and
+    * counting them would both blow up the join and dilute the signal.
+    *
+    * Scale shape: rides the same staged per-era posting index as d18
+    * (the corpus is tokenized ONCE per era); the eval side of every
+    * join is benchmark-sized by definition (test split ≪ corpus), so
+    * the per-(eval, train) attribution counts and the top-1 window run
+    * over benchmark-scale rows — the corpus contributes only the
+    * already-staged train posting list, probed by one equi-join on
+    * the n-gram hash. Integer ppm (`div`), so the flag boundary is
+    * bit-deterministic across engines.
+    */
+  def contamAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val (hotPath, evalPath, trainPath) = decontamIndex(spark, dir)
+    val hot = spark.read.parquet(hotPath)
+    // dc_eval is staged unfiltered; dc_train is already hot-pruned
+    val ev = spark.read.parquet(evalPath)
+      .join(broadcast(hot), Seq("h"), "left_anti")
+    val tr = spark.read.parquet(trainPath)
+    val elig = ev.groupBy("eval_id").agg(count(lit(1)).as("n_eligible"))
+    val mt = ev.join(tr.select("h").distinct(), Seq("h"))
+      .groupBy("eval_id").agg(count(lit(1)).as("n_matched"))
+    val pairCnt = ev.join(tr, Seq("h"))
+      .groupBy("eval_id", "train_id").agg(count(lit(1)).as("n_shared"))
+    val w = Window.partitionBy("eval_id").orderBy(col("n_shared").desc, col("train_id"))
+    val top = pairCnt.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("eval_id"), col("train_id").as("top_train_id"),
+        col("n_shared").as("top_shared"))
+    elig
+      .join(mt, Seq("eval_id"), "left")
+      .join(top, Seq("eval_id"), "left")
+      .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+      .withColumn("contam_ppm", expr("n_matched * 1000000 div n_eligible"))
+      .select(col("eval_id"), col("n_eligible"), col("n_matched"),
+        col("contam_ppm"), col("top_train_id"), col("top_shared"),
+        (col("contam_ppm") >= ContamFlagPpm).as("flagged"))
+      .orderBy("eval_id")
+  }
+
+  val oracleContamAttribution: String =
+    s"""WITH ${Dedup.corpusSql},
+       |ex AS (
+       |  SELECT doc_id, ${Sampling.splitCaseSql("doc_id")} AS split, unnest(hs) AS h
+       |  FROM (SELECT doc_id, ${ngramHashesSql("string_split(text, ' ')")} AS hs FROM corpus)),
+       |hot AS (SELECT h FROM ex GROUP BY h HAVING count(*) > $MaxNgramDf),
+       |ev AS (
+       |  SELECT doc_id AS eval_id, h FROM ex
+       |  WHERE split = 'test' AND h NOT IN (SELECT h FROM hot)),
+       |trd AS (
+       |  SELECT doc_id AS train_id, h FROM ex
+       |  WHERE split = 'train' AND h NOT IN (SELECT h FROM hot)),
+       |elig AS (SELECT eval_id, count(*) AS n_eligible FROM ev GROUP BY 1),
+       |mt AS (
+       |  SELECT e.eval_id, count(*) AS n_matched
+       |  FROM ev e JOIN (SELECT DISTINCT h FROM trd) t USING (h)
+       |  GROUP BY 1),
+       |pc AS (
+       |  SELECT e.eval_id, t.train_id, count(*) AS n_shared
+       |  FROM ev e JOIN trd t USING (h)
+       |  GROUP BY 1, 2),
+       |top AS (
+       |  SELECT eval_id, train_id, n_shared,
+       |         row_number() OVER (PARTITION BY eval_id
+       |                            ORDER BY n_shared DESC, train_id) AS rn
+       |  FROM pc)
+       |SELECT g.eval_id, g.n_eligible,
+       |  coalesce(m.n_matched, 0) AS n_matched,
+       |  coalesce(m.n_matched, 0) * 1000000 // g.n_eligible AS contam_ppm,
+       |  t.train_id AS top_train_id, t.n_shared AS top_shared,
+       |  (coalesce(m.n_matched, 0) * 1000000 // g.n_eligible) >= $ContamFlagPpm AS flagged
+       |FROM elig g
+       |LEFT JOIN mt m USING (eval_id)
+       |LEFT JOIN top t ON t.eval_id = g.eval_id AND t.rn = 1
+       |ORDER BY eval_id""".stripMargin
+
   // ---- d19: duplicate-span (chunk) removal ---------------------------------
 
   val SpanLen = 120 // non-overlapping char chunks — the "line" analog

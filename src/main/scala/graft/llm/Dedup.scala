@@ -1961,10 +1961,11 @@ object Dedup {
           .select(col("id_a"), col("id_b"),
             (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
           .filter(col("jaccard") >= JaccardThreshold)
-          .select("id_a", "id_b")
+          // jaccard is retained in the artifact for d51's threshold
+          // sweep; graph consumers project it away below
           .write.mode("overwrite").parquet(p))
     }
-    val edges = spark.read.parquet(loc)
+    val edges = spark.read.parquet(loc).select("id_a", "id_b")
     val famSizes = fams.groupBy("rep").agg(count(lit(1)).as("f"))
     val eIds = edges.select(col("id_a").as("rep"))
       .unionByName(edges.select(col("id_b").as("rep"))).distinct()
@@ -2184,4 +2185,108 @@ object Dedup {
        |       1 - d::DOUBLE / greatest(la, lb) AS edit_sim
        |FROM scored WHERE d <= $EditMax
        |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- d51: dedup-threshold sensitivity sweep -------------------------------
+
+  /** The Jaccard cutoffs d51 sweeps — bounded below by
+    * [[JaccardThreshold]] (the staged rep-graph keeps only verified
+    * edges at ≥ that floor, so lower cutoffs would need a re-verify).
+    */
+  val SweepTaus: Seq[Double] = Seq(0.5, 0.7, 0.9)
+
+  /** d51 — near-dup CLUSTERING sensitivity to the Jaccard threshold:
+    * for each cutoff τ in [[SweepTaus]], the member-level pair count,
+    * the number of documents touched by deduplication, the cluster
+    * count and largest cluster, and the corpus size keep-one-per-
+    * cluster curation would retain. The d34 (LSH banding) / d50 (IVF
+    * nprobe) pattern applied to the knob that actually decides what
+    * gets deleted: τ too low merges unrelated docs through weak links
+    * (watch max_cluster explode), τ too high leaves duplicates in
+    * (watch survivors rise) — this report is how that trade is read.
+    *
+    * Scale shape: ONE verify pass (the staged per-era rep graph, with
+    * per-edge jaccard retained) serves every cutoff — no re-shingle,
+    * no re-verify per τ. All member-level numbers come closed-form
+    * from the family-contracted graph: within-family pairs are
+    * C(f, 2) at jaccard 1.0 (identical text ⇒ identical shingle set),
+    * cross-family pairs expand as f_a·f_b, and cluster masses are
+    * Σ f over rep-level components — so the per-τ connected-components
+    * runs on the copy-factor-invariant rep graph (the d36/d38/d39
+    * discipline). Per-τ outputs are O(1) scalar aggregates; the
+    * driver only sequences the τ loop and carries six numbers per
+    * cutoff, never rows.
+    */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, members) = contractedPairGraph(spark, dir)
+    val edgesJ = spark.read.parquet(graft.ops.Staging.indexPath("rep_graph", dir))
+    val famSizes = members.groupBy("rep").agg(count(lit(1)).as("f")).localCheckpoint()
+    val corpusN = famSizes.agg(sum("f")).head.getLong(0)
+    val withinPairs =
+      famSizes.agg(sum(expr("(f * (f - 1)) div 2"))).head.getLong(0)
+    val rows = SweepTaus.map { tau =>
+      val eT = edgesJ.filter(col("jaccard") >= tau)
+        .select("id_a", "id_b").localCheckpoint()
+      val cross = eT
+        .join(famSizes.select(col("rep").as("id_a"), col("f").as("fa")), Seq("id_a"))
+        .join(famSizes.select(col("rep").as("id_b"), col("f").as("fb")), Seq("id_b"))
+        .agg(coalesce(sum(col("fa") * col("fb")), lit(0L))).head.getLong(0)
+      val cc = connectedComponents(eT)
+      // families of size ≥ 2 with no surviving cross edge at τ are
+      // still clusters (their members pair at jaccard 1.0)
+      val sing = famSizes.where(col("f") >= 2)
+        .join(cc.select(col("vertex").as("rep")), Seq("rep"), "left_anti")
+        .select(col("rep").as("vertex"), col("rep").as("component"))
+      val st = cc.unionByName(sing)
+        .join(famSizes.select(col("rep").as("vertex"), col("f")), Seq("vertex"))
+        .groupBy("component").agg(sum("f").as("mass"))
+        .agg(count(lit(1)).as("nc"),
+          coalesce(sum("mass"), lit(0L)).as("nd"),
+          coalesce(max("mass"), lit(0L)).as("mx"))
+        .head
+      val (nc, nd, mx) = (st.getLong(0), st.getLong(1), st.getLong(2))
+      (tau, withinPairs + cross, nd, nc, mx, corpusN - nd + nc)
+    }
+    import spark.implicits._
+    rows.toDF("tau", "n_pairs", "n_docs", "n_clusters", "max_cluster", "survivors")
+      .orderBy("tau")
+  }
+
+  /** d51's DuckDB replay: one MEMBER-level recursive closure per τ
+    * over the pairs filtered at that cutoff (the d11 closure, ×3) —
+    * algorithm-independent of the engine's contracted closed forms.
+    */
+  lazy val oracleThresholdSweep: String = {
+    val blocks = SweepTaus.zipWithIndex.map { case (tau, i) =>
+      val k = i + 1
+      s"""p$k AS MATERIALIZED (SELECT id_a, id_b FROM pairs WHERE jaccard >= $tau),
+         |e$k AS (SELECT id_a AS u, id_b AS v FROM p$k
+         |        UNION ALL SELECT id_b, id_a FROM p$k),
+         |reach$k(u, v) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT e.u, r.v FROM e$k e JOIN reach$k r ON e.v = r.u),
+         |lab$k AS (SELECT u AS doc_id, min(v) AS comp FROM reach$k GROUP BY u),
+         |docs$k AS (SELECT DISTINCT u AS doc_id FROM e$k),
+         |cs$k AS (
+         |  SELECT l.comp, count(*) AS mass
+         |  FROM lab$k l JOIN docs$k d USING (doc_id)
+         |  GROUP BY 1),
+         |st$k AS (
+         |  SELECT $tau::DOUBLE AS tau,
+         |         (SELECT count(*) FROM p$k) AS n_pairs,
+         |         coalesce(sum(mass), 0)::BIGINT AS n_docs,
+         |         count(*)::BIGINT AS n_clusters,
+         |         coalesce(max(mass), 0)::BIGINT AS max_cluster
+         |  FROM cs$k)""".stripMargin
+    }.mkString(",\n")
+    val union = SweepTaus.indices
+      .map(i => s"SELECT * FROM st${i + 1}").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE $pairsCteSql,
+       |corp AS (SELECT count(*) AS n FROM corpus),
+       |$blocks
+       |SELECT tau, n_pairs, n_docs, n_clusters, max_cluster,
+       |       (SELECT n FROM corp) - n_docs + n_clusters AS survivors
+       |FROM ($union)
+       |ORDER BY tau""".stripMargin
+  }
 }

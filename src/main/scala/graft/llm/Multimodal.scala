@@ -715,6 +715,154 @@ object Multimodal {
        |FROM sil GROUP BY doc_id, grp
        |ORDER BY doc_id, span_start""".stripMargin
 
+  // -- m16: audio near-dup fingerprinting --------------------------------------
+
+  /** m16 fixture: clips sharing `doc_id % NdBases` share base samples;
+    * odd `doc_id / NdBases` variants are amplitude-scaled ×7/8 — the
+    * re-encoded-at-lower-gain copy an audio dedup must still catch.
+    */
+  val NdBases = 250
+  /** Samples per envelope window (8 ⇒ ≤ 32 windows per fixture clip,
+    * so the delta-sign fingerprint fits one BIGINT).
+    */
+  val EnvWin = 8
+  /** Max fingerprint Hamming distance for an m16 near-dup verdict. */
+  val NdHamMax = 3
+  private val NdChunks = 4
+
+  /** Truncate-toward-zero ×7/8 (matches both JVM `/` and the oracle's
+    * sign-split `//` — DuckDB's `//` floors on negatives, so the SQL
+    * splits on sign explicitly).
+    */
+  private def ndScale(v: Int): Int = if (v < 0) -((-v) * 7 / 8) else v * 7 / 8
+
+  private def riffWav(s: Array[Int]): Array[Byte] = {
+    val dataLen = s.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)
+      .putInt(AudioRate).putInt(AudioRate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var j = 0
+    while (j < s.length) { bb.putShort(s(j).toShort); j += 1 }
+    out
+  }
+
+  private[graft] def wavNdBytesOf(id: Long): Array[Byte] = {
+    val base = id % NdBases
+    val s = samplesOf(base, audioLen(base))
+    if ((id / NdBases) % 2 == 1) {
+      var i = 0
+      while (i < s.length) { s(i) = ndScale(s(i)); i += 1 }
+    }
+    riffWav(s)
+  }
+
+  case class AudioFp(doc_id: Long, nw: Int, fp: Long)
+
+  /** m16 — audio near-duplicate detection by acoustic fingerprint (the
+    * Chromaprint/Shazam shape reduced to its Spark-relevant core): per
+    * clip, decode the WAV through the real JDK codec, integrate energy
+    * per [[EnvWin]]-sample window, take the energy-DELTA-SIGN bit
+    * sequence as the fingerprint (gain-robust: scaling amplitude
+    * scales every window energy together, so delta signs survive a
+    * re-encoded-at-lower-gain copy up to truncation jitter), then find
+    * pairs within Hamming ≤ [[NdHamMax]] — the audio sibling of m06's
+    * image aHash banding and m15's cross-format raster join.
+    *
+    * Scale shape: decode + fingerprint are map-side `mapPartitions`
+    * (the audio bytes never shuffle — only the (doc, nw, fp) triple,
+    * 20 bytes/clip, enters any exchange). Candidate generation is the
+    * d05 chunk-band pigeonhole on (chunk_idx, chunk_bits, nw): any
+    * pair within Hamming ≤ 3 shares at least one of [[NdChunks]] = 4
+    * untouched 8-bit chunks — LOSSLESS, never all-pairs. Verify is
+    * one codegen'd `bit_count(xor)` on the banded candidates. The
+    * DuckDB oracle is the algorithm-independent brute force: rebuild
+    * the scaled sample chains in SQL, fingerprint, all-pairs Hamming.
+    */
+  def audioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fps = docIds(spark, dir).mapPartitions { ids =>
+      val readers = audioReaders()
+      ids.map { id =>
+        val in = readAudio(readers, wavNdBytesOf(id))
+        val n = in.getFrameLength.toInt
+        val pcm = in.readAllBytes()
+        val nw = n / EnvWin
+        val e = new Array[Long](nw)
+        var w = 0
+        while (w < nw) {
+          var s = 0L
+          var i = 0
+          while (i < EnvWin) {
+            val v = (pcm(2 * (w * EnvWin + i)) & 0xff) | (pcm(2 * (w * EnvWin + i) + 1) << 8)
+            s += v.toLong * v
+            i += 1
+          }
+          e(w) = s
+          w += 1
+        }
+        var fp = 0L
+        w = 1
+        while (w < nw) {
+          if (e(w) > e(w - 1)) fp |= 1L << (w - 1)
+          w += 1
+        }
+        AudioFp(id, nw, fp)
+      }
+    }.toDF().localCheckpoint() // one 20-byte row per clip; feeds both band legs
+    val chunks = fps.select(col("doc_id"), col("nw"), col("fp"),
+        explode(sequence(lit(0), lit(NdChunks - 1))).as("c"))
+      .withColumn("chunk", expr("shiftright(fp, 8 * c) & 255"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+          col("a.nw") === col("b.nw") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.fp").as("fa"), col("b.fp").as("fb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        expr("cast(bit_count(fa ^ fb) as int)").as("hamming"))
+      .filter(col("hamming") <= NdHamMax)
+      .orderBy("id_a", "id_b")
+  }
+
+  val oracleAudioNearDup: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id, i,
+       |    ('0x' || substr(md5((doc_id % $NdBases) || ':a:' || (i // 8)),
+       |                    (i % 8) * 4 + 1, 4))::INT - 32768 AS v0
+       |  FROM documents,
+       |       LATERAL (SELECT unnest(range(160 + (doc_id % $NdBases) % 97)) AS i) t),
+       |s AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN (doc_id // $NdBases) % 2 = 1
+       |         THEN CASE WHEN v0 < 0 THEN -(((-v0) * 7) // 8) ELSE (v0 * 7) // 8 END
+       |         ELSE v0 END AS v
+       |  FROM raw),
+       |we AS (
+       |  SELECT doc_id, i // $EnvWin AS w, sum(v::BIGINT * v) AS e
+       |  FROM s GROUP BY 1, 2 HAVING count(*) = $EnvWin),
+       |bits AS (
+       |  SELECT doc_id, w,
+       |         CASE WHEN e > lag(e) OVER (PARTITION BY doc_id ORDER BY w)
+       |              THEN 1 ELSE 0 END AS b
+       |  FROM we),
+       |f AS (
+       |  SELECT doc_id, count(*)::INT AS nw,
+       |         coalesce(sum(CASE WHEN w >= 1 AND b = 1
+       |                           THEN (1::BIGINT << (w - 1)) ELSE 0 END), 0)::BIGINT AS fp
+       |  FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       bit_count(xor(a.fp, b.fp))::INT AS hamming
+       |FROM f a JOIN f b ON a.nw = b.nw AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= $NdHamMax
+       |ORDER BY id_a, id_b""".stripMargin
+
   // -- real video leg (m05) ---------------------------------------------------
 
   case class EncodedVideo(doc_id: Long, media: Array[Byte])

@@ -266,6 +266,82 @@ object Warehouse {
       .orderBy("constraint")
   }
 
+  /** q66 — CDC apply: collapse an insert/update/delete operation log
+    * into final table state — the MERGE-shaped compaction every
+    * log-structured table format (Delta/Hudi/Iceberg copy-on-write)
+    * runs, and the missing third sibling of q47 (versioned history)
+    * and q52 (changed-partition join). The op log derives
+    * deterministically from `orders` so real CDC structure exists:
+    * every key INSERTs (seq 1), every 3rd key UPDATEs (seq 2), every
+    * 5th key DELETEs (seq 3), and every 15th key RE-INSERTs after its
+    * delete (seq 4) — so the apply must get delete-then-reinsert
+    * right, not just last-write-wins on live rows.
+    *
+    * Scale shape: ONE hash aggregate on the key — `max(struct(seq,
+    * op, price))` picks the latest op per key (seq is unique per key,
+    * so later struct fields never decide), with map-side partial
+    * aggregation shrinking the log before the exchange. No window, no
+    * sort: a window formulation would range-partition and sort the
+    * full 100 TB log; the agg form ships only per-partition partials.
+    * Deletes filter AFTER the argmax — a delete must win over the ops
+    * it shadows, then vanish. Update/reinsert prices are pure IEEE
+    * double arithmetic (`+ 10.0`, `/ 2`), bit-identical in any
+    * engine — no rounding call, no parity risk.
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_custkey"), col("o_totalprice").as("p"))
+    val log = o.select(col("k"), col("o_custkey"), lit(1).as("seq"), lit("I").as("op"),
+        col("p").as("price"))
+      .unionByName(o.where(col("k") % 3 === 0)
+        .select(col("k"), col("o_custkey"), lit(2).as("seq"), lit("U").as("op"),
+          (col("p") + lit(10.0)).as("price")))
+      .unionByName(o.where(col("k") % 5 === 0)
+        .select(col("k"), col("o_custkey"), lit(3).as("seq"), lit("D").as("op"),
+          lit(null).cast("double").as("price")))
+      .unionByName(o.where(col("k") % 15 === 0)
+        .select(col("k"), col("o_custkey"), lit(4).as("seq"), lit("I").as("op"),
+          (col("p") / 2).as("price")))
+    log.groupBy(col("k").as("o_orderkey"))
+      .agg(
+        max(struct(col("seq"), col("op"), col("price"))).as("last"),
+        max(col("o_custkey")).as("o_custkey"), // constant per key
+        count(lit(1)).as("n_ops"))
+      .where(col("last.op") =!= "D")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("last.price").as("final_price"),
+        col("last.seq").as("last_seq"), col("n_ops"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q66's DuckDB replay: same op log, latest-op pick via a
+    * `row_number` window (seq unique per key ⇒ same row the engine's
+    * argmax picks), deletes dropped after the pick.
+    */
+  val oracleCdcApply: String =
+    """WITH log AS (
+      |  SELECT o_orderkey AS k, o_custkey, 1 AS seq, 'I' AS op, o_totalprice AS price
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, 2, 'U', o_totalprice + 10.0
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, 3, 'D', NULL
+      |  FROM orders WHERE o_orderkey % 5 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, 4, 'I', o_totalprice / 2
+      |  FROM orders WHERE o_orderkey % 15 = 0),
+      |latest AS (
+      |  SELECT k, o_custkey, seq, op, price,
+      |         row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn,
+      |         count(*) OVER (PARTITION BY k) AS n_ops
+      |  FROM log)
+      |SELECT k AS o_orderkey, o_custkey, price AS final_price,
+      |       seq AS last_seq, n_ops
+      |FROM latest
+      |WHERE rn = 1 AND op <> 'D'
+      |ORDER BY o_orderkey""".stripMargin
+
   val oracleConstraintSuite: String =
     """WITH o AS (
       |  SELECT count(*) - count(DISTINCT o_orderkey) AS pk_orders_unique,
