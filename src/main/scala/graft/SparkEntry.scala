@@ -137,6 +137,8 @@ object SparkEntry {
     "d51_threshold_sweep"   -> (llm.Dedup.thresholdSweep(_, _)),
     "t22_contam_attrib"     -> (llm.Curation.contamAttribution(_, _)),
     "m16_audio_neardup"     -> (llm.Multimodal.audioNearDup(_, _)),
+    "m17_media_integrity"   -> (llm.Multimodal.mediaIntegrity(_, _)),
+    "d52_domain_cap"        -> (llm.Sampling.domainCap(_, _)),
     "s22_stream_router"     -> (streaming.StreamRouter.qualityRoute(_, _)),
     "s19_stream_sketch"     -> (streaming.StreamSketch.cmsIngest(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
@@ -609,6 +611,8 @@ object SparkEntry {
     "d51_threshold_sweep"   -> llm.Dedup.oracleThresholdSweep,
     "t22_contam_attrib"     -> llm.Curation.oracleContamAttribution,
     "m16_audio_neardup"     -> llm.Multimodal.oracleAudioNearDup,
+    "m17_media_integrity"   -> llm.Multimodal.oracleMediaIntegrity,
+    "d52_domain_cap"        -> llm.Sampling.oracleDomainCap,
     "s22_stream_router"     -> streaming.StreamRouter.oracleQualityRoute,
     "s19_stream_sketch"     -> streaming.StreamSketch.oracleCmsIngest,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,

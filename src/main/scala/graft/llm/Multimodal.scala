@@ -863,6 +863,100 @@ object Multimodal {
        |WHERE bit_count(xor(a.fp, b.fp)) <= $NdHamMax
        |ORDER BY id_a, id_b""".stripMargin
 
+  // -- m17: media integrity (corrupt-blob quarantine) --------------------------
+
+  private def readIntBE(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  /** m17 fixture: the m02 PNGs with two deterministic damage classes —
+    * every (id % 8 == 5) blob gets one byte XOR-flipped INSIDE the
+    * first IDAT chunk's data (a bit-rot/bad-sector shape: structure
+    * intact, payload CRC broken), every (id % 8 == 1) blob loses its
+    * last 7 bytes (a truncated-upload shape: IEND cut mid-chunk).
+    */
+  private[graft] def pngDamagedBytesOf(id: Long): Array[Byte] = {
+    val b = pngBytesOf(id)
+    id % 8 match {
+      case 5 =>
+        var off = 8
+        var done = false
+        while (!done) {
+          val len = readIntBE(b, off)
+          val typ = new String(b, off + 4, 4, "US-ASCII")
+          if (typ == "IDAT") {
+            val i = off + 8 + math.min(2, len - 1)
+            b(i) = (b(i) ^ 0xff).toByte
+            done = true
+          } else off += 12 + len
+        }
+        b
+      case 1 => java.util.Arrays.copyOf(b, b.length - 7)
+      case _ => b
+    }
+  }
+
+  /** m17 — media integrity scan (corrupt-blob quarantine, the q63
+    * corrupt-record read's binary sibling): walk every PNG's chunk
+    * table and validate each chunk's CRC32 over (type ‖ data) against
+    * the stored value — classifying blobs as `ok`, `bad_crc` (with the
+    * offending chunk type), or `truncated` (stream ends mid-chunk or
+    * before IEND). A 100 TB media corpus ALWAYS contains bit-rot and
+    * truncated uploads; decoding them crashes or, worse, silently
+    * yields garbage pixels — curation runs exactly this scan first and
+    * routes failures to a quarantine trail.
+    *
+    * Scale shape: pure map-side `mapPartitions` — one JDK CRC32 pass
+    * per blob, no shuffle of the bytes, only the 3-column verdict
+    * moves. The oracle is the fixture's ground-truth damage rule (the
+    * engine must REDISCOVER the damage from the bytes alone); the
+    * parser is real — a CRC bug, a bad chunk-length walk, or a missing
+    * truncation guard misclassifies some blob and breaks the hash.
+    */
+  def mediaIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docIds(spark, dir).mapPartitions { ids =>
+      ids.map { id =>
+        val b = pngDamagedBytesOf(id)
+        var status = "ok"
+        var badType: String = null
+        if (b.length < 8) status = "truncated"
+        else {
+          var off = 8
+          var sawEnd = false
+          while (status == "ok" && !sawEnd) {
+            if (off + 8 > b.length) status = "truncated"
+            else {
+              val len = readIntBE(b, off)
+              if (len < 0 || off + 12 + len > b.length) status = "truncated"
+              else {
+                val typ = new String(b, off + 4, 4, "US-ASCII")
+                val crc = new java.util.zip.CRC32()
+                crc.update(b, off + 4, 4 + len)
+                if (crc.getValue.toInt != readIntBE(b, off + 8 + len)) {
+                  status = "bad_crc"
+                  badType = typ
+                }
+                if (typ == "IEND") sawEnd = true
+                off += 12 + len
+              }
+            }
+          }
+        }
+        (id, status, badType)
+      }
+    }.toDF("doc_id", "status", "bad_type").orderBy("doc_id")
+  }
+
+  val oracleMediaIntegrity: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 8 = 5 THEN 'bad_crc'
+      |       WHEN doc_id % 8 = 1 THEN 'truncated'
+      |       ELSE 'ok' END AS status,
+      |  CASE WHEN doc_id % 8 = 5 THEN 'IDAT' END AS bad_type
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   // -- real video leg (m05) ---------------------------------------------------
 
   case class EncodedVideo(doc_id: Long, media: Array[Byte])

@@ -432,4 +432,92 @@ object Sampling {
        |       dsir_halfbits * tf > n_feats * s AS selected
        |FROM scored CROSS JOIN tot2 ORDER BY doc_id""".stripMargin
   }
+
+  // ---- d52: per-source quota cap (top-k per group, no group sort) ----------
+
+  /** Max docs kept per source (the CommonCrawl-style "cap every
+    * domain" curation rule; binds on the ≥ 25-docs-per-source
+    * fixtures, not at sf0.001).
+    */
+  val DomainCap = 16
+
+  /** d52 — per-source quota cap: keep at most [[DomainCap]] docs per
+    * source, best-first by (quality level desc, doc_id asc) — the
+    * anti-spam/anti-SEO rule every web-corpus curation applies so one
+    * domain cannot dominate training data. The operator's point is
+    * HOW top-k-per-group runs at 100 TB: q50's lateral window sorts
+    * every group — at web scale the head domain is most of the corpus
+    * in ONE skewed sort partition. This is the bounded two-pass
+    * order-statistic instead (the q16/Percentiles discipline applied
+    * to ranks):
+    *
+    *  - '''pass 1''' — per-(source, level) counts over the 6-value
+    *    integer quality grid ([[TextStats.qualityLevel]]): a spillable
+    *    hash agg with map-side partials; collected driver state is
+    *    O(sources × 7) — independent of corpus size. Plain Scala walks
+    *    each source's histogram top-down and finds the boundary level
+    *    L* and the slots k* left there (L* = −1 when the source fits
+    *    entirely);
+    *  - '''pass 2''' — the locator broadcast-joins back: docs above L*
+    *    pass with NO sort anywhere; only the boundary stratum
+    *    (source, L*) enters a `row_number` window — Spark's sort-based
+    *    spillable window over the boundary rows only, exactly the
+    *    Percentiles pass-2 shape.
+    *
+    * Ties are impossible (doc_id breaks them), so the kept set is
+    * bit-deterministic and the DuckDB oracle (a plain per-source
+    * ranking window — fine at gate scale) must match row-for-row.
+    */
+  def domainCap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // eager: the tokenize (regex + interpreted higher-order sums) is
+    // the dominant cost and feeds BOTH passes — unmaterialized it
+    // would run once for the histogram and again per pass-2 leg; the
+    // checkpointed relation is 3 scalar columns
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        graft.llm.TextStats.qualityLevel(col("text")).as("qlevel"))
+      .localCheckpoint()
+    val hist = docs.groupBy("source", "qlevel")
+      .agg(count(lit(1)).as("cnt")).collect()
+    val locator: Seq[(String, Int, Long)] = hist.toSeq.groupBy(_.getString(0))
+      .iterator.map { case (src, rows) =>
+        val byLevel = rows.map(r => r.getInt(1) -> r.getLong(2)).sortBy(-_._1)
+        var left = DomainCap.toLong
+        var lstar = -1
+        var kAt = 0L
+        byLevel.foreach { case (lvl, cnt) =>
+          if (lstar == -1) {
+            if (cnt <= left) left -= cnt
+            else { lstar = lvl; kAt = left }
+          }
+        }
+        (src, lstar, kAt)
+      }.toSeq
+    val loc = locator.toDF("source", "lstar", "k_at")
+    val joined = docs.join(broadcast(loc), Seq("source"))
+    val above = joined
+      .where(col("lstar") === -1 || col("qlevel") > col("lstar"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val boundary = joined.where(col("qlevel") === col("lstar"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= col("k_at"))
+    above.select("source", "doc_id", "qlevel")
+      .unionByName(boundary.select("source", "doc_id", "qlevel"))
+      .orderBy("source", "doc_id")
+  }
+
+  lazy val oracleDomainCap: String =
+    s"""WITH q AS (
+       |  SELECT doc_id, source, ${graft.llm.TextStats.qualityLevelSql} AS qlevel
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, source, qlevel,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY qlevel DESC, doc_id) AS rn
+       |  FROM q)
+       |SELECT source, doc_id, qlevel::INT AS qlevel
+       |FROM r WHERE rn <= $DomainCap
+       |ORDER BY source, doc_id""".stripMargin
 }

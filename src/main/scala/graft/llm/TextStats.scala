@@ -54,6 +54,30 @@ object TextStats {
       when(meanTokenLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.0)) * lit(0.3)
   }
 
+  /** The t02 quality composite as an INTEGER level (4·g1 + 3·g2 +
+    * 3·g3 ∈ {0, 3, 4, 6, 7, 10} — the same total order as
+    * [[qualityScore]]·10, float-free so rank boundaries are
+    * bit-deterministic). Shared by d52's quota cap.
+    */
+  private[llm] def qualityLevel(text: Column): Column = {
+    val toks = tokens(text)
+    val nTokens = size(toks)
+    val alnum = aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+    val meanTokenLen = alnum.cast("double") / nTokens
+    val stopwordRatio = markerCount(toks, Stopwords).cast("double") / nTokens
+    when(nTokens >= 20, lit(4)).otherwise(lit(0)) +
+      when(stopwordRatio.between(0.05, 0.5), lit(3)).otherwise(lit(0)) +
+      when(meanTokenLen.between(3.0, 10.0), lit(3)).otherwise(lit(0))
+  }
+
+  /** DuckDB expression twin of [[qualityLevel]] (over a `text` column
+    * in scope). `lazy` — references [[toksSql]], declared later.
+    */
+  private[llm] lazy val qualityLevelSql: String =
+    s"(CASE WHEN len($toksSql) >= 20 THEN 4 ELSE 0 END)" +
+      s" + (CASE WHEN ${markerCountSql(Stopwords)}::DOUBLE / len($toksSql) BETWEEN 0.05 AND 0.5 THEN 3 ELSE 0 END)" +
+      s" + (CASE WHEN list_sum(list_transform($toksSql, t -> length(t)))::DOUBLE / len($toksSql) BETWEEN 3.0 AND 10.0 THEN 3 ELSE 0 END)"
+
   /** DuckDB spelling of [[qualityScore]] over a relation exposing
     * (doc_id, text) — yields a CTE body `SELECT doc_id, quality`.
     */

@@ -120,6 +120,48 @@ class RouterCdcSweepSpec extends AnyFunSuite {
     assert(siblings >= 200, s"expected most of 250 sibling pairs, got $siblings")
   }
 
+  // the t02 quality gates recomputed independently in plain Scala
+  private def qLevelRef(text: String): Int = {
+    val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+    val n = toks.length
+    val stopRatio = toks.count(graft.llm.TextStats.Stopwords.contains).toDouble / n
+    val meanLen = toks.map(_.length).sum.toDouble / n
+    (if (n >= 20) 4 else 0) +
+      (if (stopRatio >= 0.05 && stopRatio <= 0.5) 3 else 0) +
+      (if (meanLen >= 3.0 && meanLen <= 10.0) 3 else 0)
+  }
+
+  test("d52: kept set equals brute-force top-k per source, on both binding and non-binding fixtures") {
+    for (sf <- Seq(Sf, M16Sf)) {
+      val docs = Tables.documents(spark, sf)
+        .select(col("doc_id"), col("source"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1), qLevelRef(r.getString(2))))
+      val expected = docs.groupBy(_._2).valuesIterator.flatMap { rows =>
+        rows.sortBy(r => (-r._3, r._1)).take(llm.Sampling.DomainCap)
+      }.map(r => (r._2, r._1, r._3)).toSet
+      val got = llm.Sampling.domainCap(spark, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expected, s"at $sf")
+    }
+    // the cap BINDS on the 500-doc fixture (25 docs/source > cap)
+    val perSrc = llm.Sampling.domainCap(spark, M16Sf)
+      .groupBy("source").count().collect()
+    assert(perSrc.forall(_.getLong(1) == llm.Sampling.DomainCap))
+  }
+
+  test("m17: the parser rediscovers every damage class from the bytes alone") {
+    val got = llm.Multimodal.mediaIntegrity(spark, Sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val exp = if (id % 8 == 5) "bad_crc" else if (id % 8 == 1) "truncated" else "ok"
+      assert(r.getString(1) == exp, s"doc $id")
+      if (exp == "bad_crc") assert(r.getString(2) == "IDAT")
+      else assert(r.isNullAt(2))
+    }
+    assert(got.exists(_.getString(1) == "bad_crc") && got.exists(_.getString(1) == "truncated"))
+  }
+
   test("s22: the two sinks partition the corpus and agree with the batch rule") {
     val out = StreamRouter.qualityRoute(spark, Sf).collect()
     val docs = Tables.documents(spark, Sf)
