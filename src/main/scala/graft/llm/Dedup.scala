@@ -123,28 +123,78 @@ object Dedup {
     * callers that materialize to a staging table ([[clusterLabels]])
     * can release the caches afterwards.
     */
+  /** Staged rep-level verified candidates: the LSH band self-join and
+    * exact sorted-intersect verify over exact-content FAMILY
+    * REPRESENTATIVES only ([[contentFamilies]]) — `(id_a, id_b, inter,
+    * sza, szb)` for every rep candidate pair, UNFILTERED (d03 cuts on
+    * jaccard, d25 on containment, the rep graph on its own threshold —
+    * one verify pass serves all three). Identical texts have identical
+    * shingle sets, so rep-level overlap integers ARE the member-level
+    * ones; member-level verify cost grew with the SQUARE of the corpus
+    * copy factor (measured 79 s for d03 alone at 100×/16× — 2.86 M
+    * member candidates, each moving two hash arrays) while this leg is
+    * copy-factor-invariant.
+    */
+  private[graft] def repScored(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val loc = graft.ops.Staging.indexPath("rep_scored", dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
+      val repIds = contentFamilies(spark, dir)
+        .where(col("doc_id") === col("rep")).select("doc_id")
+      val (docs, bands) = ccIndex(spark, dir)
+      val rb = bands.join(repIds, Seq("doc_id"), "left_semi")
+      val cand = rb.as("a")
+        .join(rb.as("b"),
+          col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val rdocs = docs.join(repIds, Seq("doc_id"), "left_semi")
+      graft.ops.Staging.publishIndex(spark, "rep_scored", dir)(p =>
+        cand
+          .join(rdocs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+          .join(rdocs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            graft.expr.VectorFunctions.sortedIntersectCount(col("hs_a"), col("hs_b")).as("inter"),
+            size(col("hs_a")).as("sza"), size(col("hs_b")).as("szb"))
+          .write.mode("overwrite").parquet(p))
+    }
+    spark.read.parquet(loc)
+  }
+
   private def candScoredRaw(spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
-    // the corpus shingle-hash pass is staged ONCE per (data era, build)
-    // by [[ccIndex]] and shared by d02/d03/d11/d25/d32 — band
-    // generation and both sides of the verify join read the parquet
-    val (docs, bands) = ccIndex(spark, dir)
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    // staged hs arrays are SORTED (see [[ccIndex]]) → the verify is the
-    // native two-pointer count inside whole-stage codegen, no per-row
-    // hash set or materialized intersection array (same expression d37
-    // uses; its spec pins equality against size(array_intersect))
-    val scored = cand
-      .join(docs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
-      .join(docs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+    // member-level expansion of the staged rep-level verify
+    // ([[repScored]]): cross-family pairs fan out as members_A ×
+    // members_B with the rep overlap integers (sizes follow the
+    // (least, greatest) id swap so d25's per-side containment stays
+    // exact); within-family pairs are C(f, 2) at inter = |hs| (its own
+    // set). Candidate-set equality is two-directional: members carry
+    // their rep's band signature verbatim, so a member pair collides
+    // on a band iff its rep pair does — the expansion is LOSSLESS, not
+    // a recall trade. No shingle array is ever joined at member level.
+    val rs = repScored(spark, dir)
+    val fams = contentFamilies(spark, dir).select("doc_id", "rep")
+    val cross = rs
+      .join(fams.select(col("rep").as("id_a"), col("doc_id").as("da")), Seq("id_a"))
+      .join(fams.select(col("rep").as("id_b"), col("doc_id").as("db")), Seq("id_b"))
+      .select(
+        least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"),
+        col("inter"),
+        when(col("da") < col("db"), col("sza")).otherwise(col("szb")).as("sza"),
+        when(col("da") < col("db"), col("szb")).otherwise(col("sza")).as("szb"))
+    val (docs, _) = ccIndex(spark, dir)
+    val repSz = docs
+      .join(fams.where(col("doc_id") === col("rep")).select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("rep"), size(col("hs")).as("sz"))
+    val within = fams.as("x")
+      .join(fams.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"), col("x.rep").as("rep"))
+      .join(repSz, Seq("rep"))
       .select(col("id_a"), col("id_b"),
-        graft.expr.VectorFunctions.sortedIntersectCount(col("hs_a"), col("hs_b")).as("inter"),
-        size(col("hs_a")).as("sza"), size(col("hs_b")).as("szb"))
-    (scored, Seq.empty)
+        col("sz").as("inter"), col("sz").as("sza"), col("sz").as("szb"))
+    (cross.unionByName(within), Seq.empty)
   }
 
   private[llm] def jaccardPairsRaw(spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
@@ -1941,23 +1991,10 @@ object Dedup {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val fams = contentFamilies(spark, dir)
     if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
-      val repIds = fams.where(col("doc_id") === col("rep")).select("doc_id")
-      val (docs, bands) = ccIndex(spark, dir)
-      val rb = bands.join(repIds, Seq("doc_id"), "left_semi")
-      val cand = rb.as("a")
-        .join(rb.as("b"),
-          col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
-      val rdocs = docs.join(repIds, Seq("doc_id"), "left_semi")
+      // derived from the SHARED staged rep-level verify (one band join
+      // + sorted-intersect pass per era serves d03/d25/this graph)
       graft.ops.Staging.publishIndex(spark, "rep_graph", dir)(p =>
-        cand
-          .join(rdocs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
-          .join(rdocs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
-          .select(col("id_a"), col("id_b"),
-            graft.expr.VectorFunctions.sortedIntersectCount(col("hs_a"), col("hs_b")).as("inter"),
-            size(col("hs_a")).as("sza"), size(col("hs_b")).as("szb"))
+        repScored(spark, dir)
           .select(col("id_a"), col("id_b"),
             (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
           .filter(col("jaccard") >= JaccardThreshold)
