@@ -6,9 +6,23 @@ import org.apache.spark.sql.SparkSession
   * scale factor and prints one JSON line.
   *
   * A full untimed pass at sf0.001 first warms the JVM (JIT, codegen
-  * compilation, parquet reader init, streaming state machinery) so the
-  * timed numbers measure the queries, not first-touch overhead; caches
-  * are cleared between timed queries so none borrows another's work.
+  * compilation, parquet reader init, streaming state machinery), then
+  * a PRESTAGE phase builds every per-(data era, build) staged index
+  * for the target dir outside any timed window — the production
+  * shape, where the corpus-index job runs once per data era and
+  * queries serve warm. Staging seconds are reported separately
+  * (`staging` per-tag map + `staging_total_s`), so a regression in
+  * index-build cost and a regression in query cost are each visible
+  * on their own: round 6 shipped rc=1 because a cold build's staging
+  * landed unattributed inside d18/s13's timed windows and breached
+  * caps calibrated on warm references.
+  *
+  * Caches are cleared between timed queries so none borrows
+  * another's work; any residual first-touch index build inside a
+  * timed window (an index the prestage list missed) is measured via
+  * `Staging.drainBuildLog` and reported as that query's `stage_s` —
+  * the budget caps compare the query's NON-staging seconds, so the
+  * gate grades plan quality, not whether the builder pre-warmed /tmp.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -45,29 +59,55 @@ object Bench {
     }
     spark.catalog.clearCache()
 
+    // prestage the target dir's per-era indexes as their own phase —
+    // timed, reported per index family, and NEVER inside a query's
+    // timed window (amortized corpus-era cost, not query cost)
+    val stageT0 = System.nanoTime()
+    val staged: Map[String, Double] =
+      try graft.ops.Prestage.run(spark, sfDir)
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] prestage FAILED (first-touch queries will pay it): $e")
+          graft.ops.Staging.drainBuildLog()
+      }
+    val prestageSecs = (System.nanoTime() - stageT0) / 1e9
+    spark.catalog.clearCache()
+    System.gc()
+
     val results = bench.toSeq.sortBy(_._1).map { case (name, fn) =>
+      graft.ops.Staging.drainBuildLog(): Unit
       val t0 = System.nanoTime()
       // a failing query must surface as err, not masquerade as a fast time
       val err = try { run(fn(spark, sfDir)); None }
                 catch { case e: Throwable => Some(e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200)) }
       // timing stops HERE: cache clearing and the GC nudge are
       // inter-query hygiene, not part of the measured query
-      val secs = (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      // any index build that ran inside this window is once-per-era
+      // staging the prestage list missed — attribute it separately so
+      // the cap grades the query, but keep it visible as stage_s
+      val stageS = math.min(wall, graft.ops.Staging.drainBuildLog().values.sum)
       spark.catalog.clearCache()
       // nudge the ContextCleaner: loop queries leave orphaned
       // localCheckpoint RDD blocks that only a GC cycle releases, and
       // the resulting memory pressure taxes LATER queries' timings
       // (d05 measured 3.7x slower mid-suite than isolated)
       System.gc()
-      (name, secs, err)
+      (name, wall - stageS, stageS, err)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
+    val stageQ = results.collect { case (k, _, s, _) if s > 0.01 => "\"" + k + "\":" + s }
+    val stageQJson = if (stageQ.isEmpty) "" else stageQ.mkString(""","stage_s":{""", ",", "}")
+    val stagedJson = (staged.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v } :+ s""""total_s":$prestageSecs""")
+      .mkString(""","staging":{""", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).sum
-    results.foreach { case (k, _, e) => e.foreach(msg => System.err.println(s"[bench] $k FAILED: $msg")) }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
+    val wallTotal = total + results.map(_._3).sum + prestageSecs
+    results.foreach { case (k, _, _, e) => e.foreach(msg => System.err.println(s"[bench] $k FAILED: $msg")) }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","wall_s":$wallTotal,"queries":$qs$stageQJson$stagedJson$errJson,"sf":"$sfDir"}"""
     println(json)
     // the stdout line is one long JSON record and the driver's tail
     // capture has truncated it mid-line before (BENCH_r03 lost its
@@ -92,9 +132,16 @@ object Bench {
     // is printed and persisted so the evidence of a breach survives
     // the failure. Other SFs (the 32×/100× stress dirs) are exempt:
     // their per-query walls are the scaling study's subject, not a
-    // regression gate.
+    // regression gate. Caps compare each query's NON-staging seconds
+    // (wall minus in-window index builds): once-per-era staging cost
+    // is gated separately by the staging-phase cap below.
     val cap = sys.env.getOrElse("SPARK_GRAFT_QUERY_CAP_SECS", "10.0").toDouble
     if (sfDir.contains("sf0.1")) {
+      // staging gets its own budget: the whole per-era index build for
+      // sf0.1 (measured ~60-120 s cold across rounds 5-6; ambient can
+      // ~1.5-3x it behind a cache-evicting oracle run)
+      val stagingCap = sys.env.getOrElse("SPARK_GRAFT_STAGING_CAP_SECS", "300.0").toDouble
+      val stagingTotal = prestageSecs + results.map(_._3).sum
       // per-query caps from the committed reference run (BENCH_REF.json,
       // refreshed each round): cap = clamp(4 × ref, [2 s, global cap]).
       // 4× sits above the documented same-code ambient band (~1.5×,
@@ -108,12 +155,14 @@ object Bench {
           val txt = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_REF.json"))), "UTF-8")
           val qsPart = txt.drop(txt.indexOf("\"queries\""))
+          val qsEnd = qsPart.indexOf("}")
           // cap = max(min(4·ref, global), 1.6·ref): 4× headroom for the
           // sub-second majority, and a query whose reference already
           // sits near the global cap (t17 7.5 s, s13 6.7 s) still gets
           // the documented ~1.5× ambient band above its own reference
           // instead of a cliff at the global value
-          "\"([A-Za-z0-9_]+)\":([0-9][0-9.Ee+-]*)".r.findAllMatchIn(qsPart)
+          "\"([A-Za-z0-9_]+)\":([0-9][0-9.Ee+-]*)".r
+            .findAllMatchIn(qsPart.take(if (qsEnd > 0) qsEnd + 1 else qsPart.length))
             .map { m =>
               val ref = m.group(2).toDouble
               m.group(1) -> math.max(math.min(cap, math.max(2.0, 4.0 * ref)), 1.6 * ref)
@@ -121,14 +170,14 @@ object Bench {
             .toMap
         } catch { case _: Throwable => Map.empty }
       val over = results.collect {
-        case (k, v, None) if v > refCaps.getOrElse(k, cap) => (k, v, refCaps.getOrElse(k, cap))
+        case (k, v, _, None) if v > refCaps.getOrElse(k, cap) => (k, v, refCaps.getOrElse(k, cap))
       }
-      if (over.nonEmpty) {
-        over.foreach { case (k, v, c) =>
-          System.err.println(f"[bench] BUDGET BREACH: $k took $v%.2f s > $c%.1f s cap")
-        }
-        sys.exit(1)
+      over.foreach { case (k, v, c) =>
+        System.err.println(f"[bench] BUDGET BREACH: $k took $v%.2f s > $c%.1f s cap")
       }
+      if (stagingTotal > stagingCap)
+        System.err.println(f"[bench] BUDGET BREACH: staging took $stagingTotal%.2f s > $stagingCap%.1f s cap")
+      if (over.nonEmpty || stagingTotal > stagingCap) sys.exit(1)
     }
   }
 }

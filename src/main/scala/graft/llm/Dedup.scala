@@ -2088,7 +2088,7 @@ object Dedup {
     * derives from ([[ccIndex]]): at 100 TB this is a maintained
     * artifact of the corpus, not per-query work.
     */
-  private def prefixIndex(spark: SparkSession, dir: String): DataFrame = synchronized {
+  private[graft] def prefixIndex(spark: SparkSession, dir: String): DataFrame = synchronized {
     val loc = graft.ops.Staging.indexPath("ap_prefix", dir)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
@@ -2255,6 +2255,17 @@ object Dedup {
     */
   def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the staged rep graph only retains verified edges at jaccard ≥
+    // JaccardThreshold, and within-family pairs are counted closed-form
+    // at jaccard exactly 1.0 — a sweep cutoff below the floor would
+    // silently under-report pairs/clusters (the edges were never
+    // materialized), and one at ≥ 1.0 would silently drop the
+    // within-family mass. Enforce both invariants instead of trusting
+    // the comment above SweepTaus.
+    require(SweepTaus.forall(_ >= JaccardThreshold),
+      s"SweepTaus ${SweepTaus.mkString(",")} below the rep-graph edge floor $JaccardThreshold")
+    require(SweepTaus.forall(_ < 1.0),
+      s"SweepTaus ${SweepTaus.mkString(",")} must stay < 1.0 (within-family pairs sit at jaccard 1.0)")
     val (_, _, members) = contractedPairGraph(spark, dir)
     val edgesJ = spark.read.parquet(graft.ops.Staging.indexPath("rep_graph", dir))
     val famSizes = members.groupBy("rep").agg(count(lit(1)).as("f")).localCheckpoint()

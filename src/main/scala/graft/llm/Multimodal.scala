@@ -455,8 +455,15 @@ object Multimodal {
     * that lock (measured 3× slower than serial). The DECODE side — the
     * operator under test — stays on the real JDK codec.
     */
-  private[graft] def wavBytesOf(id: Long): Array[Byte] = {
-    val s = samplesOf(id, audioLen(id))
+  private[graft] def wavBytesOf(id: Long): Array[Byte] =
+    riffWav(samplesOf(id, audioLen(id)))
+
+  /** The ONE RIFF/WAVE serializer behind every WAV fixture (m04's
+    * wavBytesOf and m16's wavNdBytesOf): header + PCM16LE samples in a
+    * single pass. Shared so a format tweak (sample rate, channel
+    * count) can never desynchronize the two fixtures' containers.
+    */
+  private def riffWav(s: Array[Int]): Array[Byte] = {
     val dataLen = s.length * 2
     val out = new Array[Byte](44 + dataLen)
     val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -736,22 +743,6 @@ object Multimodal {
     */
   private def ndScale(v: Int): Int = if (v < 0) -((-v) * 7 / 8) else v * 7 / 8
 
-  private def riffWav(s: Array[Int]): Array[Byte] = {
-    val dataLen = s.length * 2
-    val out = new Array[Byte](44 + dataLen)
-    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
-      .put("WAVE".getBytes("US-ASCII"))
-      .put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1).putShort(1)
-      .putInt(AudioRate).putInt(AudioRate * 2)
-      .putShort(2).putShort(16)
-      .put("data".getBytes("US-ASCII")).putInt(dataLen)
-    var j = 0
-    while (j < s.length) { bb.putShort(s(j).toShort); j += 1 }
-    out
-  }
-
   private[graft] def wavNdBytesOf(id: Long): Array[Byte] = {
     val base = id % NdBases
     val s = samplesOf(base, audioLen(base))
@@ -882,9 +873,18 @@ object Multimodal {
         var off = 8
         var done = false
         while (!done) {
+          // fail fast if the generator's PNG shape ever changes: a walk
+          // past the buffer or a zero-length IDAT (min(2, len-1) = -1
+          // would flip a byte of the NEXT chunk's header) must abort,
+          // not silently corrupt the wrong byte
+          require(off + 8 <= b.length,
+            s"pngDamagedBytesOf($id): chunk walk ran past ${b.length} bytes without an IDAT")
           val len = readIntBE(b, off)
           val typ = new String(b, off + 4, 4, "US-ASCII")
+          require(off + 12 + len <= b.length,
+            s"pngDamagedBytesOf($id): chunk $typ len=$len overruns the ${b.length}-byte blob")
           if (typ == "IDAT") {
+            require(len >= 1, s"pngDamagedBytesOf($id): zero-length IDAT")
             val i = off + 8 + math.min(2, len - 1)
             b(i) = (b(i) ^ 0xff).toByte
             done = true

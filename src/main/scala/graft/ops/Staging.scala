@@ -102,6 +102,33 @@ object Staging {
       md.digest().take(8).map("%02x".format(_)).mkString
     })
 
+  /** Per-tag seconds spent ACTUALLY BUILDING staged indexes in this
+    * JVM (cache hits record nothing). Bench drains this around each
+    * timed query to split first-touch staging cost (paid once per
+    * data era, amortized across every later process of the same
+    * build) from the query's own warm cost — the round-6 driver run
+    * was cold and the unattributed staging seconds inside d18/s13's
+    * timed windows breached caps calibrated on warm references.
+    */
+  private val buildLog = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+  private def recordBuild(tag: String, secs: Double): Unit = {
+    buildLog.merge(tag, secs, (a, b) => a + b): Unit
+  }
+
+  /** Snapshot-and-clear the per-tag index-build seconds accumulated
+    * since the last drain.
+    */
+  private[graft] def drainBuildLog(): Map[String, Double] = {
+    val it = buildLog.entrySet().iterator()
+    val b = Map.newBuilder[String, Double]
+    while (it.hasNext) {
+      val e = it.next()
+      b += e.getKey -> e.getValue.doubleValue()
+      it.remove()
+    }
+    b.result()
+  }
+
   /** Atomic cross-process publish of a staged index: the build writes
     * into a pid-suffixed temp location, then renames into the era
     * path. Readers only ever see a complete, `_SUCCESS`-bearing
@@ -120,7 +147,9 @@ object Staging {
       val tmp = new org.apache.hadoop.fs.Path(
         loc + s".tmp_p${ProcessHandle.current().pid()}")
       fs.delete(tmp, true)
+      val t0 = System.nanoTime()
       write(tmp.toString)
+      recordBuild(tag, (System.nanoTime() - t0) / 1e9)
       if (fs.exists(done)) fs.delete(tmp, true) // lost the race — adopt the winner
       else {
         fs.delete(dst, true)
@@ -139,7 +168,9 @@ object Staging {
     if (!loc.exists()) {
       val tmp = new java.io.File(loc.getPath + s".tmp_p${ProcessHandle.current().pid()}")
       tmp.getParentFile.mkdirs()
+      val t0 = System.nanoTime()
       write(tmp)
+      recordBuild(tag, (System.nanoTime() - t0) / 1e9)
       if (loc.exists() || !tmp.renameTo(loc)) tmp.delete(): Unit
     }
     loc

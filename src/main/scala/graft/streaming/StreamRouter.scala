@@ -62,10 +62,16 @@ object StreamRouter {
       val tmp = s"$base/tmp/b$k"
       feed.filter(pmod(col("doc_id"), lit(NumBatches)) === k)
         .coalesce(1).write.parquet(tmp)
-      val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
-      val dest = new Path(s"$base/in/batch$k.parquet")
-      fs.rename(part, dest)
-      fs.setTimes(dest, 1700000000000L + k * 60000L, -1)
+      // a corpus with < NumBatches docs leaves some doc_id%N residue
+      // classes empty — Spark then writes no part file and the glob is
+      // empty; skip the batch instead of indexing into a missing hit
+      val parts = Option(fs.globStatus(new Path(s"$tmp/part-*.parquet")))
+        .getOrElse(Array.empty)
+      if (parts.nonEmpty) {
+        val dest = new Path(s"$base/in/batch$k.parquet")
+        fs.rename(parts(0).getPath, dest)
+        fs.setTimes(dest, 1700000000000L + k * 60000L, -1)
+      }
     }
 
     val q = ss.readStream.schema(docSchema)
@@ -88,9 +94,25 @@ object StreamRouter {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    ss.read.parquet(s"$base/clean/batch_*").withColumn("route", lit("clean"))
-      .unionByName(ss.read.parquet(s"$base/quarantine/batch_*")
-        .withColumn("route", lit("quarantine")))
+    // a sink no batch ever routed to has no part files at all (Spark
+    // skips empty-partition writes), so a bare glob re-read would fail
+    // schema inference — read each sink with the sink's declared schema
+    // and substitute an empty typed frame when the glob matches nothing
+    val sinkSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("len", org.apache.spark.sql.types.IntegerType),
+      StructField("reason", StringType)))
+    def readSink(sink: String, route: String): DataFrame = {
+      val hits = Option(fs.globStatus(new Path(s"$base/$sink/batch_*")))
+        .getOrElse(Array.empty)
+      val df =
+        if (hits.isEmpty)
+          ss.createDataFrame(ss.sparkContext.emptyRDD[org.apache.spark.sql.Row], sinkSchema)
+        else ss.read.schema(sinkSchema).parquet(s"$base/$sink/batch_*")
+      df.withColumn("route", lit(route))
+    }
+    readSink("clean", "clean")
+      .unionByName(readSink("quarantine", "quarantine"))
       .select("doc_id", "route", "reason", "lang", "len")
       .orderBy("doc_id")
   }
