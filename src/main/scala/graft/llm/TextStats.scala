@@ -238,15 +238,13 @@ object TextStats {
       .orderBy("doc_id", "rank")
   }
 
-  /** d16 — cardinality sketching: per-source exact vs HyperLogLog++
-    * (`approx_count_distinct`, rsd 5%) distinct-word counts. At 100 TB
-    * the sketch is the only affordable distinct count (constant memory,
-    * mergeable partials); the exact column exists to make the estimate
-    * auditable. The sketch value is engine-specific, so this query has
-    * NO SQL oracle — the driver records a rows-only check and
-    * TextPrepSpec pins the relative error ≤ 15%.
+  /** Per-source exact + HyperLogLog++ (`approx_count_distinct`,
+    * rsd 5%) distinct-word counts — the raw sketch output behind d16.
+    * The estimate column is engine-specific bits, so it never appears
+    * in a hash-gated query; TextPrepSpec pins its relative error
+    * ≤ 15% (3× the rsd-5% sigma) directly on this frame.
     */
-  def distinctSketch(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def distinctSketchRaw(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("source"), explode(tokens(col("text"))).as("word"))
       .groupBy("source")
@@ -255,21 +253,25 @@ object TextStats {
            approx_count_distinct(col("word"), 0.05).as("n_distinct_approx"))
       .orderBy("source")
 
-  /** d16b — the ORACLE-CHECKED bound on d16's engine-specific HLL
-    * estimates (the q56/t16b declared-bound pattern): the estimate
-    * itself cannot cross engines, but the claim "within 15 % of the
-    * exact count" (3× the rsd-5 % sigma, the TextPrepSpec pin) can —
-    * emitted as a boolean against a constant-true oracle, so sketch
-    * drift breaks the hash match instead of hiding behind a rows-only
-    * check.
+  /** d16 — cardinality sketching, bound-gated: per-source exact vs
+    * HyperLogLog++ distinct-word counts, with the engine-specific
+    * estimate folded into the oracle-checkable claim "within 15% of
+    * the exact count" (3× the rsd-5% sigma). At 100 TB the sketch is
+    * the only affordable distinct count (constant memory, mergeable
+    * partials); the exact column makes the estimate auditable and the
+    * `sketch_ok` boolean puts sketch DRIFT on the DuckDB hash gate
+    * (the q56/t16b declared-bound pattern) — the raw estimate itself
+    * stays out of the gated output because HLL bits cannot cross
+    * engines, and is separately pinned in TextPrepSpec via
+    * [[distinctSketchRaw]].
     */
-  def distinctSketchBound(spark: SparkSession, dir: String): DataFrame =
-    distinctSketch(spark, dir)
+  def distinctSketch(spark: SparkSession, dir: String): DataFrame =
+    distinctSketchRaw(spark, dir)
       .select(col("source"), col("n_tokens"), col("n_distinct_exact"),
         (abs(col("n_distinct_approx") - col("n_distinct_exact")).cast("double")
           <= lit(0.15) * col("n_distinct_exact")).as("sketch_ok"))
 
-  val oracleDistinctSketchBound: String =
+  val oracleDistinctSketch: String =
     """SELECT source,
       |  count(*) AS n_tokens,
       |  count(DISTINCT w) AS n_distinct_exact,
@@ -278,6 +280,49 @@ object TextStats {
       |      FROM documents)
       |GROUP BY source
       |ORDER BY source""".stripMargin
+
+  /** d16b — the MERGE side of the sketch claim: one corpus-wide HLL
+    * built by merging every partition's (and, in the partial-agg
+    * sense, every source's) sketch partials — the operation that makes
+    * HLL the 100 TB distinct count (a sum of per-split exacts would
+    * overcount shared words; merged sketches don't). Gated the same
+    * way as d16: the merged estimate must land within 15% of the
+    * corpus-wide exact count, and the union's subadditivity
+    * (global exact ≤ Σ per-source exacts, strict when sources share
+    * vocabulary) rides the same oracle.
+    */
+  def distinctSketchBound(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+    val perSource = words.groupBy("source")
+      .agg(countDistinct(col("word")).as("nd"))
+      .agg(sum("nd").as("sum_source_distinct"))
+    words
+      .agg(count(lit(1)).as("n_tokens"),
+           countDistinct(col("word")).as("n_distinct_exact"),
+           approx_count_distinct(col("word"), 0.05).as("n_distinct_approx"))
+      .crossJoin(broadcast(perSource))
+      .select(lit("corpus").as("scope"), col("n_tokens"),
+        col("n_distinct_exact"), col("sum_source_distinct"),
+        (abs(col("n_distinct_approx") - col("n_distinct_exact")).cast("double")
+          <= lit(0.15) * col("n_distinct_exact")).as("sketch_ok"),
+        (col("n_distinct_exact") <= col("sum_source_distinct")).as("subadditive_ok"))
+  }
+
+  val oracleDistinctSketchBound: String =
+    """WITH w AS (
+      |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents),
+      |per_source AS (
+      |  SELECT sum(nd) AS sum_source_distinct
+      |  FROM (SELECT count(DISTINCT w) AS nd FROM w GROUP BY source))
+      |SELECT 'corpus' AS scope,
+      |  count(*) AS n_tokens,
+      |  count(DISTINCT w.w) AS n_distinct_exact,
+      |  (SELECT sum_source_distinct FROM per_source) AS sum_source_distinct,
+      |  true AS sketch_ok,
+      |  count(DISTINCT w.w) <= (SELECT sum_source_distinct FROM per_source) AS subadditive_ok
+      |FROM w""".stripMargin
 
   // ---- DuckDB oracles -------------------------------------------------------
 

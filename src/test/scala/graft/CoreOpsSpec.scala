@@ -15,11 +15,10 @@ class CoreOpsSpec extends AnyFunSuite {
   test("every declared query has rows and every oracle key exists") {
     val qs = SparkEntry.queries
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
-    // oracle coverage: every query is oracle-checked except the
-    // declared sketch op (HLL estimates are engine-specific; its error
-    // bound is pinned in TextPrepSpec instead)
-    val noOracle = Set("d16_distinct_sketch")
-    assert(qs.keySet -- SparkEntry.oracleSql.keySet == noOracle)
+    // oracle coverage is TOTAL: every query — including the HLL sketch
+    // pair, whose engine-specific estimates are folded into declared
+    // 15%-bound booleans (d16/d16b) — hash-checks against DuckDB
+    assert(qs.keySet -- SparkEntry.oracleSql.keySet == Set.empty[String])
   }
 
   test("q49: recursive CTE walks each key to the root in exactly floor(log2(key)) steps") {

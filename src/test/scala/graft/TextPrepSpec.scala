@@ -95,7 +95,7 @@ class TextPrepSpec extends AnyFunSuite {
   }
 
   test("d16: HLL distinct estimate stays within 15% of exact") {
-    val rows = graft.llm.TextStats.distinctSketch(spark, Sf)
+    val rows = graft.llm.TextStats.distinctSketchRaw(spark, Sf)
       .select(col("n_distinct_exact").cast("double"), col("n_distinct_approx").cast("double"))
       .collect()
     assert(rows.nonEmpty)
