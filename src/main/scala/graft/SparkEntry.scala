@@ -140,6 +140,7 @@ object SparkEntry {
     "m17_media_integrity"   -> (llm.Multimodal.mediaIntegrity(_, _)),
     "d52_domain_cap"        -> (llm.Sampling.domainCap(_, _)),
     "s22_stream_router"     -> (streaming.StreamRouter.qualityRoute(_, _)),
+    "s23_stream_alert"      -> (streaming.StreamAlert.failureAlert(_, _)),
     "s19_stream_sketch"     -> (streaming.StreamSketch.cmsIngest(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
     "d38_triangles"         -> (llm.Graph.triangles(_, _)),
@@ -616,6 +617,7 @@ object SparkEntry {
     "m17_media_integrity"   -> llm.Multimodal.oracleMediaIntegrity,
     "d52_domain_cap"        -> llm.Sampling.oracleDomainCap,
     "s22_stream_router"     -> streaming.StreamRouter.oracleQualityRoute,
+    "s23_stream_alert"      -> streaming.StreamAlert.oracleFailureAlert,
     "s19_stream_sketch"     -> streaming.StreamSketch.oracleCmsIngest,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,
     "d38_triangles"     -> llm.Graph.oracleTriangles,
