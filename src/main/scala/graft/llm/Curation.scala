@@ -663,13 +663,21 @@ object Curation {
     val docs = documents
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
       .where(col("len") >= l)
+    // persisted: the L-char window explode — the query's dominant cost
+    // (O(len·L) char copies per doc) — feeds BOTH the dup-window
+    // aggregate and the coverage join, and re-executes per consumer
+    // uncached (measured 7.9 → 5.0 s at sf0.1; the d18 explode lesson)
     val win = docs.select(col("doc_id"),
         posexplode(transform(sequence(lit(1), col("len") - lit(l - 1)),
           i => col("text").substr(i, lit(l)))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("g"))
+      .persist()
+    // "appears in ≥ 2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id):
+    // same predicate as count_distinct(doc_id) >= 2 without the
+    // two-level distinct expansion (measured 7.1 → 5.6 s at sf0.1)
     val dup = win.groupBy("g")
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .where(col("nd") >= 2)
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .where(col("mn") =!= col("mx"))
       .select("g")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
     val isl = win.join(dup, Seq("g"))
@@ -679,12 +687,18 @@ object Curation {
       .withColumn("grp", sum("brk").over(w.rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)))
-    isl.groupBy("doc_id", "grp")
+    val spans = isl.groupBy("doc_id", "grp")
       .agg(min("pos").as("span_start"),
         (max("pos") + lit(l - 1)).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_chars"))
-      .orderBy("doc_id", "span_start")
+      // eager checkpoint of the output-sized result BEFORE the
+      // presentation sort: Exchange rangepartitioning samples its
+      // child, which would otherwise run the whole explode+join chain
+      // a second time (the d37 lesson)
+      .localCheckpoint()
+    win.unpersist()
+    spans.orderBy("doc_id", "span_start")
   }
 
   val oracleExactCharSpans: String = {
