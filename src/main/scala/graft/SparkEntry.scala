@@ -141,6 +141,9 @@ object SparkEntry {
     "d52_domain_cap"        -> (llm.Sampling.domainCap(_, _)),
     "s22_stream_router"     -> (streaming.StreamRouter.qualityRoute(_, _)),
     "s23_stream_alert"      -> (streaming.StreamAlert.failureAlert(_, _)),
+    "s24_stream_compact"    -> (streaming.StreamCompact.compactedIngest(_, _)),
+    "t23_kn_smooth"         -> (llm.LangModel.knFamiliarity(_, _)),
+    "d53_link_predict"      -> (llm.Graph.linkPredict(_, _)),
     "s19_stream_sketch"     -> (streaming.StreamSketch.cmsIngest(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
     "d38_triangles"         -> (llm.Graph.triangles(_, _)),
@@ -618,6 +621,9 @@ object SparkEntry {
     "d52_domain_cap"        -> llm.Sampling.oracleDomainCap,
     "s22_stream_router"     -> streaming.StreamRouter.oracleQualityRoute,
     "s23_stream_alert"      -> streaming.StreamAlert.oracleFailureAlert,
+    "s24_stream_compact"    -> streaming.StreamCompact.oracleCompactedIngest,
+    "t23_kn_smooth"         -> llm.LangModel.oracleKnFamiliarity,
+    "d53_link_predict"      -> llm.Graph.oracleLinkPredict,
     "s19_stream_sketch"     -> streaming.StreamSketch.oracleCmsIngest,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,
     "d38_triangles"     -> llm.Graph.oracleTriangles,

@@ -524,6 +524,159 @@ object Graph {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** d53 — link prediction / neighborhood-overlap audit over the
+    * verified near-dup graph (Liben-Nowell & Kleinberg 2003): for
+    * EVERY document pair sharing ≥ 1 common neighbor, the
+    * common-neighbor count, a degree-normalized score
+    * `cn / Σ deg(common neighbor)` (the integer-exact cousin of the
+    * resource-allocation index Σ 1/deg — same monotone signal, but a
+    * ratio of two BIGINT sums instead of a partition-order-dependent
+    * float sum), and whether the pair is ALREADY an edge. The two
+    * slices are both curation signals: `is_edge = false` rows are
+    * predicted links — near-dup pairs the LSH+verify stage MISSED
+    * despite shared neighborhoods (the repair list for band-threshold
+    * tuning, d34) — and `is_edge = true` rows grade each verified
+    * edge's embedding in its cluster (a high-overlap edge is
+    * cluster-internal; a low-overlap edge is the one bridge gluing two
+    * templates together — the screen before keep-one-per-cluster
+    * curation, same question d41 answers by vote).
+    *
+    * Contraction exactness (the d36/d38/d39 argument): members x ∈
+    * family i, y ∈ family j are member-adjacent iff i = j or i~j, and
+    * common neighbors decompose by family with closed forms over
+    * (f, S_i = Σ_{k~i} f_k, mdeg_i = f_i−1+S_i, W_i = Σ_{k~i}
+    * f_k·mdeg_k):
+    *   i ≠ j:  cn = Σ_{k~i ∧ k~j} f_k  (+ (f_i−1) + (f_j−1) iff i~j)
+    *           snd = Σ f_k·mdeg_k      (+ (f_i−1)·mdeg_i + (f_j−1)·mdeg_j)
+    *   i = j:  cn = mdeg_i − 1,  snd = (f_i−2)·mdeg_i + W_i
+    * — exact integer arithmetic over the rep graph; the member-level
+    * DuckDB oracle enumerates the same wedges off the blown-up pair
+    * relation with a different join order and must hash-match.
+    *
+    * Scale shape (100 TB): wedge enumeration runs on the CONTRACTED
+    * graph (copy-factor-invariant, the round-6 f² lesson) as one
+    * self-join of the rep adjacency keyed by the wedge center — the
+    * same O(Σ deg²) bound as d38's triangle wedges — then one
+    * full-outer join against the rep edge list and keyed aggregates;
+    * only the final member fan-out scales with duplication, and that
+    * is the answer's own size. Every step is an equi-join or keyed
+    * agg; nothing collects.
+    */
+  def linkPredict(spark: SparkSession, dir: String): DataFrame = {
+    val (verts0, edges0, members) = Dedup.contractedPairGraph(spark, dir)
+    linkPredictCore(verts0, edges0, members)
+  }
+
+  /** Link prediction on any canonical (u < v) pair relation — the
+    * degenerate f = 1 instance (members = vertices themselves).
+    */
+  def linkPredictOnPairs(pairs: DataFrame): DataFrame = {
+    val e0 = pairs.toDF("u", "v")
+    val verts = e0.select(col("u").as("id"))
+      .unionByName(e0.select(col("v").as("id")))
+      .distinct().withColumn("f", lit(1L))
+    val members = verts.select(col("id").as("rep"), col("id").as("doc_id"))
+    linkPredictCore(verts, e0, members)
+  }
+
+  /** The contracted computation behind [[linkPredict]]: `verts`
+    * (id, f), `edges` (u, v) rep pairs, `members` (rep, doc_id).
+    */
+  private[graft] def linkPredictCore(verts0: DataFrame, edges0: DataFrame,
+                                     members: DataFrame): DataFrame = {
+    val v = verts0.toDF("id", "f").localCheckpoint()
+    val e0 = edges0.toDF("u", "v").localCheckpoint()
+    val sym = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+    // member-level degree of family k: mdeg = (f − 1) + S, S = Σ_{m~k} f_m
+    val s = sym.join(v.select(col("id").as("v"), col("f").as("fv")), Seq("v"))
+      .groupBy(col("u").as("id")).agg(sum("fv").as("s"))
+    val mdeg = v.join(s, Seq("id"), "left")
+      .select(col("id"), col("f"),
+        (col("f") - 1 + coalesce(col("s"), lit(0L))).as("mdeg"))
+      .localCheckpoint() // feeds four subtrees below
+    // weighted neighbor-degree mass: W = Σ_{k~i} f_k·mdeg_k
+    val w = sym.join(mdeg.select(col("id").as("v"),
+        (col("f") * col("mdeg")).as("fd")), Seq("v"))
+      .groupBy(col("u").as("id")).agg(sum("fd").as("w"))
+    // cross-family co-neighbor mass via rep wedges i–k–j (i < j)
+    val byK = sym.select(col("u").as("k"), col("v").as("n"))
+    val wedges = byK.as("a").join(byK.as("b"),
+        col("a.k") === col("b.k") && col("a.n") < col("b.n"))
+      .select(col("a.n").as("ri"), col("b.n").as("rj"), col("a.k").as("k"))
+    val wAgg = wedges.join(mdeg.select(col("id").as("k"), col("f").as("fk"),
+        col("mdeg").as("dk")), Seq("k"))
+      .groupBy("ri", "rj")
+      .agg(sum("fk").as("wcn"), sum(col("fk") * col("dk")).as("wsnd"))
+    val canon = e0.select(least(col("u"), col("v")).as("ri"),
+                          greatest(col("u"), col("v")).as("rj"))
+      .withColumn("edge", lit(true))
+    // rep pairs = wedge pairs ∪ rep edges; adjacent pairs add their
+    // own-family common members to the wedge mass
+    val crossRep = wAgg.join(canon, Seq("ri", "rj"), "full_outer")
+      .select(col("ri"), col("rj"),
+        coalesce(col("wcn"), lit(0L)).as("wcn"),
+        coalesce(col("wsnd"), lit(0L)).as("wsnd"),
+        coalesce(col("edge"), lit(false)).as("is_edge"))
+      .join(mdeg.select(col("id").as("ri"), col("f").as("fi"), col("mdeg").as("di")), Seq("ri"))
+      .join(mdeg.select(col("id").as("rj"), col("f").as("fj"), col("mdeg").as("dj")), Seq("rj"))
+      .select(col("ri"), col("rj"), col("is_edge"),
+        (col("wcn") + when(col("is_edge"),
+          col("fi") - 1 + col("fj") - 1).otherwise(lit(0L))).as("cn"),
+        (col("wsnd") + when(col("is_edge"),
+          (col("fi") - 1) * col("di") + (col("fj") - 1) * col("dj"))
+          .otherwise(lit(0L))).as("snd"))
+      .where(col("cn") >= 1)
+    // same-family member pairs: every other member of i plus i's whole
+    // bundle neighborhood is a common neighbor
+    val sameRep = mdeg.join(w, Seq("id"), "left")
+      .where(col("f") >= 2 && (col("mdeg") - 1) >= 1)
+      .select(col("id"), (col("mdeg") - 1).as("cn"),
+        ((col("f") - 2) * col("mdeg") + coalesce(col("w"), lit(0L))).as("snd"))
+    // member fan-out, canonicalized by member id
+    val ma = members.select(col("rep").as("ri"), col("doc_id").as("da"))
+    val mb = members.select(col("rep").as("rj"), col("doc_id").as("db"))
+    val crossOut = crossRep.join(ma, Seq("ri")).join(mb, Seq("rj"))
+      .select(least(col("da"), col("db")).as("id_a"),
+              greatest(col("da"), col("db")).as("id_b"),
+              col("cn"), col("snd").as("sum_nbr_deg"), col("is_edge"))
+    val sameOut = sameRep
+      .join(members.select(col("rep").as("id"), col("doc_id").as("da")), Seq("id"))
+      .join(members.select(col("rep").as("id"), col("doc_id").as("db")), Seq("id"))
+      .where(col("da") < col("db"))
+      .select(col("da").as("id_a"), col("db").as("id_b"),
+              col("cn"), col("snd").as("sum_nbr_deg"), lit(true).as("is_edge"))
+    crossOut.unionByName(sameOut)
+      .withColumn("score", col("cn").cast("double") / col("sum_nbr_deg"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** d53's DuckDB replay at MEMBER level: wedges enumerated directly
+    * off the blown-up pair relation, degree summed per common
+    * neighbor, adjacency looked up against the canonical pairs — a
+    * different join order over a different (uncontracted) graph
+    * representation that must land on the identical rows.
+    */
+  val oracleLinkPredict: String =
+    s"""WITH ${Dedup.pairsCteSql},
+       |edges AS MATERIALIZED (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM pairs),
+       |deg AS MATERIALIZED (SELECT u AS id, count(*) AS deg FROM edges GROUP BY 1),
+       |wedge AS (
+       |  SELECT a.v AS id_a, b.v AS id_b, a.u AS k
+       |  FROM edges a JOIN edges b ON a.u = b.u AND a.v < b.v),
+       |pred AS (
+       |  SELECT w.id_a, w.id_b, count(*) AS cn, sum(d.deg)::BIGINT AS sum_nbr_deg
+       |  FROM wedge w JOIN deg d ON d.id = w.k
+       |  GROUP BY 1, 2)
+       |SELECT p.id_a, p.id_b, p.cn, p.sum_nbr_deg,
+       |       EXISTS (SELECT 1 FROM pairs q
+       |               WHERE q.id_a = p.id_a AND q.id_b = p.id_b) AS is_edge,
+       |       p.cn::DOUBLE / p.sum_nbr_deg AS score
+       |FROM pred p
+       |ORDER BY p.id_a, p.id_b""".stripMargin
+
   /** DuckDB replay: the same integer recurrence with the iterations
     * unrolled textually (standard-SQL recursive CTEs forbid the
     * per-round aggregate). `//` on non-negative BIGINTs truncates

@@ -154,6 +154,122 @@ object LangModel {
       |FROM perdoc
       |ORDER BY doc_id""".stripMargin
 
+  /** t23 — Kneser-Ney-style discounted bigram familiarity (Kneser &
+    * Ney 1995; the modified-KN form is Chen & Goodman 1998, the
+    * standard n-gram smoother). Where t12 scores docs by RAW corpus
+    * transition frequency, KN's two ideas are (a) absolute discounting
+    * — subtract a fixed D from every observed bigram count so
+    * singleton transitions stop looking as confident as frequent ones
+    * — and (b) the CONTINUATION distribution — back off not to how
+    * often w2 occurs but to how many distinct contexts w2 follows
+    * ("york" is frequent but only ever follows "new"; KN backoff
+    * scores it low in a fresh context, raw backoff scores it high).
+    * Low-KN docs are template/boilerplate with rare transitions even
+    * when individual words are common — the curation signal t12's raw
+    * form dilutes.
+    *
+    * Determinism contract (the t12/t18 pattern): NEVER sum per-row
+    * doubles. Every per-doc aggregate is a BIGINT sum of corpus
+    * counts — `sum_disc4` (Σ 4·bc−3: the D = 3/4 discounted bigram
+    * numerator at fixed-point scale 4, exact since bc ≥ 1),
+    * `sum_ctx` (Σ context occurrences), `sum_fan` (Σ distinct
+    * continuations of w1 — the backoff-weight numerator N1+(w1,·)),
+    * `sum_cont` (Σ distinct left-contexts of w2 — the continuation
+    * numerator N1+(·,w2)) — and the doc-level score composes them with
+    * exactly three IEEE double divisions and one multiply/add, each
+    * bit-identical across engines:
+    *   kn_direct  = sum_disc4 / (4·sum_ctx)
+    *   kn_backoff = (3·sum_fan / (4·sum_ctx)) · (sum_cont / (n·T))
+    *   kn_score   = kn_direct + kn_backoff,   T = distinct bigram types
+    * (the doc-level ratio-of-sums analog of summing per-occurrence KN
+    * probabilities — order-independent where the textbook per-token
+    * log-prob sum is partition-order-dependent).
+    *
+    * Scale shape (100 TB): identical to t12 — one explode, three hash
+    * aggregates build the count tables (each vocab-sized and
+    * pre-aggregated, so hot words never fan out), the type-count T is
+    * a one-row broadcast, then three shuffled equi-joins on word keys
+    * and one per-doc aggregate. No vocab broadcast assumption.
+    */
+  def knFamiliarity(spark: SparkSession, dir: String): DataFrame = {
+    // bg feeds five subtrees (bc, cc+fan, cont, T, the scoring join) —
+    // persist or the tokenize+explode runs once per consumer
+    val bg = bigramRows(spark, dir).persist()
+    val occ = bg.filter(col("w1").isNotNull)
+    val bc = occ.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+    val cc = occ.groupBy("w1")
+      .agg(count(lit(1)).as("cc"), countDistinct("w2").as("fan"))
+    val cont = occ.groupBy("w2").agg(countDistinct("w1").as("cont"))
+    val types = bc.agg(count(lit(1)).as("t"))
+    val perDoc = bg.join(bc, Seq("w1", "w2"), "left")
+      .join(cc, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(types))
+      .groupBy("doc_id")
+      .agg(
+        count(col("w1")).as("n_bigrams"),
+        sum(col("bc") * 4 - 3).as("sum_disc4"),
+        sum("cc").as("sum_ctx"),
+        sum("fan").as("sum_fan"),
+        sum("cont").as("sum_cont"),
+        first("t").as("t"))
+    val out = perDoc
+      .withColumn("kn_direct",
+        col("sum_disc4").cast("double") / (col("sum_ctx") * 4))
+      .withColumn("kn_backoff",
+        ((col("sum_fan") * 3).cast("double") / (col("sum_ctx") * 4)) *
+          (col("sum_cont").cast("double") / (col("n_bigrams") * col("t"))))
+      .withColumn("kn_score", col("kn_direct") + col("kn_backoff"))
+      .select("doc_id", "n_bigrams", "sum_disc4", "sum_ctx", "sum_fan",
+        "sum_cont", "kn_direct", "kn_backoff", "kn_score")
+      .orderBy("doc_id")
+      .localCheckpoint() // presentation sort samples its child; cheap rows
+    bg.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[knFamiliarity]]: same count tables as t12's
+    * oracle plus the two KN continuation tables; the score repeats the
+    * identical division/multiply tree. Docs with < 2 words re-attach
+    * with 0 bigrams and NULL sums/scores via the final LEFT JOIN.
+    */
+  val oracleKnFamiliarity: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) u),
+      |bc AS (SELECT w1, w2, count(*) AS bc FROM bg GROUP BY 1, 2),
+      |cc AS (SELECT w1, count(*) AS cc, count(DISTINCT w2) AS fan FROM bg GROUP BY 1),
+      |ct AS (SELECT w2, count(DISTINCT w1) AS cont FROM bg GROUP BY 1),
+      |ty AS (SELECT count(*) AS t FROM bc),
+      |agg AS (
+      |  SELECT doc_id,
+      |         count(*) AS n_bigrams,
+      |         sum(bc.bc * 4 - 3)::BIGINT AS sum_disc4,
+      |         sum(cc.cc)::BIGINT AS sum_ctx,
+      |         sum(cc.fan)::BIGINT AS sum_fan,
+      |         sum(ct.cont)::BIGINT AS sum_cont,
+      |         any_value(ty.t) AS t
+      |  FROM bg
+      |  JOIN bc USING (w1, w2)
+      |  JOIN cc USING (w1)
+      |  JOIN ct USING (w2)
+      |  CROSS JOIN ty
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(n_bigrams, 0) AS n_bigrams,
+      |  sum_disc4, sum_ctx, sum_fan, sum_cont,
+      |  sum_disc4::DOUBLE / (sum_ctx * 4) AS kn_direct,
+      |  ((sum_fan * 3)::DOUBLE / (sum_ctx * 4)) *
+      |    (sum_cont::DOUBLE / (n_bigrams * t)) AS kn_backoff,
+      |  sum_disc4::DOUBLE / (sum_ctx * 4) +
+      |    ((sum_fan * 3)::DOUBLE / (sum_ctx * 4)) *
+      |    (sum_cont::DOUBLE / (n_bigrams * t)) AS kn_score
+      |FROM documents d LEFT JOIN agg USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** DuckDB twin: same bigram extraction (1-based `t[i]`/`t[i+1]`),
     * same count tables, same ratio-of-BIGINT-sums. `range(1, len(t))`
     * is empty for len < 2 (DuckDB ranges don't reverse), so short docs

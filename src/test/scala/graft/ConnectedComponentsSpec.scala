@@ -257,6 +257,93 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  /** Driver-side brute force for d53 on a plain (f = 1) graph. */
+  private def linkPredictTruth(edges: Seq[(Long, Long)])
+      : Map[(Long, Long), (Long, Long, Boolean, Double)] = {
+    val es = edges.toSet
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val verts = adj.keys.toSeq.sorted
+    (for {
+      ai <- verts.indices; bi <- (ai + 1) until verts.size
+      a = verts(ai); b = verts(bi)
+      common = adj(a) intersect adj(b)
+      if common.nonEmpty
+    } yield {
+      val cn = common.size.toLong
+      val snd = common.toSeq.map(deg).sum
+      (a, b) -> (cn, snd, es.contains((a, b)), cn.toDouble / snd)
+    }).toMap
+  }
+
+  test("d53 link prediction matches a brute-force enumeration on random graphs") {
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 5) {
+      val n = 5 + rnd.nextInt(12)
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n if rnd.nextInt(3) == 0
+      } yield (a.toLong, b.toLong)).toSeq
+      if (edges.nonEmpty) {
+        val got = Graph.linkPredictOnPairs(edges.toDF("u", "v")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) ->
+            (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getDouble(5))).toMap
+        assert(got == linkPredictTruth(edges), s"trial $trial (n=$n m=${edges.size})")
+      }
+    }
+  }
+
+  test("d53: contracted equals member-level on random family blow-ups") {
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 4) {
+      val n = 4 + rnd.nextInt(6)
+      val repEdges = (for {
+        a <- 0 until n; b <- (a + 1) until n if rnd.nextInt(3) == 0
+      } yield (a.toLong, b.toLong)).toSeq
+      val fOf = (0 until n).map(i => i.toLong -> (1L + rnd.nextInt(4))).toMap
+      def mem(i: Long): Seq[Long] = (0L until fOf(i)).map(k => i * 100 + k)
+      val touching = repEdges.flatMap(e => Seq(e._1, e._2)).toSet
+      val inGraph = (0L until n.toLong).filter(i => fOf(i) >= 2 || touching(i))
+      if (inGraph.nonEmpty) {
+        val memberEdges =
+          repEdges.flatMap { case (a, b) =>
+            for (x <- mem(a); y <- mem(b)) yield (math.min(x, y), math.max(x, y)) } ++
+          inGraph.flatMap { i =>
+            val m = mem(i)
+            for (ai <- m.indices; bi <- (ai + 1) until m.size) yield (m(ai), m(bi)) }
+        if (memberEdges.nonEmpty) {
+          val verts = inGraph.map(i => (i * 100, fOf(i))).toDF("id", "f")
+          val edges =
+            (if (repEdges.nonEmpty) repEdges.map { case (a, b) => (a * 100, b * 100) }
+             else Seq.empty[(Long, Long)]).toDF("u", "v")
+          val members = inGraph.flatMap(i => mem(i).map(m => (i * 100, m)))
+            .toDF("rep", "doc_id")
+          def rows(df: org.apache.spark.sql.DataFrame) =
+            df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+              (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getDouble(5))).toMap
+          val contracted = rows(Graph.linkPredictCore(verts, edges, members))
+          val memberLevel = rows(Graph.linkPredictOnPairs(memberEdges.toDF("u", "v")))
+          assert(contracted == memberLevel, s"trial $trial link-predict blow-up")
+        }
+      }
+    }
+  }
+
+  test("d53 on the corpus graph: deterministic; is_edge exactly marks d03 pairs") {
+    val sf = SparkTestBase.Sf
+    val a = Graph.linkPredict(spark, sf).collect()
+    val b = Graph.linkPredict(spark, sf).collect()
+    assert(a.nonEmpty && a.sameElements(b))
+    val d03 = Dedup.lshJaccardPairs(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    a.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(r.getBoolean(4) == d03.contains(key), s"is_edge($key)")
+      assert(r.getLong(2) >= 1L, s"cn($key)")
+    }
+  }
+
   test("k-core engine loop runs past the oracle unroll bound (deep peel chain)") {
     // P_n^2 (path square) peels one vertex per end per round at k = 3 —
     // a 44-vertex chain needs ~21 rounds, far past KCoreRounds = 12.
