@@ -142,6 +142,7 @@ object SparkEntry {
     "s22_stream_router"     -> (streaming.StreamRouter.qualityRoute(_, _)),
     "s23_stream_alert"      -> (streaming.StreamAlert.failureAlert(_, _)),
     "s24_stream_compact"    -> (streaming.StreamCompact.compactedIngest(_, _)),
+    "m18_exif_meta"         -> (llm.Multimodal.exifMeta(_, _)),
     "t23_kn_smooth"         -> (llm.LangModel.knFamiliarity(_, _)),
     "d53_link_predict"      -> (llm.Graph.linkPredict(_, _)),
     "s19_stream_sketch"     -> (streaming.StreamSketch.cmsIngest(_, _)),
@@ -622,6 +623,7 @@ object SparkEntry {
     "s22_stream_router"     -> streaming.StreamRouter.oracleQualityRoute,
     "s23_stream_alert"      -> streaming.StreamAlert.oracleFailureAlert,
     "s24_stream_compact"    -> streaming.StreamCompact.oracleCompactedIngest,
+    "m18_exif_meta"         -> llm.Multimodal.oracleExifMeta,
     "t23_kn_smooth"         -> llm.LangModel.oracleKnFamiliarity,
     "d53_link_predict"      -> llm.Graph.oracleLinkPredict,
     "s19_stream_sketch"     -> streaming.StreamSketch.oracleCmsIngest,

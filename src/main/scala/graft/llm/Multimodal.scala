@@ -2055,4 +2055,137 @@ object Multimodal {
        |  min(v)::INT AS min_s, max(v)::INT AS max_s,
        |  md5(string_agg(v::VARCHAR, ',' ORDER BY i)) AS samples_md5
        |FROM dec GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -- EXIF metadata leg (m18) ------------------------------------------------
+
+  private def exifOrientation(id: Long): Int = 1 + (id % 8).toInt
+  private def exifMake(id: Long): String = "cam" + (id % 5)
+
+  /** m18 fixture: the m10 JPEG with a REAL EXIF APP1 segment spliced
+    * after SOI — "Exif\0\0" + a TIFF structure (byte-order marker,
+    * IFD0 with four entries sorted by tag: 0x0100 ImageWidth, 0x0101
+    * ImageLength, 0x010F Make, 0x0112 Orientation; the ASCII Make
+    * value lives past-the-IFD via a value offset, exactly as the TIFF
+    * 6.0 layout prescribes). Even doc_ids write little-endian ("II"),
+    * odd ones big-endian ("MM"), so the parser's byte-order handling
+    * is exercised on every run. Writer and parser share NO code: the
+    * writer builds the structure with ByteBuffer puts; the parser
+    * ([[parseExif]]) walks JPEG markers and decodes the IFD from raw
+    * bytes.
+    */
+  private[graft] def exifJpegBytesOf(id: Long): Array[Byte] = {
+    val jpeg = jpegBytesOf(id)
+    val le = id % 2 == 0
+    val (w, h) = dims(id)
+    val make = (exifMake(id) + " ").getBytes("US-ASCII")
+    val nEntries = 4
+    val valOff = 8 + 2 + nEntries * 12 + 4 // header + count + entries + nextIFD
+    val tiff = java.nio.ByteBuffer.allocate(valOff + make.length)
+      .order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+             else java.nio.ByteOrder.BIG_ENDIAN)
+    tiff.put((if (le) "II" else "MM").getBytes("US-ASCII"))
+    tiff.putShort(42)      // TIFF magic, in the declared byte order
+    tiff.putInt(8)         // IFD0 offset
+    tiff.putShort(nEntries.toShort)
+    def shortEntry(tag: Int, value: Int): Unit = {
+      tiff.putShort(tag.toShort); tiff.putShort(3); tiff.putInt(1)
+      tiff.putShort(value.toShort); tiff.putShort(0) // left-justified SHORT
+    }
+    shortEntry(0x0100, w)
+    shortEntry(0x0101, h)
+    tiff.putShort(0x010F.toShort); tiff.putShort(2) // ASCII
+    tiff.putInt(make.length); tiff.putInt(valOff)
+    shortEntry(0x0112, exifOrientation(id))
+    tiff.putInt(0) // next IFD: none
+    tiff.put(make)
+    val payload = "Exif  ".getBytes("US-ASCII") ++ tiff.array()
+    val segLen = payload.length + 2
+    val app1 = Array(0xFF.toByte, 0xE1.toByte,
+      ((segLen >> 8) & 0xff).toByte, (segLen & 0xff).toByte) ++ payload
+    jpeg.take(2) ++ app1 ++ jpeg.drop(2) // splice after SOI
+  }
+
+  /** The m18 parser: walk the JPEG marker stream to APP1/"Exif\0\0",
+    * then decode the TIFF header and IFD0 from raw bytes in the
+    * declared byte order. Returns (byte_order, n_entries, orientation,
+    * make, exif_w, exif_h); ("none", 0, -1, "", -1, -1) when no EXIF
+    * segment exists.
+    */
+  private[graft] def parseExif(bytes: Array[Byte]): (String, Int, Int, String, Int, Int) = {
+    var off = 2 // past SOI
+    while (off + 4 <= bytes.length && (bytes(off) & 0xff) == 0xFF) {
+      val marker = bytes(off + 1) & 0xff
+      if (marker == 0xDA) return ("none", 0, -1, "", -1, -1) // SOS: entropy data follows
+      val len = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+      if (marker == 0xE1 && len >= 16 &&
+          new String(bytes, off + 4, 6, "US-ASCII") == "Exif  ") {
+        val t0 = off + 10 // TIFF origin
+        val le = bytes(t0) == 'I'.toByte
+        def u16(p: Int): Int =
+          if (le) (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+          else ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+        def u32(p: Int): Int =
+          if (le) u16(p) | (u16(p + 2) << 16) else (u16(p) << 16) | u16(p + 2)
+        require(u16(t0 + 2) == 42, "not a TIFF structure")
+        val ifd = t0 + u32(t0 + 4)
+        val n = u16(ifd)
+        var orientation = -1; var make = ""; var w = -1; var h = -1
+        var i = 0
+        while (i < n) {
+          val e = ifd + 2 + i * 12
+          val tag = u16(e)
+          val cnt = u32(e + 4)
+          tag match {
+            case 0x0100 => w = u16(e + 8)
+            case 0x0101 => h = u16(e + 8)
+            case 0x0112 => orientation = u16(e + 8)
+            case 0x010F =>
+              val vo = if (cnt <= 4) e + 8 else t0 + u32(e + 8)
+              make = new String(bytes, vo, cnt - 1, "US-ASCII")
+            case _ => ()
+          }
+          i += 1
+        }
+        return (if (le) "II" else "MM", n, orientation, make, w, h)
+      }
+      off += 2 + len
+    }
+    ("none", 0, -1, "", -1, -1)
+  }
+
+  case class ExifMeta(doc_id: Long, byte_order: String, n_entries: Int,
+                      orientation: Int, make: String, exif_w: Int, exif_h: Int)
+
+  /** m18 — EXIF metadata extraction: the first question a multimodal
+    * ingest asks of every image (orientation decides whether pixels
+    * need a rotate before any resize/embed; camera make drives source
+    * attribution and dedup blocking). The fixture embeds a real TIFF
+    * IFD in both byte orders; the operator is a genuine marker-walk +
+    * IFD decode over the binary column (partition-parallel map, bytes
+    * never shuffle — the m14/m17 discipline), and every extracted
+    * field is restated arithmetically by the DuckDB oracle, so a
+    * parser that misreads an offset, a byte order, or a value type
+    * breaks the hash.
+    */
+  def exifMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docIds(spark, dir).mapPartitions { ids =>
+      CodecInit.ready
+      ids.map { id =>
+        val (bo, n, o, mk, w, h) = parseExif(exifJpegBytesOf(id))
+        ExifMeta(id, bo, n, o, mk, w, h)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  val oracleExifMeta: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+      |  4::INT AS n_entries,
+      |  (1 + doc_id % 8)::INT AS orientation,
+      |  'cam' || (doc_id % 5) AS make,
+      |  (8 + doc_id % 9)::INT AS exif_w,
+      |  (8 + doc_id % 7)::INT AS exif_h
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
 }

@@ -50,6 +50,36 @@ class KnSmoothCompactSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("m18: EXIF parser recovers the embedded IFD in both byte orders; corruption surfaces") {
+    import graft.llm.Multimodal
+    // golden corpus path: every field matches the writer's arithmetic
+    val out = Multimodal.exifMeta(spark, SparkTestBase.Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == (if (id % 2 == 0) "II" else "MM"), s"bo($id)")
+      assert(r.getInt(2) == 4, s"n($id)")
+      assert(r.getInt(3) == (1 + id % 8).toInt, s"orient($id)")
+      assert(r.getString(4) == "cam" + (id % 5), s"make($id)")
+      assert(r.getInt(5) == (8 + id % 9).toInt && r.getInt(6) == (8 + id % 7).toInt, s"dims($id)")
+    }
+    // a JPEG with NO APP1 parses to the declared absent tuple
+    val plainJpeg = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos); bos.toByteArray
+    }
+    assert(Multimodal.parseExif(plainJpeg) == (("none", 0, -1, "", -1, -1)))
+    // flipping the byte-order marker is not silently misread: "II" vs
+    // "MM" swaps every multi-byte decode, so the TIFF magic check trips
+    val fixture = Multimodal.exifJpegBytesOf(2L) // little-endian
+    val flipped = fixture.clone()
+    flipped(2 + 4 + 6) = 'M'.toByte // first byte-order byte inside APP1
+    flipped(2 + 4 + 7) = 'M'.toByte
+    assertThrows[IllegalArgumentException](Multimodal.parseExif(flipped))
+  }
+
   test("s24: compaction preserves content exactly and lands the predicted layout") {
     val sf = SparkTestBase.Sf
     val out = StreamCompact.compactedIngest(spark, sf).collect()
