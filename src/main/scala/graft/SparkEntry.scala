@@ -143,6 +143,7 @@ object SparkEntry {
     "s23_stream_alert"      -> (streaming.StreamAlert.failureAlert(_, _)),
     "s24_stream_compact"    -> (streaming.StreamCompact.compactedIngest(_, _)),
     "m18_exif_meta"         -> (llm.Multimodal.exifMeta(_, _)),
+    "d54_modularity"        -> (llm.Graph.modularity(_, _)),
     "t23_kn_smooth"         -> (llm.LangModel.knFamiliarity(_, _)),
     "d53_link_predict"      -> (llm.Graph.linkPredict(_, _)),
     "s19_stream_sketch"     -> (streaming.StreamSketch.cmsIngest(_, _)),
@@ -624,6 +625,7 @@ object SparkEntry {
     "s23_stream_alert"      -> streaming.StreamAlert.oracleFailureAlert,
     "s24_stream_compact"    -> streaming.StreamCompact.oracleCompactedIngest,
     "m18_exif_meta"         -> llm.Multimodal.oracleExifMeta,
+    "d54_modularity"        -> llm.Graph.oracleModularity,
     "t23_kn_smooth"         -> llm.LangModel.oracleKnFamiliarity,
     "d53_link_predict"      -> llm.Graph.oracleLinkPredict,
     "s19_stream_sketch"     -> streaming.StreamSketch.oracleCmsIngest,

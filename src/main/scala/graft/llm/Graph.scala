@@ -495,7 +495,11 @@ object Graph {
     * the (count DESC, label ASC) total order. `edges`/`lab{k}` are
     * `AS MATERIALIZED` for the same measured reason as d36's oracle.
     */
-  val oracleLabelPropagation: String = {
+  /** The shared WITH-body behind d41's and d54's oracles: member-level
+    * pairs → symmetric edges → synchronous LPA unrolled to
+    * `lab{LpaRounds}`.
+    */
+  private def lpaCteSql: String = {
     val rounds = (1 to LpaRounds).map { k =>
       s"""votes$k AS (
          |  SELECT e.v AS id, p.lab, count(*) AS c
@@ -506,7 +510,7 @@ object Graph {
          |    SELECT id, lab, row_number() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rn
          |    FROM votes$k) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${Dedup.pairsCteSql},
+    s"""${Dedup.pairsCteSql},
        |edges AS MATERIALIZED (
        |  SELECT id_a AS u, id_b AS v FROM pairs
        |  UNION ALL
@@ -517,12 +521,108 @@ object Graph {
        |nodes AS (SELECT DISTINCT u AS id FROM edges),
        |lab0 AS MATERIALIZED (
        |  SELECT n.id, f.rep AS lab FROM nodes n JOIN fams f ON f.doc_id = n.id),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  val oracleLabelPropagation: String =
+    s"""WITH $lpaCteSql,
        |csizes AS (SELECT lab, count(*) AS comm_size FROM lab$LpaRounds GROUP BY 1)
        |SELECT l.id AS doc_id, l.lab AS community, s.comm_size
        |FROM lab$LpaRounds l JOIN csizes s USING (lab)
        |ORDER BY doc_id""".stripMargin
+
+  /** d54 — modularity of the d41 LPA communities (Newman & Girvan
+    * 2004): per community c, `q_part = e_c/m − (d_c/2m)²` — the
+    * fraction of edges inside c minus the fraction a degree-preserving
+    * random graph would put there. Σ q_part is THE standard "are these
+    * communities real structure or noise" number; curation reads it
+    * before trusting keep-one-per-community decisions (d41's vote can
+    * shatter or glue — modularity says whether the partition beats
+    * chance). Emitted per community so the gated relation also ranks
+    * WHICH communities are cohesive.
+    *
+    * Determinism contract: `n_members`, `e_in`, `d_sum` and the edge
+    * total m are exact BIGINTs over the member-level graph (closed
+    * forms over the contracted graph: within-community member edges =
+    * Σ C(f_i,2) + Σ_{i~j, lab_i=lab_j} f_i·f_j; member-degree sum =
+    * Σ f_i·mdeg_i), and q_part is two exact divisions and one subtract
+    * — bit-identical across engines.
+    *
+    * Scale shape (100 TB): rides the contracted graph and the same
+    * weighted LPA loop as d41 (copy-factor-invariant); the modularity
+    * pass itself is two keyed aggregates and two scalar anchors
+    * (m_intra, m_cross — O(1) driver values, the d36 `n` precedent).
+    */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val (verts0, edges0, _) = Dedup.contractedPairGraph(spark, dir)
+    val v = verts0.toDF("id", "f").localCheckpoint()
+    val e0 = edges0.toDF("u", "v").localCheckpoint()
+    val lab = lpaContracted(v, e0).localCheckpoint()
+    val sym = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+    val s = sym.join(v.select(col("id").as("v"), col("f").as("fv")), Seq("v"))
+      .groupBy(col("u").as("id")).agg(sum("fv").as("s"))
+    val mdeg = v.join(s, Seq("id"), "left")
+      .select(col("id"), col("f"),
+        (col("f") - 1 + coalesce(col("s"), lit(0L))).as("mdeg"))
+    // member edge total: within-family cliques + cross bundles
+    val mIntra = v.agg(coalesce(sum(expr("(f * (f - 1)) div 2")), lit(0L)))
+      .head.getLong(0)
+    val mCross = e0
+      .join(v.select(col("id").as("u"), col("f").as("fu")), Seq("u"))
+      .join(v.select(col("id").as("v"), col("f").as("fv")), Seq("v"))
+      .agg(coalesce(sum(col("fu") * col("fv")), lit(0L))).head.getLong(0)
+    val m = mIntra + mCross
+    require(m > 0, "modularity needs a non-empty graph")
+    val cstat = lab.join(mdeg, Seq("id"))
+      .groupBy("lab")
+      .agg(sum("f").as("n_members"),
+           sum(col("f") * col("mdeg")).as("d_sum"),
+           sum(expr("(f * (f - 1)) div 2")).as("e_intra"))
+    val eCross = e0
+      .join(lab.toDF("u", "lu"), Seq("u"))
+      .join(lab.toDF("v", "lv"), Seq("v"))
+      .where(col("lu") === col("lv"))
+      .join(v.select(col("id").as("u"), col("f").as("fu")), Seq("u"))
+      .join(v.select(col("id").as("v"), col("f").as("fv")), Seq("v"))
+      .groupBy(col("lu").as("lab")).agg(sum(col("fu") * col("fv")).as("e_cross"))
+    cstat.join(eCross, Seq("lab"), "left")
+      .select(col("lab").as("community"), col("n_members"),
+        (col("e_intra") + coalesce(col("e_cross"), lit(0L))).as("e_in"),
+        col("d_sum"))
+      .withColumn("q_part",
+        col("e_in").cast("double") / lit(m) -
+          (col("d_sum") * col("d_sum")).cast("double") / lit(4L * m * m))
+      .orderBy("community")
   }
+
+  /** d54's DuckDB replay: the d41 LPA unroll, then per-community edge
+    * and degree masses counted directly off the member-level pair
+    * relation — a different aggregation order that must hash-match the
+    * contracted closed forms.
+    */
+  val oracleModularity: String =
+    s"""WITH $lpaCteSql,
+       |deg2 AS (SELECT u AS id, count(*) AS deg FROM edges GROUP BY 1),
+       |mm AS (SELECT count(*) AS m FROM pairs),
+       |cstat AS (
+       |  SELECT l.lab AS community, count(*) AS n_members,
+       |         sum(d.deg)::BIGINT AS d_sum
+       |  FROM lab$LpaRounds l JOIN deg2 d ON d.id = l.id
+       |  GROUP BY 1),
+       |ein AS (
+       |  SELECT la.lab AS community, count(*) AS e_in
+       |  FROM pairs p
+       |  JOIN lab$LpaRounds la ON la.id = p.id_a
+       |  JOIN lab$LpaRounds lb ON lb.id = p.id_b
+       |  WHERE la.lab = lb.lab
+       |  GROUP BY 1)
+       |SELECT c.community, c.n_members,
+       |       coalesce(e.e_in, 0) AS e_in, c.d_sum,
+       |       coalesce(e.e_in, 0)::DOUBLE / (SELECT m FROM mm) -
+       |         (c.d_sum * c.d_sum)::DOUBLE /
+       |         (4 * (SELECT m FROM mm) * (SELECT m FROM mm)) AS q_part
+       |FROM cstat c LEFT JOIN ein e USING (community)
+       |ORDER BY c.community""".stripMargin
 
   /** d53 — link prediction / neighborhood-overlap audit over the
     * verified near-dup graph (Liben-Nowell & Kleinberg 2003): for

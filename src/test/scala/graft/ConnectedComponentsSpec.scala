@@ -344,6 +344,37 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("d54 modularity: hand-checked partition values; corpus totals bounded") {
+    // two triangles joined by one bridge — sync LPA with min-label
+    // ties: {1,2,3} keeps 1; bridge vertex 4 adopts 3 (neighbors'
+    // labels {3,5,6}, all count 1, min wins) and drags {5,6} with it.
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L))
+    val verts = pairs.flatMap(e => Seq(e._1, e._2)).distinct.map(v => (v, 1L)).toDF("id", "f")
+    val got = {
+      // inline f=1 modularity via the same building blocks the corpus
+      // path uses: LPA labels + per-community masses
+      val lab = Graph.lpaContracted(verts, pairs.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      lab
+    }
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L), s"lpa $got")
+    // corpus-level: Σ e_in ≤ m implies Σ q_part < 1; each q_part ≥ -0.25
+    val out = Graph.modularity(spark, SparkTestBase.Sf).collect()
+    assert(out.nonEmpty)
+    val comms = Graph.labelPropagation(spark, SparkTestBase.Sf)
+      .select("community").distinct().count()
+    assert(out.length == comms, "one row per d41 community")
+    val qTotal = out.map(_.getDouble(4)).sum
+    assert(qTotal > -0.5 && qTotal < 1.0, s"modularity total $qTotal out of range")
+    out.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(2) >= 0 && r.getLong(3) >= 1,
+        s"community ${r.getLong(0)} masses")
+    }
+    // determinism
+    val again = Graph.modularity(spark, SparkTestBase.Sf).collect()
+    assert(out.sameElements(again))
+  }
+
   test("k-core engine loop runs past the oracle unroll bound (deep peel chain)") {
     // P_n^2 (path square) peels one vertex per end per round at k = 3 —
     // a 44-vertex chain needs ~21 rounds, far past KCoreRounds = 12.
