@@ -57,9 +57,14 @@ class PricingServerSpec extends AnyFunSuite {
         ns
       }
       // the reference's SLO is 6 s per request; a warm request here is
-      // parse + map lookup + arithmetic — assert a 100x margin even on
-      // a loaded CI box (typical warm round trip is well under a ms)
-      assert(latencies.max < 6e7, s"slowest request ${latencies.max / 1e6} ms, expected < 60 ms")
+      // parse + map lookup + arithmetic. Assert a 100x margin on the
+      // MEDIAN (robust to a single GC/scheduler stall on a loaded box —
+      // a 79 ms max flaked this test once under ambient load) and a
+      // 10x margin on the absolute worst request
+      val sorted = latencies.sorted
+      val p50 = sorted(sorted.length / 2)
+      assert(p50 < 6e7, s"median request ${p50 / 1e6} ms, expected < 60 ms")
+      assert(latencies.max < 6e8, s"slowest request ${latencies.max / 1e6} ms, expected < 600 ms")
     } finally srv.close()
   }
 
