@@ -30,8 +30,8 @@ def main() -> None:
     with open(out, "w") as f:
         json.dump(rec, f)
         f.write("\n")
-    print(f"{out}: {len(med)} queries, median total {total:.1f}s "
-          f"(runs: {', '.join(f'{sum(d['queries'].values()):.1f}s' for d in datas)})")
+    run_totals = ", ".join("%.1fs" % sum(d["queries"].values()) for d in datas)
+    print(f"{out}: {len(med)} queries, median total {total:.1f}s (runs: {run_totals})")
 
 
 if __name__ == "__main__":
