@@ -145,6 +145,9 @@ object SparkEntry {
     "m18_exif_meta"         -> (llm.Multimodal.exifMeta(_, _)),
     "d54_modularity"        -> (llm.Graph.modularity(_, _)),
     "t23_kn_smooth"         -> (llm.LangModel.knFamiliarity(_, _)),
+    "t24_zipf_fit"          -> (llm.TextStats.zipfFit(_, _)),
+    "t25_langid_eval"       -> (llm.TextStats.langIdEval(_, _)),
+    "d57_split_drift"       -> (llm.Sampling.splitDrift(_, _)),
     "d53_link_predict"      -> (llm.Graph.linkPredict(_, _)),
     "s19_stream_sketch"     -> (streaming.StreamSketch.cmsIngest(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
@@ -627,6 +630,9 @@ object SparkEntry {
     "m18_exif_meta"         -> llm.Multimodal.oracleExifMeta,
     "d54_modularity"        -> llm.Graph.oracleModularity,
     "t23_kn_smooth"         -> llm.LangModel.oracleKnFamiliarity,
+    "t24_zipf_fit"          -> llm.TextStats.oracleZipfFit,
+    "t25_langid_eval"       -> llm.TextStats.oracleLangIdEval,
+    "d57_split_drift"       -> llm.Sampling.oracleSplitDrift,
     "d53_link_predict"      -> llm.Graph.oracleLinkPredict,
     "s19_stream_sketch"     -> streaming.StreamSketch.oracleCmsIngest,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,

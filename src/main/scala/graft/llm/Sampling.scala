@@ -520,4 +520,87 @@ object Sampling {
        |SELECT source, doc_id, qlevel::INT AS qlevel
        |FROM r WHERE rn <= $DomainCap
        |ORDER BY source, doc_id""".stripMargin
+
+  /** d57 — split drift: the two-sample Kolmogorov–Smirnov statistic
+    * between the document-length (`n_chars`) distributions of each
+    * pair of d13 splits. The eval that catches a biased split: a
+    * hash-mod split should be length-exchangeable, so KS ≈ sampling
+    * noise; a KS spike means the split leaked a length covariate
+    * (e.g. assignment correlated with a source whose docs run long).
+    *
+    * Plan shape: one n_chars-keyed aggregate with per-split
+    * conditional counts, ONE bounded running window over the distinct
+    * length values (hundreds of rows — the distinct-value relation,
+    * not the corpus), then a 3-row stack. The corpus itself is
+    * touched once, map-side.
+    *
+    * Parity: each CDF value is an exactly-rounded long/long IEEE
+    * division, the pairwise gap is a subtraction of those doubles in
+    * the same expression order in both engines, and the reported
+    * statistic is floor(1e6 · gap) — integer ppm, no float hashing.
+    */
+  def splitDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("n_chars"), splitCol(col("doc_id")).as("split"))
+    val splits = Seq("train", "val", "test")
+    val countCols = splits.map(s =>
+      sum(when(col("split") === s, 1L).otherwise(0L)).as(s"c_$s"))
+    val counts = docs.groupBy("n_chars").agg(countCols.head, countCols.tail: _*)
+    val runW = Window.orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cdf = splits.foldLeft(counts) { (df, s) =>
+      df.withColumn(s"f_$s",
+        sum(s"c_$s").over(runW).cast("double") / sum(s"c_$s").over(allW).cast("double"))
+    }
+    val pairs = Seq(("train", "val"), ("train", "test"), ("val", "test"))
+    val gapCols = pairs.map { case (a, b) =>
+      max(abs(col(s"f_$a") - col(s"f_$b"))).as(s"ks_${a}_$b")
+    } ++ splits.map(s => sum(s"c_$s").as(s"n_$s"))
+    val gaps = cdf.agg(gapCols.head, gapCols.tail: _*)
+    gaps.select(expr(
+      s"stack(${pairs.size}, " +
+        pairs.map { case (a, b) =>
+          s"'${a}_$b', n_$a, n_$b, CAST(floor(ks_${a}_$b * 1000000) AS BIGINT)"
+        }.mkString(", ") +
+        ") AS (pair, n_a, n_b, ks_ppm)"))
+      .orderBy("pair")
+  }
+
+  lazy val oracleSplitDrift: String = {
+    val splits = Seq("train", "val", "test")
+    val pairs = Seq(("train", "val"), ("train", "test"), ("val", "test"))
+    val bucket = s"${TextHash.phashSql(s"doc_id::VARCHAR", SplitSeed)} % 100"
+    val condCounts = splits.map(s =>
+      s"sum(CASE WHEN split = '$s' THEN 1 ELSE 0 END)::BIGINT AS c_$s").mkString(",\n         ")
+    val cdfCols = (splits.map(s => s"c_$s") ++ splits.map(s =>
+      s"(sum(c_$s) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING))::DOUBLE" +
+        s" / (sum(c_$s) OVER ())::DOUBLE AS f_$s")).mkString(",\n         ")
+    val gapCols = (pairs.map { case (a, b) =>
+      s"max(abs(f_$a - f_$b)) AS ks_${a}_$b"
+    } ++ splits.map(s => s"sum(c_$s)::BIGINT AS n_$s")).mkString(",\n         ")
+    val rows = pairs.map { case (a, b) =>
+      s"SELECT '${a}_$b' AS pair, n_$a AS n_a, n_$b AS n_b, floor(ks_${a}_$b * 1000000)::BIGINT AS ks_ppm FROM g"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH d AS (
+       |  SELECT n_chars,
+       |         CASE WHEN $bucket < $TrainPct THEN 'train'
+       |              WHEN $bucket < ${TrainPct + ValPct} THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM documents),
+       |counts AS (
+       |  SELECT n_chars,
+       |         $condCounts
+       |  FROM d GROUP BY n_chars),
+       |cdf AS (
+       |  SELECT n_chars,
+       |         $cdfCols
+       |  FROM counts),
+       |g AS (
+       |  SELECT $gapCols
+       |  FROM cdf)
+       |$rows
+       |ORDER BY pair""".stripMargin
+  }
 }

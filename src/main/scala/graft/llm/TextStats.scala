@@ -660,4 +660,148 @@ object TextStats {
        |  (-3000 + 10 * stop_pm + 4 * least(n_words, 500) + 10 * mtl_x10)::BIGINT AS logit_x1000,
        |  (-3000 + 10 * stop_pm + 4 * least(n_words, 500) + 10 * mtl_x10) > 0 AS keep
        |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Zipf fit uses only the top-K ranks per language. Fitting the
+    * full vocabulary would need a global rank (an unpartitioned sort
+    * at 100 TB); the standard rank-frequency fit uses the head anyway,
+    * and top-K per group is a bounded window after a vocab-sized
+    * aggregate.
+    */
+  val ZipfTopK = 200
+
+  /** t24 — Zipf law fit per language: OLS of ln(count) on ln(rank)
+    * over the top-[[ZipfTopK]] terms (rank ties broken by word).
+    * Corpus-health metric: a healthy natural-language crawl slice has
+    * slope ≈ -1; templated/spammy slices flatten or steepen it.
+    *
+    * Plan shape: one (lang, word) aggregate (map-side partials over
+    * the exploded tokens), a per-lang bounded window for rank, then
+    * the q07 closed-form OLS — no global sort, no driver collect.
+    * Parity: ln() is libm on both engines; the centered sums change
+    * only in the last few ulps across sum orders, and slope/intercept/
+    * r2 are rounded to 6 decimals (the q07 convention).
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("c"))
+    val rankW = Window.partitionBy("lang").orderBy(col("c").desc, col("word"))
+    val xy = tf.withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= ZipfTopK)
+      .select(col("lang"),
+        log(col("rank").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    val langW = Window.partitionBy("lang")
+    xy
+      .withColumn("xbar", avg("x").over(langW))
+      .withColumn("ybar", avg("y").over(langW))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        max("xbar").as("xbar"), max("ybar").as("ybar"),
+        sum((col("x") - col("xbar")) * (col("y") - col("ybar"))).as("sxy"),
+        sum((col("x") - col("xbar")) * (col("x") - col("xbar"))).as("sxx"),
+        sum((col("y") - col("ybar")) * (col("y") - col("ybar"))).as("syy"))
+      .select(col("lang"), col("n_terms"),
+        round(col("sxy") / col("sxx"), 6).as("slope"),
+        round(col("ybar") - (col("sxy") / col("sxx")) * col("xbar"), 6).as("intercept"),
+        round((col("sxy") * col("sxy")) / (col("sxx") * col("syy")), 6).as("r2"))
+      .orderBy("lang")
+  }
+
+  lazy val oracleZipfFit: String =
+    s"""WITH tf AS (
+       |  SELECT lang, word, count(*)::BIGINT AS c
+       |  FROM (SELECT lang, unnest($toksSql) AS word FROM documents)
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT lang, c,
+       |         row_number() OVER (PARTITION BY lang ORDER BY c DESC, word) AS rank
+       |  FROM tf),
+       |xy AS (
+       |  SELECT lang, ln(rank::DOUBLE) AS x, ln(c::DOUBLE) AS y
+       |  FROM ranked WHERE rank <= $ZipfTopK),
+       |centered AS (
+       |  SELECT lang, x, y,
+       |         avg(x) OVER (PARTITION BY lang) AS xbar,
+       |         avg(y) OVER (PARTITION BY lang) AS ybar
+       |  FROM xy),
+       |fit AS (
+       |  SELECT lang, count(*)::BIGINT AS n_terms,
+       |         max(xbar) AS xbar, max(ybar) AS ybar,
+       |         sum((x - xbar) * (y - ybar)) AS sxy,
+       |         sum((x - xbar) * (x - xbar)) AS sxx,
+       |         sum((y - ybar) * (y - ybar)) AS syy
+       |  FROM centered GROUP BY lang)
+       |SELECT lang, n_terms,
+       |       round(sxy / sxx, 6) AS slope,
+       |       round(ybar - (sxy / sxx) * xbar, 6) AS intercept,
+       |       round((sxy * sxy) / (sxx * syy), 6) AS r2
+       |FROM fit ORDER BY lang""".stripMargin
+
+  /** t25 — language-ID evaluation: per-language precision / recall /
+    * F1 (integer ppm) of the t01 heuristic against the labeled `lang`
+    * column. The eval every pipeline needs next to its classifier:
+    * t01 ships predictions, t25 ships the confusion-derived quality of
+    * those predictions.
+    *
+    * Plan shape: ONE map-side pass — 3 conditional sums per language
+    * fused into a single agg (no shuffle beyond the 1-row partial
+    * merge), then a bounded stack to |langs| rows. All ratios are
+    * integer ppm (JVM long division == DuckDB `//` for non-negatives).
+    */
+  def langIdEval(spark: SparkSession, dir: String): DataFrame = {
+    val langs = LangMarkers.map(_._1)
+    val p = Tables.documents(spark, dir)
+      .select(col("lang"), predLang(col("text")).as("pred"))
+    val aggs = langs.flatMap { l =>
+      Seq(
+        sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"true_$l"),
+        sum(when(col("pred") === l, 1L).otherwise(0L)).as(s"pred_$l"),
+        sum(when(col("lang") === l && col("pred") === l, 1L).otherwise(0L)).as(s"tp_$l"))
+    }
+    val one = p.agg(aggs.head, aggs.tail: _*)
+    val stacked = one.select(expr(
+      s"stack(${langs.size}, " +
+        langs.map(l => s"'$l', true_$l, pred_$l, tp_$l").mkString(", ") +
+        ") AS (lang, n_true, n_pred, tp)"))
+    stacked
+      .withColumn("precision_ppm",
+        when(col("n_pred") > 0, expr("tp * 1000000 div n_pred")).otherwise(0L))
+      .withColumn("recall_ppm",
+        when(col("n_true") > 0, expr("tp * 1000000 div n_true")).otherwise(0L))
+      .withColumn("f1_ppm",
+        when(col("precision_ppm") + col("recall_ppm") > 0,
+          expr("2 * precision_ppm * recall_ppm div (precision_ppm + recall_ppm)"))
+          .otherwise(0L))
+      .orderBy("lang")
+  }
+
+  lazy val oracleLangIdEval: String = {
+    val langs = LangMarkers.map(_._1)
+    val perLang = langs.map { l =>
+      s"""SELECT '$l' AS lang,
+         |  sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END)::BIGINT AS n_true,
+         |  sum(CASE WHEN pred = '$l' THEN 1 ELSE 0 END)::BIGINT AS n_pred,
+         |  sum(CASE WHEN lang = '$l' AND pred = '$l' THEN 1 ELSE 0 END)::BIGINT AS tp
+         |FROM j""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH p AS (${predLangSelectSql("documents")}),
+       |j AS (SELECT d.lang, p.pred_lang AS pred
+       |      FROM documents d JOIN p USING (doc_id)),
+       |m AS (
+       |$perLang)
+       |SELECT lang, n_true, n_pred, tp,
+       |  CASE WHEN n_pred > 0 THEN tp * 1000000 // n_pred ELSE 0 END::BIGINT AS precision_ppm,
+       |  CASE WHEN n_true > 0 THEN tp * 1000000 // n_true ELSE 0 END::BIGINT AS recall_ppm,
+       |  CASE WHEN (CASE WHEN n_pred > 0 THEN tp * 1000000 // n_pred ELSE 0 END)
+       |          + (CASE WHEN n_true > 0 THEN tp * 1000000 // n_true ELSE 0 END) > 0
+       |       THEN 2 * (CASE WHEN n_pred > 0 THEN tp * 1000000 // n_pred ELSE 0 END)
+       |              * (CASE WHEN n_true > 0 THEN tp * 1000000 // n_true ELSE 0 END)
+       |           // ((CASE WHEN n_pred > 0 THEN tp * 1000000 // n_pred ELSE 0 END)
+       |             + (CASE WHEN n_true > 0 THEN tp * 1000000 // n_true ELSE 0 END))
+       |       ELSE 0 END::BIGINT AS f1_ppm
+       |FROM m ORDER BY lang""".stripMargin
+  }
 }

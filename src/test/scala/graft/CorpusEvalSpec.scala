@@ -1,0 +1,113 @@
+package graft
+
+import graft.llm.{Sampling, TextStats}
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** t24 zipf fit, t25 langid eval, d57 split drift — each checked
+  * against a from-scratch driver-side recompute on the sf0.001 corpus
+  * (small enough to collect; the sf0.01/sf0.1 parity is the DuckDB
+  * oracle gate's job).
+  */
+class CorpusEvalSpec extends AnyFunSuite {
+  import SparkTestBase.spark
+
+  private val sf = SparkTestBase.Sf
+
+  private def collectedDocs: Seq[(Long, String, String, Long)] =
+    Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+  private def toks(text: String): Seq[String] =
+    "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+
+  test("t24: per-lang OLS matches a driver-side exact recompute") {
+    val got = TextStats.zipfFit(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val docs = collectedDocs
+    val langs = docs.map(_._2).distinct.sorted
+    assert(got.keySet == langs.toSet)
+    langs.foreach { lang =>
+      val counts = docs.filter(_._2 == lang).flatMap(d => toks(d._3))
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      val ranked = counts.sortBy { case (w, c) => (-c, w) }
+        .take(TextStats.ZipfTopK).zipWithIndex
+        .map { case ((_, c), i) => (math.log((i + 1).toDouble), math.log(c.toDouble)) }
+      val n = ranked.size
+      val xbar = ranked.map(_._1).sum / n
+      val ybar = ranked.map(_._2).sum / n
+      val sxy = ranked.map { case (x, y) => (x - xbar) * (y - ybar) }.sum
+      val sxx = ranked.map { case (x, _) => (x - xbar) * (x - xbar) }.sum
+      val syy = ranked.map { case (_, y) => (y - ybar) * (y - ybar) }.sum
+      val r = got(lang)
+      assert(r.getAs[Long]("n_terms") == n.toLong, s"$lang n_terms")
+      val slope = sxy / sxx
+      assert(math.abs(r.getAs[Double]("slope") - slope) < 2e-6, s"$lang slope")
+      assert(math.abs(r.getAs[Double]("intercept") - (ybar - slope * xbar)) < 2e-6, s"$lang intercept")
+      assert(math.abs(r.getAs[Double]("r2") - sxy * sxy / (sxx * syy)) < 2e-6, s"$lang r2")
+      // a rank-frequency head is nonincreasing in count, so the fit leans down
+      assert(r.getAs[Double]("slope") <= 0.0, s"$lang slope sign")
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0, s"$lang r2 range")
+    }
+  }
+
+  test("t25: ppm scores match the confusion matrix of t01's predictions") {
+    val preds = TextStats.langId(spark, sf)
+      .select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = collectedDocs
+    val got = TextStats.langIdEval(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == TextStats.LangMarkers.map(_._1).toSet)
+    got.foreach { case (lang, r) =>
+      val nTrue = docs.count(_._2 == lang).toLong
+      val nPred = docs.count(d => preds(d._1) == lang).toLong
+      val tp = docs.count(d => d._2 == lang && preds(d._1) == lang).toLong
+      assert(r.getAs[Long]("n_true") == nTrue, s"$lang n_true")
+      assert(r.getAs[Long]("n_pred") == nPred, s"$lang n_pred")
+      assert(r.getAs[Long]("tp") == tp, s"$lang tp")
+      val p = if (nPred > 0) tp * 1000000L / nPred else 0L
+      val rec = if (nTrue > 0) tp * 1000000L / nTrue else 0L
+      val f1 = if (p + rec > 0) 2 * p * rec / (p + rec) else 0L
+      assert(r.getAs[Long]("precision_ppm") == p, s"$lang precision")
+      assert(r.getAs[Long]("recall_ppm") == rec, s"$lang recall")
+      assert(r.getAs[Long]("f1_ppm") == f1, s"$lang f1")
+    }
+  }
+
+  test("d57: KS ppm matches a driver-side exact CDF recompute") {
+    val splits = Sampling.splitAssign(spark, sf)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = collectedDocs.map(d => (d._4, splits(d._1))) // (n_chars, split)
+    val names = Seq("train", "val", "test")
+    val totals = names.map(s => s -> docs.count(_._2 == s).toLong).toMap
+    val xs = docs.map(_._1).distinct.sorted
+    // running CDF per split at each distinct n_chars, same double math
+    val cdf: Map[String, Seq[Double]] = names.map { s =>
+      var cum = 0L
+      s -> xs.map { x =>
+        cum += docs.count(d => d._1 == x && d._2 == s)
+        cum.toDouble / totals(s).toDouble
+      }
+    }.toMap
+    def ks(a: String, b: String): Long = {
+      val gap = cdf(a).zip(cdf(b)).map { case (fa, fb) => math.abs(fa - fb) }.max
+      math.floor(gap * 1000000.0).toLong
+    }
+    val got = Sampling.splitDrift(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("train_val", "train_test", "val_test"))
+    Seq(("train", "val"), ("train", "test"), ("val", "test")).foreach { case (a, b) =>
+      val r = got(s"${a}_$b")
+      assert(r.getAs[Long]("n_a") == totals(a), s"$a total")
+      assert(r.getAs[Long]("n_b") == totals(b), s"$b total")
+      assert(r.getAs[Long]("ks_ppm") == ks(a, b), s"${a}_$b ks")
+      val k = r.getAs[Long]("ks_ppm")
+      assert(k >= 0L && k <= 1000000L)
+    }
+  }
+}
