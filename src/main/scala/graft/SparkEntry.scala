@@ -148,6 +148,8 @@ object SparkEntry {
     "t24_zipf_fit"          -> (llm.TextStats.zipfFit(_, _)),
     "t25_langid_eval"       -> (llm.TextStats.langIdEval(_, _)),
     "d57_split_drift"       -> (llm.Sampling.splitDrift(_, _)),
+    "d55_norm_dedup"        -> (llm.Dedup.normDedup(_, _)),
+    "d56_hard_negatives"    -> (llm.Similarity.hardNegatives(_, _)),
     "d53_link_predict"      -> (llm.Graph.linkPredict(_, _)),
     "s19_stream_sketch"     -> (streaming.StreamSketch.cmsIngest(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
@@ -633,6 +635,8 @@ object SparkEntry {
     "t24_zipf_fit"          -> llm.TextStats.oracleZipfFit,
     "t25_langid_eval"       -> llm.TextStats.oracleLangIdEval,
     "d57_split_drift"       -> llm.Sampling.oracleSplitDrift,
+    "d55_norm_dedup"        -> llm.Dedup.oracleNormDedup,
+    "d56_hard_negatives"    -> llm.Similarity.oracleHardNegatives,
     "d53_link_predict"      -> llm.Graph.oracleLinkPredict,
     "s19_stream_sketch"     -> streaming.StreamSketch.oracleCmsIngest,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,

@@ -2356,4 +2356,99 @@ object Dedup {
        |FROM ($union)
        |ORDER BY tau""".stripMargin
   }
+
+  // ---- d55: normalization-recovered duplicates ----------------------------
+
+  /** Id space for the d55 formatting variants (next free multiple of
+    * [[TwinIdOffset]] after the gen-2 offsets; < 1e9 so it nests inside
+    * Amplify replica bands).
+    */
+  val NormIdOffset = 10 * TwinIdOffset
+
+  /** The d55 fixture: deterministic formatting variants of every 4th
+    * corpus doc — upper-cased, whitespace-inflated, or
+    * punctuation-suffixed by `doc_id % 3`. The variants are exactly the
+    * trivial near-copies a crawl yields (shouting mirrors, re-wrapped
+    * text, appended boilerplate punctuation) that raw exact-hash dedup
+    * (d01) misses.
+    */
+  private[graft] def normVariants(docs: DataFrame): DataFrame = {
+    val kind = pmod(col("doc_id"), lit(3))
+    docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+      .select(
+        (col("doc_id") + lit(NormIdOffset)).as("doc_id"),
+        when(kind === 0, upper(col("text")))
+          .when(kind === 1,
+            concat(lit("  "), regexp_replace(col("text"), " ", "  "), lit("  ")))
+          .otherwise(concat(col("text"), lit(" !!!"))).as("text"))
+  }
+
+  /** Canonical text form: casefold, strip non-alphanumerics, collapse
+    * runs of spaces, trim. Composed codegen built-ins — no UDF.
+    */
+  private[graft] def normText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** d55 — normalization-recovered duplicates: exact dedup keyed on the
+    * canonical form instead of the raw bytes, over documents ∪ the
+    * [[normVariants]] fixture. Every duplicate row is attributed to its
+    * group keeper (min doc_id) with `kind` = 'exact' (raw bytes already
+    * equal — d01 would have caught it) or 'norm' (only the canonical
+    * forms match — the recovery this operator exists for).
+    *
+    * Scale shape: md5 of the canonical form is the shuffle key — ONE
+    * norm_key-partitioned exchange; keeper identity and group size ride
+    * the same window partitioning (no second join, no skew beyond the
+    * duplicate-family sizes that any exact dedup has).
+    */
+  def normDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val keyed = docs.unionByName(normVariants(docs))
+      .select(col("doc_id"), md5(col("text")).as("raw_key"),
+        md5(normText(col("text"))).as("norm_key"))
+    val w = Window.partitionBy("norm_key")
+    keyed
+      .withColumn("k", min(struct(col("doc_id"), col("raw_key"))).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("n") > 1 && col("doc_id") =!= col("k.doc_id"))
+      .select(col("doc_id"), col("k.doc_id").as("dup_of"),
+        when(col("raw_key") === col("k.raw_key"), lit("exact"))
+          .otherwise(lit("norm")).as("kind"))
+      .orderBy("doc_id")
+  }
+
+  /** SQL twin of [[normVariants]] ∪ documents with raw/canonical keys. */
+  private def normKeyedSql: String = {
+    val normExpr = (src: String) =>
+      s"trim(regexp_replace(regexp_replace(lower($src), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+    s"""SELECT doc_id, md5(text) AS raw_key, md5(${normExpr("text")}) AS norm_key
+       |FROM (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $NormIdOffset AS doc_id,
+       |         CASE doc_id % 3
+       |           WHEN 0 THEN upper(text)
+       |           WHEN 1 THEN '  ' || replace(text, ' ', '  ') || '  '
+       |           ELSE text || ' !!!'
+       |         END AS text
+       |  FROM documents WHERE doc_id % 4 = 0)""".stripMargin
+  }
+
+  lazy val oracleNormDedup: String =
+    s"""WITH keyed AS (
+       |$normKeyedSql),
+       |k AS (
+       |  SELECT norm_key, min(doc_id) AS dup_of, count(*) AS n
+       |  FROM keyed GROUP BY 1),
+       |kr AS (
+       |  SELECT d.norm_key, d.raw_key AS keeper_raw
+       |  FROM keyed d JOIN k ON d.doc_id = k.dup_of)
+       |SELECT d.doc_id, k.dup_of,
+       |       CASE WHEN d.raw_key = kr.keeper_raw THEN 'exact' ELSE 'norm' END AS kind
+       |FROM keyed d
+       |JOIN k USING (norm_key)
+       |JOIN kr USING (norm_key)
+       |WHERE k.n > 1 AND d.doc_id != k.dup_of
+       |ORDER BY d.doc_id""".stripMargin
 }

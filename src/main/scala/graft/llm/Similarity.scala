@@ -736,4 +736,67 @@ object Similarity {
        |       (scanned * 1000000 // ($NumQueries * nv.cn))::BIGINT AS scanned_ppm
        |FROM grid CROSS JOIN nv
        |ORDER BY nprobe""".stripMargin
+
+  // -- d56: hard-negative mining ---------------------------------------------
+
+  /** d56 — hard-negative mining for contrastive training: for each
+    * probe vector the [[TopK]] most-cosine-similar vectors whose
+    * `label` DIFFERS from the probe's, plus the margin against the
+    * probe's best same-label score. Negatives with margin near (or
+    * above) zero are the "hard" ones an embedding trainer wants in the
+    * batch; easy negatives rank far below.
+    *
+    * Scale shape: identical to d06 — probes broadcast, ONE corpus scan
+    * scores every (probe, candidate) pair map-side via the fused
+    * [[graft.expr.CosineSimilarity]] codegen loop, and both the
+    * best-positive max and the negative top-k ride the same
+    * query_id-partitioned exchange. Scores round to 6 decimals before
+    * ranking so tie-breaks (score DESC, vec_id ASC) are
+    * engine-independent.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val scored = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlabel"), col("vec_id"), col("label"),
+        round(cosineSimilarity(col("qe"), col("embedding")), 6).as("score"))
+    val qW = Window.partitionBy("query_id")
+    val negW = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("top_pos_score",
+        max(when(col("label") === col("qlabel"), col("score"))).over(qW))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("rank", row_number().over(negW))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("qlabel"), col("vec_id"), col("label"),
+        col("score"), col("rank"),
+        round(col("score") - col("top_pos_score"), 6).as("margin"))
+      .orderBy("query_id", "rank")
+  }
+
+  val oracleHardNegatives: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, label AS qlabel FROM embeddings
+       |  WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT query_id, qlabel, e.vec_id, e.label,
+       |         round(list_cosine_similarity(qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS score
+       |  FROM q, embeddings e
+       |  WHERE e.vec_id != q.query_id),
+       |pos AS (
+       |  SELECT query_id, max(score) AS top_pos_score
+       |  FROM scored WHERE label = qlabel GROUP BY 1),
+       |ranked AS (
+       |  SELECT s.query_id, s.qlabel, s.vec_id, s.label, s.score,
+       |         CAST(row_number() OVER (PARTITION BY s.query_id
+       |                                 ORDER BY s.score DESC, s.vec_id) AS INT) AS rank,
+       |         round(s.score - p.top_pos_score, 6) AS margin
+       |  FROM scored s LEFT JOIN pos p USING (query_id)
+       |  WHERE s.label != s.qlabel)
+       |SELECT query_id, qlabel, vec_id, label, score, rank, margin
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
 }

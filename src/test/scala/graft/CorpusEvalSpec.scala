@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Sampling, TextStats}
+import graft.llm.{Dedup, Sampling, Similarity, TextStats}
 import graft.tables.Tables
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -109,5 +109,68 @@ class CorpusEvalSpec extends AnyFunSuite {
       val k = r.getAs[Long]("ks_ppm")
       assert(k >= 0L && k <= 1000000L)
     }
+  }
+
+  test("d55: output equals a driver-side recompute; every variant is a 'norm' dup") {
+    val docs = collectedDocs.map(d => (d._1, d._3))
+    def norm(s: String): String =
+      s.toLowerCase.replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim
+    val variants = docs.filter(_._1 % 4 == 0).map { case (id, text) =>
+      (id + Dedup.NormIdOffset, (id % 3) match {
+        case 0 => text.toUpperCase
+        case 1 => "  " + text.replace(" ", "  ") + "  "
+        case _ => text + " !!!"
+      })
+    }
+    val all = docs ++ variants
+    val expected = all.groupBy { case (_, t) => norm(t) }.values
+      .filter(_.size > 1)
+      .flatMap { grp =>
+        val keeper = grp.minBy(_._1)
+        grp.filterNot(_ == keeper).map { case (id, text) =>
+          (id, keeper._1, if (text == keeper._2) "exact" else "norm")
+        }
+      }.toSet
+    val got = Dedup.normDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == expected)
+    // every formatting variant differs from its keeper's raw bytes
+    variants.foreach { case (id, _) =>
+      assert(got.exists { case (d, _, kind) => d == id && kind == "norm" }, s"variant $id")
+    }
+  }
+
+  test("d56: hard negatives match a driver-side exact recompute, margins included") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; nx += x * x; ny += y * y; i += 1
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val expected = emb.filter(_._1 < Similarity.NumQueries).flatMap { case (qid, qe, qlabel) =>
+      val scored = emb.filter(_._1 != qid)
+        .map { case (vid, e, l) => (vid, l, round6(cos(qe, e))) }
+      val topPos = scored.filter(_._2 == qlabel).map(_._3).max
+      scored.filter(_._2 != qlabel)
+        .sortBy { case (vid, _, s) => (-s, vid) }
+        .take(Similarity.TopK).zipWithIndex
+        .map { case ((vid, l, s), i) =>
+          (qid, qlabel, vid, l, s, i + 1, round6(s - topPos)) }
+    }.toSet
+    val got = Similarity.hardNegatives(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4), r.getInt(5), r.getDouble(6))
+    }.toSet
+    assert(got == expected)
+    // hard negatives are a strict subset of the unconstrained top-k space:
+    // margin <= 0 unless a negative genuinely outscores every positive
+    assert(got.exists(_._6 == 1)) // each probe has a rank-1 negative
   }
 }
