@@ -150,6 +150,8 @@ object SparkEntry {
     "d57_split_drift"       -> (llm.Sampling.splitDrift(_, _)),
     "d55_norm_dedup"        -> (llm.Dedup.normDedup(_, _)),
     "d56_hard_negatives"    -> (llm.Similarity.hardNegatives(_, _)),
+    "t26_blocklist"         -> (llm.TextPrep.blocklistScrub(_, _)),
+    "s25_stream_vocab"      -> (streaming.StreamVocab.vocabIngest(_, _)),
     "d53_link_predict"      -> (llm.Graph.linkPredict(_, _)),
     "s19_stream_sketch"     -> (streaming.StreamSketch.cmsIngest(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
@@ -637,6 +639,8 @@ object SparkEntry {
     "d57_split_drift"       -> llm.Sampling.oracleSplitDrift,
     "d55_norm_dedup"        -> llm.Dedup.oracleNormDedup,
     "d56_hard_negatives"    -> llm.Similarity.oracleHardNegatives,
+    "t26_blocklist"         -> llm.TextPrep.oracleBlocklistScrub,
+    "s25_stream_vocab"      -> streaming.StreamVocab.oracleVocabIngest,
     "d53_link_predict"      -> llm.Graph.oracleLinkPredict,
     "s19_stream_sketch"     -> streaming.StreamSketch.oracleCmsIngest,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,

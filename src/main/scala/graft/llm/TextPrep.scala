@@ -185,4 +185,58 @@ object TextPrep {
        |WHERE rn <= ceil(n_lang * $SamplePct / 100.0)
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** The t26 term blocklist — the LDNOOBW-style dictionary-scrub
+    * stage every crawl pipeline runs (here over the fixture's shared
+    * vocabulary so hits actually occur). Sorted so hit reporting has a
+    * canonical order.
+    */
+  val Blocklist: Seq[String] = Seq("slow", "spark", "vector").sorted
+
+  /** Per-mille hit threshold above which a doc is dropped. */
+  val BlocklistMaxPm = 100L
+
+  /** t26 — dictionary blocklist scrub: per doc, the blocklist hit
+    * count, the distinct terms that hit (canonical comma-joined
+    * order), the hit rate in integer per-mille, and the keep/drop
+    * decision. Unlike t07 (regex PII rewrite) this is the
+    * dictionary-membership filter stage.
+    *
+    * Plan shape: pure map-side — tokens are filtered against a
+    * literal set inside one codegen projection; no shuffle but the
+    * presentation sort. At 100 TB the dictionary broadcasts as part of
+    * the plan (a literal), never as data.
+    */
+  def blocklistScrub(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextStats.tokens(col("text"))
+    val hits = filter(toks, t => Blocklist.map(b => t === b).reduce(_ || _))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(hits).as("n_hits"),
+        array_join(array_sort(array_distinct(hits)), ",").as("hit_terms"))
+      .withColumn("hits_pm",
+        when(col("n_tokens") > 0, expr("CAST(n_hits AS BIGINT) * 1000 div n_tokens"))
+          .otherwise(0L))
+      .withColumn("keep", col("hits_pm") < BlocklistMaxPm)
+      .orderBy("doc_id")
+  }
+
+  lazy val oracleBlocklistScrub: String = {
+    val toksSql = graft.llm.TextStats.toksSql
+    val inList = Blocklist.map(b => s"'$b'").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |         len($toksSql)::INT AS n_tokens,
+       |         list_filter($toksSql, t -> t IN ($inList)) AS hits
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, n_tokens, len(hits)::INT AS n_hits,
+       |         coalesce(array_to_string(list_sort(list_distinct(hits)), ','), '') AS hit_terms
+       |  FROM f)
+       |SELECT doc_id, n_tokens, n_hits, hit_terms,
+       |       (CASE WHEN n_tokens > 0 THEN n_hits::BIGINT * 1000 // n_tokens ELSE 0 END)::BIGINT AS hits_pm,
+       |       (CASE WHEN n_tokens > 0 THEN n_hits::BIGINT * 1000 // n_tokens ELSE 0 END) < $BlocklistMaxPm AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
 }

@@ -326,7 +326,7 @@ object TextStats {
 
   // ---- DuckDB oracles -------------------------------------------------------
 
-  private val toksSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  private[llm] val toksSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
   private def markerCountSql(markers: Seq[String]): String =
     s"len(list_filter($toksSql, t -> t IN (${markers.map(m => s"'$m'").mkString(", ")})))::INT"

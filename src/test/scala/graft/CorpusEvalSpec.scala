@@ -173,4 +173,33 @@ class CorpusEvalSpec extends AnyFunSuite {
     // margin <= 0 unless a negative genuinely outscores every positive
     assert(got.exists(_._6 == 1)) // each probe has a rank-1 negative
   }
+
+  test("t26: blocklist hits match a driver-side recompute") {
+    import graft.llm.TextPrep
+    val got = TextPrep.blocklistScrub(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    collectedDocs.foreach { case (id, _, text, _) =>
+      val ts = toks(text)
+      val hits = ts.filter(TextPrep.Blocklist.contains)
+      val r = got(id)
+      assert(r.getAs[Int]("n_tokens") == ts.size, s"doc $id n_tokens")
+      assert(r.getAs[Int]("n_hits") == hits.size, s"doc $id n_hits")
+      assert(r.getAs[String]("hit_terms") == hits.distinct.sorted.mkString(","), s"doc $id terms")
+      val pm = if (ts.nonEmpty) hits.size.toLong * 1000L / ts.size else 0L
+      assert(r.getAs[Long]("hits_pm") == pm, s"doc $id pm")
+      assert(r.getAs[Boolean]("keep") == (pm < TextPrep.BlocklistMaxPm), s"doc $id keep")
+    }
+  }
+
+  test("s25: streamed vocab curve is Kappa-equal to the one-shot t20 scan") {
+    val streamed = graft.streaming.StreamVocab.vocabIngest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val oneShot = TextStats.vocabGrowth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.toSeq == oneShot.toSeq)
+    // curve invariants: cumulative vocab is nondecreasing and ends at the total
+    val sizes = streamed.map(_._4)
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a <= b })
+    assert(sizes.last == streamed.map(_._3).sum)
+  }
 }
