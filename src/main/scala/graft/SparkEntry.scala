@@ -152,6 +152,7 @@ object SparkEntry {
     "d56_hard_negatives"    -> (llm.Similarity.hardNegatives(_, _)),
     "t26_blocklist"         -> (llm.TextPrep.blocklistScrub(_, _)),
     "s25_stream_vocab"      -> (streaming.StreamVocab.vocabIngest(_, _)),
+    "m19_lum_hist"          -> (llm.ImageHist.lumHistogram(_, _)),
     "d53_link_predict"      -> (llm.Graph.linkPredict(_, _)),
     "s19_stream_sketch"     -> (streaming.StreamSketch.cmsIngest(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
@@ -641,6 +642,7 @@ object SparkEntry {
     "d56_hard_negatives"    -> llm.Similarity.oracleHardNegatives,
     "t26_blocklist"         -> llm.TextPrep.oracleBlocklistScrub,
     "s25_stream_vocab"      -> streaming.StreamVocab.oracleVocabIngest,
+    "m19_lum_hist"          -> llm.ImageHist.oracleLumHistogram,
     "d53_link_predict"      -> llm.Graph.oracleLinkPredict,
     "s19_stream_sketch"     -> streaming.StreamSketch.oracleCmsIngest,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,

@@ -202,4 +202,25 @@ class CorpusEvalSpec extends AnyFunSuite {
     assert(sizes.zip(sizes.tail).forall { case (a, b) => a <= b })
     assert(sizes.last == streamed.map(_._3).sum)
   }
+
+  test("m19: decoded luminance histogram equals the md5-chain source pixels") {
+    import graft.llm.{ImageHist, Multimodal}
+    val got = ImageHist.lumHistogram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getLong(3))).toMap
+    val docIds = collectedDocs.map(_._1)
+    docIds.foreach { id =>
+      val w = 8 + (id % 9).toInt; val h = 8 + (id % 7).toInt
+      val px = Multimodal.pixelsOf(id, w, h)
+      val counts = px.groupBy(_ >> 5).view.mapValues(_.length).toMap
+      counts.foreach { case (b, n) =>
+        val (gn, gs) = got((id, b))
+        assert(gn == n, s"doc $id bucket $b count")
+        assert(gs == n.toLong * 1000L / (w * h), s"doc $id bucket $b share")
+      }
+      // no phantom buckets, and the histogram covers every pixel
+      val rows = got.keys.filter(_._1 == id).map(_._2).toSet
+      assert(rows == counts.keySet)
+      assert(counts.values.sum == w * h)
+    }
+  }
 }
