@@ -42,6 +42,8 @@ object Prestage {
     "ap_prefix" -> (() => { graft.llm.Dedup.prefixIndex(spark, dir); () }),
     // decontamination n-gram posting trio (dc_hot/dc_eval/dc_train): d18/t22/s21
     "dc_index" -> (() => { graft.llm.Curation.decontamIndex(spark, dir); () }),
+    // bucketed gen-2 stream feed (s13_feed): s13 copies it per run
+    "s13_feed" -> (() => { graft.streaming.StreamCluster.stageFeed(spark, dir); () }),
     // z-ordered / date-sorted / stats-indexed orders layouts: q47/q48/q49
     "zorder" -> (() => { graft.ops.ZOrder.stageZOrdered(spark, dir); () }),
     "date_sorted" -> (() => { graft.ops.ZOrder.stageDateSorted(spark, dir); () }),

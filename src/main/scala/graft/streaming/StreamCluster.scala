@@ -49,6 +49,23 @@ object StreamCluster {
     */
   val NumBatches = 2
 
+  /** Publish the bucketed gen-2 feed once per (data era, build) —
+    * shared by [[clusterMaintain]] and the bench prestage phase.
+    */
+  private[graft] def stageFeed(spark: SparkSession, dir: String): String = synchronized {
+    val feedIdx = graft.ops.Staging.indexPath("s13_feed", dir)
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(feedIdx, "_SUCCESS"))) {
+      graft.ops.Staging.publishIndex(spark, "s13_feed", dir) { p =>
+        Dedup.gen2Batch(spark, dir)
+          .withColumn("bucket", pmod(col("doc_id"), lit(NumBatches)))
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(p)
+      }
+    }
+    feedIdx
+  }
+
   def clusterMaintain(spark: SparkSession, dir: String): DataFrame = {
     val ss = StreamEnv.streamSession(spark)
     // seed state + static corpus index, staged once per (data era, build), shared across processes
@@ -63,17 +80,18 @@ object StreamCluster {
     fs.delete(new Path(base), true)
 
     var tSetup = System.nanoTime()
-    // stage the gen-2 feed as NumBatches files, mod-times in batch
-    // order — one partitioned write, then rename each bucket's file
-    Dedup.gen2Batch(spark, dir)
-      .withColumn("bucket", pmod(col("doc_id"), lit(NumBatches)))
-      .repartition(col("bucket"))
-      .write.partitionBy("bucket").parquet(s"$base/tmp")
+    // the gen-2 feed is era/build-deterministic: stage its NumBatches
+    // bucket files ONCE per (data era, build) like every other index,
+    // then per run only COPY them into the stream's input dir (the
+    // input dir and checkpoint stay per-run; the 3 s derive+write of
+    // the feed does not repeat)
+    val feedIdx = stageFeed(spark, dir)
     fs.mkdirs(new Path(s"$base/in"))
     (0 until NumBatches).foreach { k =>
-      val part = fs.globStatus(new Path(s"$base/tmp/bucket=$k/part-*.parquet"))(0).getPath
+      val part = fs.globStatus(new Path(s"$feedIdx/bucket=$k/part-*.parquet"))(0).getPath
       val dest = new Path(s"$base/in/batch$k.parquet")
-      fs.rename(part, dest)
+      org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dest, false,
+        ss.sparkContext.hadoopConfiguration)
       fs.setTimes(dest, 1700000000000L + k * 60000L, -1)
     }
 
