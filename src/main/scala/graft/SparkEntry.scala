@@ -153,6 +153,8 @@ object SparkEntry {
     "t26_blocklist"         -> (llm.TextPrep.blocklistScrub(_, _)),
     "s25_stream_vocab"      -> (streaming.StreamVocab.vocabIngest(_, _)),
     "m19_lum_hist"          -> (llm.ImageHist.lumHistogram(_, _)),
+    "d58_cell_purity"       -> (llm.Similarity.cellPurity(_, _)),
+    "t27_heaps_fit"         -> (llm.TextStats.heapsFit(_, _)),
     "d53_link_predict"      -> (llm.Graph.linkPredict(_, _)),
     "s19_stream_sketch"     -> (streaming.StreamSketch.cmsIngest(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
@@ -643,6 +645,8 @@ object SparkEntry {
     "t26_blocklist"         -> llm.TextPrep.oracleBlocklistScrub,
     "s25_stream_vocab"      -> streaming.StreamVocab.oracleVocabIngest,
     "m19_lum_hist"          -> llm.ImageHist.oracleLumHistogram,
+    "d58_cell_purity"       -> llm.Similarity.oracleCellPurity,
+    "t27_heaps_fit"         -> llm.TextStats.oracleHeapsFit,
     "d53_link_predict"      -> llm.Graph.oracleLinkPredict,
     "s19_stream_sketch"     -> streaming.StreamSketch.oracleCmsIngest,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,

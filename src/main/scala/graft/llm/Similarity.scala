@@ -737,6 +737,55 @@ object Similarity {
        |FROM grid CROSS JOIN nv
        |ORDER BY nprobe""".stripMargin
 
+  // -- d58: IVF cell purity vs labels ----------------------------------------
+
+  /** d58 — clustering-quality evaluation: per IVF cell, the member
+    * count, the majority label (ties → lowest label), and purity in
+    * integer per-mille. The audit a SemDeDup-style embedding-cluster
+    * pruning pass needs before trusting cell membership as a
+    * semantic-duplicate signal: low-purity cells mean the quantizer is
+    * mixing concepts and pruning inside them destroys diversity.
+    *
+    * Scale shape: rank-1 assignment is the d08 broadcast-centroid scan
+    * (no shuffle); the purity report is two keyed aggregates over
+    * (cell, label) — O(cells × labels) rows after the first combine.
+    */
+  def cellPurity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = lloydCentroids(spark, dir).toDF("cell", "ce")
+    val wCell = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("cell"))
+    val members = emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("label"), col("cell"),
+        cosineSimilarity(col("embedding"), col("ce")).as("cscore"))
+      .withColumn("crank", row_number().over(wCell))
+      .filter(col("crank") === 1)
+    val cl = members.groupBy("cell", "label").agg(count(lit(1)).as("n"))
+    val wTop = Window.partitionBy("cell").orderBy(col("n").desc, col("label"))
+    cl.withColumn("rn", row_number().over(wTop))
+      .withColumn("n_vecs", sum("n").over(Window.partitionBy("cell")))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("n_vecs"), col("label").as("top_label"),
+        col("n").as("top_n"), expr("n * 1000 div n_vecs").as("purity_pm"))
+      .orderBy("cell")
+  }
+
+  lazy val oracleCellPurity: String =
+    s"""WITH $lloydMembersSql,
+       |lab AS (
+       |  SELECT m.cell, emb.label FROM members m JOIN embeddings emb USING (vec_id)),
+       |cl AS (SELECT cell, label, count(*)::BIGINT AS n FROM lab GROUP BY 1, 2),
+       |tot AS (SELECT cell, sum(n)::BIGINT AS n_vecs FROM cl GROUP BY 1),
+       |top AS (
+       |  SELECT cell, label AS top_label, n AS top_n FROM (
+       |    SELECT cell, label, n,
+       |           row_number() OVER (PARTITION BY cell ORDER BY n DESC, label) AS rn
+       |    FROM cl) WHERE rn = 1)
+       |SELECT tot.cell::INT AS cell, tot.n_vecs, top.top_label, top.top_n,
+       |       (top.top_n * 1000 // tot.n_vecs)::BIGINT AS purity_pm
+       |FROM tot JOIN top USING (cell)
+       |ORDER BY cell""".stripMargin
+
   // -- d56: hard-negative mining ---------------------------------------------
 
   /** d56 — hard-negative mining for contrastive training: for each

@@ -740,6 +740,69 @@ object TextStats {
        |       round((sxy * sxy) / (sxx * syy), 6) AS r2
        |FROM fit ORDER BY lang""".stripMargin
 
+  /** t27 — Heaps' law fit: OLS of ln(vocab_size) on ln(cumulative
+    * docs) over the t20 decile curve. β (the slope) is the
+    * vocabulary-growth exponent — natural corpora sit near 0.5; β
+    * drifting toward 0 means the crawl slice is saturating (template
+    * churn), toward 1 means unbounded novel tokens (noise/boilerplate
+    * explosions). Companion corpus-health metric to t24's Zipf slope.
+    *
+    * Cost: a bounded window over the GrowthDeciles-row curve, then a
+    * 1-row closed-form fit — the corpus is only touched through t20's
+    * relations.
+    */
+  def heapsFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val runW = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = vocabGrowth(spark, dir)
+      .withColumn("cum_docs", sum("n_docs").over(runW))
+      .filter(col("vocab_size") > 0)
+      .select(log(col("cum_docs").cast("double")).as("x"),
+        log(col("vocab_size").cast("double")).as("y"))
+    val allW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pts
+      .withColumn("xbar", avg("x").over(allW))
+      .withColumn("ybar", avg("y").over(allW))
+      .agg(
+        count(lit(1)).as("n_points"),
+        max("xbar").as("xbar"), max("ybar").as("ybar"),
+        sum((col("x") - col("xbar")) * (col("y") - col("ybar"))).as("sxy"),
+        sum((col("x") - col("xbar")) * (col("x") - col("xbar"))).as("sxx"),
+        sum((col("y") - col("ybar")) * (col("y") - col("ybar"))).as("syy"))
+      .select(col("n_points"),
+        round(col("sxy") / col("sxx"), 6).as("beta"),
+        round(col("ybar") - (col("sxy") / col("sxx")) * col("xbar"), 6).as("ln_k"),
+        // r2 is undefined when the curve is flat (syy = 0 — a corpus
+        // whose vocabulary saturates in the first decile): NULL, not
+        // 0/0 (ANSI divide error in Spark, NaN/NULL drift in DuckDB)
+        when(col("syy") > 0,
+          round((col("sxy") * col("sxy")) / (col("sxx") * col("syy")), 6)).as("r2"))
+  }
+
+  lazy val oracleHeapsFit: String =
+    s"""WITH vg AS ($oracleVocabGrowth),
+       |pts AS (
+       |  SELECT ln(cum_docs::DOUBLE) AS x, ln(vocab_size::DOUBLE) AS y
+       |  FROM (SELECT decile, vocab_size,
+       |          sum(n_docs) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cum_docs
+       |        FROM vg)
+       |  WHERE vocab_size > 0),
+       |centered AS (
+       |  SELECT x, y, avg(x) OVER () AS xbar, avg(y) OVER () AS ybar FROM pts),
+       |fit AS (
+       |  SELECT count(*)::BIGINT AS n_points,
+       |         max(xbar) AS xbar, max(ybar) AS ybar,
+       |         sum((x - xbar) * (y - ybar)) AS sxy,
+       |         sum((x - xbar) * (x - xbar)) AS sxx,
+       |         sum((y - ybar) * (y - ybar)) AS syy
+       |  FROM centered)
+       |SELECT n_points,
+       |       round(sxy / sxx, 6) AS beta,
+       |       round(ybar - (sxy / sxx) * xbar, 6) AS ln_k,
+       |       CASE WHEN syy > 0 THEN round((sxy * sxy) / (sxx * syy), 6) END AS r2
+       |FROM fit""".stripMargin
+
   /** t25 — language-ID evaluation: per-language precision / recall /
     * F1 (integer ppm) of the t01 heuristic against the labeled `lang`
     * column. The eval every pipeline needs next to its classifier:

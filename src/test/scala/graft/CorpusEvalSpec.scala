@@ -223,4 +223,56 @@ class CorpusEvalSpec extends AnyFunSuite {
       assert(counts.values.sum == w * h)
     }
   }
+
+  test("d58: cell purity matches a driver-side rank-1 assignment recompute") {
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val cents = Similarity.lloydCentroids(spark, sf)
+    def cos(a: Array[Float], c: Seq[Double]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = c(i)
+        dot += x * y; nx += x * x; ny += y * y; i += 1
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val assigned = emb.map { case (vid, e, l) =>
+      val best = cents.map { case (cell, ce) => (cell, cos(e, ce)) }
+        .minBy { case (cell, s) => (-s, cell) }._1
+      (best, l)
+    }
+    val expected = assigned.groupBy(_._1).map { case (cell, ms) =>
+      val byLabel = ms.groupBy(_._2).view.mapValues(_.size).toSeq
+      val (topLabel, topN) = byLabel.minBy { case (l, n) => (-n, l) }
+      cell -> (ms.size.toLong, topLabel, topN.toLong, topN.toLong * 1000L / ms.size)
+    }
+    val got = Similarity.cellPurity(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected)
+    // weighted purity is a genuine eval: every cell at most 1000 pm
+    assert(got.values.forall(_._4 <= 1000L))
+  }
+
+  test("t27: Heaps fit matches a recompute from the t20 curve; degenerate r2 is NULL") {
+    val vg = TextStats.vocabGrowth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))) // decile, n_docs, vocab_size
+      .sortBy(_._1)
+    var cum = 0L
+    val pts = vg.map { case (_, nd, vs) => cum += nd; (cum, vs) }
+      .filter(_._2 > 0L)
+      .map { case (d, v) => (math.log(d.toDouble), math.log(v.toDouble)) }
+    val n = pts.length
+    val xbar = pts.map(_._1).sum / n
+    val ybar = pts.map(_._2).sum / n
+    val sxy = pts.map { case (x, y) => (x - xbar) * (y - ybar) }.sum
+    val sxx = pts.map { case (x, _) => (x - xbar) * (x - xbar) }.sum
+    val syy = pts.map { case (_, y) => (y - ybar) * (y - ybar) }.sum
+    val r = TextStats.heapsFit(spark, sf).collect().head
+    assert(r.getAs[Long]("n_points") == n.toLong)
+    assert(math.abs(r.getAs[Double]("beta") - sxy / sxx) < 2e-6)
+    assert(math.abs(r.getAs[Double]("ln_k") - (ybar - (sxy / sxx) * xbar)) < 2e-6)
+    if (syy > 0) assert(math.abs(r.getAs[Double]("r2") - sxy * sxy / (sxx * syy)) < 2e-6)
+    else assert(r.isNullAt(r.fieldIndex("r2")))
+  }
 }
