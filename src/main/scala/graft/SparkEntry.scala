@@ -155,6 +155,8 @@ object SparkEntry {
     "m19_lum_hist"          -> (llm.ImageHist.lumHistogram(_, _)),
     "d58_cell_purity"       -> (llm.Similarity.cellPurity(_, _)),
     "t27_heaps_fit"         -> (llm.TextStats.heapsFit(_, _)),
+    "t28_bpe_fertility"     -> (llm.Bpe.fertility(_, _)),
+    "d59_softdedup_sample"  -> (llm.Dedup.softDedupSample(_, _)),
     "d53_link_predict"      -> (llm.Graph.linkPredict(_, _)),
     "s19_stream_sketch"     -> (streaming.StreamSketch.cmsIngest(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
@@ -647,6 +649,8 @@ object SparkEntry {
     "m19_lum_hist"          -> llm.ImageHist.oracleLumHistogram,
     "d58_cell_purity"       -> llm.Similarity.oracleCellPurity,
     "t27_heaps_fit"         -> llm.TextStats.oracleHeapsFit,
+    "t28_bpe_fertility"     -> llm.Bpe.oracleFertility,
+    "d59_softdedup_sample"  -> llm.Dedup.oracleSoftDedupSample,
     "d53_link_predict"      -> llm.Graph.oracleLinkPredict,
     "s19_stream_sketch"     -> streaming.StreamSketch.oracleCmsIngest,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,

@@ -131,7 +131,12 @@ object Bpe {
     * Rounds past vocabulary exhaustion coalesce to a no-op pattern
     * ('~' can never match — symbols are [a-z0-9|] only).
     */
-  val oracleBpeTokens: String = {
+  /** Shared CTE prefix for every BPE oracle: learn the K merges in SQL
+    * and produce `enc` = ($cols, es) over documents. `cols` lets each
+    * consumer carry the grouping columns it needs (t11: doc_id; t28:
+    * lang + exact char mass).
+    */
+  private def encPrefixSql(cols: String): String = {
     val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
     val parts = scala.collection.mutable.Buffer[String]()
     parts += s"""v0 AS MATERIALIZED (
@@ -161,14 +166,66 @@ object Bpe {
       (acc, i) => s"replace(replace($acc, p$i, r$i), p$i, r$i)"
     }
     parts += s"""enc AS (
-      |  SELECT doc_id, list_transform($toks, w -> $encExpr) AS es
+      |  SELECT $cols, list_transform($toks, w -> $encExpr) AS es
       |  FROM documents, mt)""".stripMargin
-    s"""WITH ${parts.mkString(",\n")}
+    s"WITH ${parts.mkString(",\n")}"
+  }
+
+  val oracleBpeTokens: String =
+    s"""${encPrefixSql("doc_id")}
       |SELECT doc_id,
       |  len(es)::INT AS n_words,
       |  CAST(coalesce(list_sum(list_transform(es, s -> len(string_split(s, '|')) - 2)), 0) AS BIGINT) AS n_bpe_tokens,
       |  md5(array_to_string(es, ' ')) AS enc_md5
       |FROM enc
       |ORDER BY doc_id""".stripMargin
+
+  /** t28 — tokenizer fertility per language: alnum chars per BPE token
+    * and BPE tokens per word (integer ×1000), from the SAME learned
+    * tokenizer as t11. The eval a tokenizer owner reads per language:
+    * fertility collapsing toward 1000 (1 char/token) means the merges
+    * don't cover that language and its docs cost ~1 token per char.
+    *
+    * Plan shape: the t11 in-row encode (2·K replaces, no shuffle),
+    * then ONE |langs|-row aggregate. All ratios integer ×1000.
+    */
+  def fertility(spark: SparkSession, dir: String): DataFrame = {
+    val merges = learnMerges(spark, dir)
+    val symLen: Column => Column = s => size(split(s, "\\|")) - 2
+    Tables.documents(spark, dir)
+      .select(col("lang"), TextStats.tokens(col("text")).as("ws"))
+      .select(col("lang"),
+        size(col("ws")).cast("long").as("nw"),
+        aggregate(transform(col("ws"), w => length(w).cast("long")),
+          lit(0L), (a, x) => a + x).as("nc"),
+        aggregate(transform(col("ws"), w => symLen(encodeWord(w, merges)).cast("long")),
+          lit(0L), (a, x) => a + x).as("nbpe"))
+      .groupBy("lang")
+      .agg(sum("nw").as("n_words"), sum("nc").as("n_chars"),
+        sum("nbpe").as("n_bpe_tokens"))
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_bpe_tokens"),
+        when(col("n_bpe_tokens") > 0, expr("n_chars * 1000 div n_bpe_tokens"))
+          .otherwise(0L).as("chars_per_token_x1000"),
+        when(col("n_words") > 0, expr("n_bpe_tokens * 1000 div n_words"))
+          .otherwise(0L).as("tokens_per_word_x1000"))
+      .orderBy("lang")
+  }
+
+  val oracleFertility: String = {
+    val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    val ncExpr =
+      s"CAST(coalesce(list_sum(list_transform($toks, w -> length(w))), 0) AS BIGINT)"
+    s"""${encPrefixSql(s"lang, $ncExpr AS nc")}
+      |, f AS (
+      |  SELECT lang,
+      |    sum(len(es))::BIGINT AS n_words,
+      |    sum(nc)::BIGINT AS n_chars,
+      |    sum(coalesce(list_sum(list_transform(es, s -> len(string_split(s, '|')) - 2)), 0))::BIGINT AS n_bpe_tokens
+      |  FROM enc GROUP BY lang)
+      |SELECT lang, n_words, n_chars, n_bpe_tokens,
+      |  (CASE WHEN n_bpe_tokens > 0 THEN n_chars * 1000 // n_bpe_tokens ELSE 0 END)::BIGINT AS chars_per_token_x1000,
+      |  (CASE WHEN n_words > 0 THEN n_bpe_tokens * 1000 // n_words ELSE 0 END)::BIGINT AS tokens_per_word_x1000
+      |FROM f
+      |ORDER BY lang""".stripMargin
   }
 }

@@ -2435,6 +2435,57 @@ object Dedup {
        |  FROM documents WHERE doc_id % 4 = 0)""".stripMargin
   }
 
+  // ---- d59: soft-dedup-weighted sampling -----------------------------------
+
+  val SoftSampleSeed = 11
+
+  /** d59 — duplication-aware sampling: each doc is kept with
+    * probability 1/cluster_size via the deterministic rule
+    * `phash(doc_id) mod cluster_size == 0` — soft dedup (d28) applied
+    * at SAMPLING time instead of as a weight column. Expected yield is
+    * exactly one doc per near-dup cluster (uniques always survive:
+    * anything mod 1 is 0), so the sample's duplication factor is ~1
+    * without ever materializing a keep-one choice — and unlike d12's
+    * keep-best, the pick is unbiased across the cluster.
+    *
+    * Scale shape: the labels are the staged once-per-corpus relation;
+    * on top of it ONE cluster-keyed window for sizes and a map-side
+    * hash-mod — the d28 plan with a boolean instead of a weight.
+    */
+  def softDedupSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    clusterLabels(spark, dir)
+      .select(col("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .withColumn("kept",
+        pmod(TextHash.phash(col("doc_id").cast("string"), SoftSampleSeed),
+          col("cluster_size")) === 0)
+      .orderBy("doc_id")
+  }
+
+  /** d59 oracle — the d28 closure labels with the hash-mod keep rule. */
+  lazy val oracleSoftDedupSample: String =
+    s"""WITH RECURSIVE $pairsCteSql,
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+       |labeled AS (
+       |  SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+       |sized AS (
+       |  SELECT doc_id, cluster_id,
+       |         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |  FROM labeled)
+       |SELECT doc_id, cluster_id, cluster_size,
+       |       ${TextHash.phashSql("doc_id::VARCHAR", SoftSampleSeed)} % cluster_size = 0 AS kept
+       |FROM sized
+       |ORDER BY doc_id""".stripMargin
+
   lazy val oracleNormDedup: String =
     s"""WITH keyed AS (
        |$normKeyedSql),

@@ -275,4 +275,53 @@ class CorpusEvalSpec extends AnyFunSuite {
     if (syy > 0) assert(math.abs(r.getAs[Double]("r2") - sxy * sxy / (sxx * syy)) < 2e-6)
     else assert(r.isNullAt(r.fieldIndex("r2")))
   }
+
+  test("t28: fertility sums are algebraically tied to t11's per-doc encode") {
+    import graft.llm.Bpe
+    val langOf = collectedDocs.map(d => d._1 -> d._2).toMap
+    val t11 = Bpe.bpeTokens(spark, sf).collect()
+      .map(r => (langOf(r.getLong(0)), r.getInt(1).toLong, r.getLong(2)))
+    val expected = t11.groupBy(_._1).map { case (lang, rows) =>
+      lang -> (rows.map(_._2).sum, rows.map(_._3).sum)
+    }
+    val chars = collectedDocs.groupBy(_._2).map { case (lang, ds) =>
+      lang -> ds.map(d => toks(d._3).map(_.length).sum.toLong).sum
+    }
+    val got = Bpe.fertility(spark, sf).collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (lang, r) =>
+      val (nw, nbpe) = expected(lang)
+      assert(r.getAs[Long]("n_words") == nw, s"$lang n_words")
+      assert(r.getAs[Long]("n_bpe_tokens") == nbpe, s"$lang n_bpe")
+      assert(r.getAs[Long]("n_chars") == chars(lang), s"$lang n_chars")
+      assert(r.getAs[Long]("chars_per_token_x1000") ==
+        (if (nbpe > 0) chars(lang) * 1000L / nbpe else 0L), s"$lang cpt")
+      assert(r.getAs[Long]("tokens_per_word_x1000") ==
+        (if (nw > 0) nbpe * 1000L / nw else 0L), s"$lang tpw")
+      // BPE merges only ever shorten the char split: 1000 <= cpt
+      assert(r.getAs[Long]("chars_per_token_x1000") >= 1000L, s"$lang cpt bound")
+    }
+  }
+
+  test("d59: keep rule matches d28's clusters; uniques always survive") {
+    val d28 = Dedup.softDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = Dedup.softDedupSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got.map(g => (g._1, g._2, g._3)) == d28.map(identity))
+    def phash56(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(7).map(b => f"$b%02x").mkString, 16)
+    }
+    got.foreach { case (id, _, size, kept) =>
+      val expect = phash56(s"${Dedup.SoftSampleSeed}:$id") % size == 0
+      assert(kept == expect, s"doc $id")
+      if (size == 1L) assert(kept, s"unique $id must survive")
+    }
+    // expected yield ~1 per cluster: kept count lands near cluster count
+    val clusters = got.map(_._2).distinct.size
+    val keptN = got.count(_._4)
+    assert(keptN >= clusters / 2 && keptN <= clusters * 2)
+  }
 }
