@@ -157,6 +157,7 @@ object SparkEntry {
     "t27_heaps_fit"         -> (llm.TextStats.heapsFit(_, _)),
     "t28_bpe_fertility"     -> (llm.Bpe.fertility(_, _)),
     "d59_softdedup_sample"  -> (llm.Dedup.softDedupSample(_, _)),
+    "d60_corpus_diff"       -> (llm.Dedup.corpusDiff(_, _)),
     "d53_link_predict"      -> (llm.Graph.linkPredict(_, _)),
     "s19_stream_sketch"     -> (streaming.StreamSketch.cmsIngest(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
@@ -651,6 +652,7 @@ object SparkEntry {
     "t27_heaps_fit"         -> llm.TextStats.oracleHeapsFit,
     "t28_bpe_fertility"     -> llm.Bpe.oracleFertility,
     "d59_softdedup_sample"  -> llm.Dedup.oracleSoftDedupSample,
+    "d60_corpus_diff"       -> llm.Dedup.oracleCorpusDiff,
     "d53_link_predict"      -> llm.Graph.oracleLinkPredict,
     "s19_stream_sketch"     -> streaming.StreamSketch.oracleCmsIngest,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,

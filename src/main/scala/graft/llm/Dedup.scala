@@ -2435,6 +2435,67 @@ object Dedup {
        |  FROM documents WHERE doc_id % 4 = 0)""".stripMargin
   }
 
+  // ---- d60: corpus snapshot diff -------------------------------------------
+
+  /** d60 — snapshot diff between two corpus versions: the incremental
+    * trigger primitive (which docs must re-enter the pipeline after a
+    * crawl refresh). Version 2 is derived deterministically from the
+    * corpus: every 7th doc dropped (removed), every 5th surviving doc
+    * re-crawled with appended text (changed), plus the d55 formatting
+    * variants as new docs (added). The diff itself is ONE full outer
+    * join on doc_id with an md5 content compare — status ∈
+    * {added, removed, changed, same}; `same` rows are omitted (the
+    * 100 TB answer is the delta, never the corpus).
+    *
+    * Scale shape: two scans, one doc_id-keyed join, content compared
+    * by 16-byte digest — the layout every snapshot-diff (Iceberg/Delta
+    * CDF-style) reduces to when no row-version metadata exists.
+    */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(spark, dir).select("doc_id", "text")
+    val v2 = v1.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" upd"))).otherwise(col("text")).as("text"))
+      .unionByName(normVariants(v1))
+    val a = v1.select(col("doc_id"), md5(col("text")).as("h1"))
+    val b = v2.select(col("doc_id"), md5(col("text")).as("h2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h1").isNull, lit("added"))
+          .when(col("h2").isNull, lit("removed"))
+          .when(col("h1") =!= col("h2"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select("doc_id", "status")
+      .orderBy("doc_id")
+  }
+
+  lazy val oracleCorpusDiff: String =
+    s"""WITH v2 AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 5 = 0 THEN text || ' upd' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 7 != 0
+       |  UNION ALL
+       |  SELECT doc_id + $NormIdOffset AS doc_id,
+       |         CASE doc_id % 3
+       |           WHEN 0 THEN upper(text)
+       |           WHEN 1 THEN '  ' || replace(text, ' ', '  ') || '  '
+       |           ELSE text || ' !!!'
+       |         END AS text
+       |  FROM documents WHERE doc_id % 4 = 0),
+       |a AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+       |b AS (SELECT doc_id, md5(text) AS h2 FROM v2),
+       |j AS (
+       |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, h1, h2
+       |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+       |SELECT doc_id,
+       |       CASE WHEN h1 IS NULL THEN 'added'
+       |            WHEN h2 IS NULL THEN 'removed'
+       |            ELSE 'changed' END AS status
+       |FROM j
+       |WHERE h1 IS NULL OR h2 IS NULL OR h1 != h2
+       |ORDER BY doc_id""".stripMargin
+
   // ---- d59: soft-dedup-weighted sampling -----------------------------------
 
   val SoftSampleSeed = 11

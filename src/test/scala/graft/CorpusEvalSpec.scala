@@ -324,4 +324,18 @@ class CorpusEvalSpec extends AnyFunSuite {
     val keptN = got.count(_._4)
     assert(keptN >= clusters / 2 && keptN <= clusters * 2)
   }
+
+  test("d60: snapshot diff classifies exactly the constructed deltas") {
+    val got = Dedup.corpusDiff(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    collectedDocs.foreach { case (id, _, text, _) =>
+      if (id % 7 == 0) assert(got.get(id).contains("removed"), s"doc $id")
+      else if (id % 5 == 0 && text.nonEmpty) assert(got.get(id).contains("changed"), s"doc $id")
+      else assert(!got.contains(id), s"doc $id should be same")
+      if (id % 4 == 0)
+        assert(got.get(id + Dedup.NormIdOffset).contains("added"), s"variant of $id")
+    }
+    // the delta is the whole output: no statuses beyond the three
+    assert(got.values.toSet.subsetOf(Set("added", "removed", "changed")))
+  }
 }
