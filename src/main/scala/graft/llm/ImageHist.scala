@@ -24,7 +24,7 @@ object ImageHist {
   def lumHistogram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Multimodal.imageTable(spark, dir).mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false)
+      Multimodal.CodecInit.ready
       rows.flatMap { r =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
         val (w, h) = (img.getWidth, img.getHeight)

@@ -179,7 +179,7 @@ object Multimodal {
     * shared /tmp contention point across 32 codec tasks. Our blobs are
     * kilobytes; heap-backed streams are strictly better.
     */
-  private object CodecInit {
+  private[llm] object CodecInit {
     javax.imageio.ImageIO.setUseCache(false)
     def ready: Boolean = true
   }

@@ -550,9 +550,13 @@ object Sampling {
     val runW = Window.orderBy("n_chars")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val allW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // an empty split has no CDF: guard the denominator (0.0, not
+    // NaN/Infinity — the downstream floor()-to-BIGINT cast is ANSI)
     val cdf = splits.foldLeft(counts) { (df, s) =>
       df.withColumn(s"f_$s",
-        sum(s"c_$s").over(runW).cast("double") / sum(s"c_$s").over(allW).cast("double"))
+        when(sum(s"c_$s").over(allW) > 0,
+          sum(s"c_$s").over(runW).cast("double") / sum(s"c_$s").over(allW).cast("double"))
+          .otherwise(lit(0.0)))
     }
     val pairs = Seq(("train", "val"), ("train", "test"), ("val", "test"))
     val gapCols = pairs.map { case (a, b) =>
@@ -575,8 +579,9 @@ object Sampling {
     val condCounts = splits.map(s =>
       s"sum(CASE WHEN split = '$s' THEN 1 ELSE 0 END)::BIGINT AS c_$s").mkString(",\n         ")
     val cdfCols = (splits.map(s => s"c_$s") ++ splits.map(s =>
-      s"(sum(c_$s) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING))::DOUBLE" +
-        s" / (sum(c_$s) OVER ())::DOUBLE AS f_$s")).mkString(",\n         ")
+      s"CASE WHEN sum(c_$s) OVER () > 0 THEN " +
+        s"(sum(c_$s) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING))::DOUBLE" +
+        s" / (sum(c_$s) OVER ())::DOUBLE ELSE 0.0 END AS f_$s")).mkString(",\n         ")
     val gapCols = (pairs.map { case (a, b) =>
       s"max(abs(f_$a - f_$b)) AS ks_${a}_$b"
     } ++ splits.map(s => s"sum(c_$s)::BIGINT AS n_$s")).mkString(",\n         ")

@@ -183,17 +183,28 @@ object Similarity {
     * scales: each cell is a partition/cluster key, so a query touches
     * NProbe/NumCells of the corpus.
     */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** The ONE centroid-assignment relation every IVF consumer ranks
+    * from (d08 probe depth, d24 members, d50 sweep, d58 purity):
+    * every (vector, cell) cosine-scored against the broadcast
+    * centroids, ranked per vector (score DESC, ties → lowest cell).
+    * `carry` lets each caller keep the payload columns it needs
+    * (embedding, label, none) without re-spelling the assignment —
+    * the tie-break and scoring live in exactly one place.
+    */
+  private def cellRanked(spark: SparkSession, dir: String, carry: Seq[String]): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
     val centroids = lloydCentroids(spark, dir).toDF("cell", "ce")
-    // assign: cell of max cosine (ties → lowest cell id)
-    val withScores = emb.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        cosineSimilarity(col("embedding"), col("ce")).as("cscore"))
     val wCell = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("cell"))
-    val assigned = withScores
+    emb.crossJoin(broadcast(centroids))
+      .select((col("vec_id") +: carry.map(col)) ++ Seq(col("cell"),
+        cosineSimilarity(col("embedding"), col("ce")).as("cscore")): _*)
       .withColumn("crank", row_number().over(wCell))
+  }
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    // assign: cell of max cosine (ties → lowest cell id)
+    val assigned = cellRanked(spark, dir, Seq("embedding"))
       .filter(col("crank") <= NProbe)
       .select(col("vec_id"), col("embedding"), col("cell"), col("crank"))
     val members = assigned.filter(col("crank") === 1)
@@ -585,16 +596,9 @@ object Similarity {
     * vector with its cell, same-cell duplicate count, and keep flag.
     */
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-    val centroids = lloydCentroids(spark, dir).toDF("cell", "ce")
-    val wCell = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("cell"))
     // feeds both sides of the self-join plus the final projection —
     // uncached the centroid-assignment window would run three times
-    val members = emb.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        cosineSimilarity(col("embedding"), col("ce")).as("cscore"))
-      .withColumn("crank", row_number().over(wCell))
+    val members = cellRanked(spark, dir, Seq("embedding"))
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
       .persist()
@@ -667,13 +671,7 @@ object Similarity {
     import spark.implicits._
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val emb = Tables.embeddings(spark, dir)
-    val centroids = lloydCentroids(spark, dir).toDF("cell", "ce")
-    val wCell = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("cell"))
-    val rankedAll = emb.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("cell"),
-        cosineSimilarity(col("embedding"), col("ce")).as("cscore"))
-      .withColumn("crank", row_number().over(wCell))
+    val rankedAll = cellRanked(spark, dir, Seq.empty)
     val members = rankedAll.filter(col("crank") === 1)
       .select(col("vec_id"), col("cell")).localCheckpoint()
     val probes = rankedAll.filter(col("vec_id") < NumQueries)
@@ -688,7 +686,7 @@ object Similarity {
       .join(broadcast(probes), Seq("query_id", "cell"))
       .groupBy("crank").agg(count(lit(1)).as("n")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val corpusN = emb.count()
+    val corpusN = Tables.embeddings(spark, dir).count()
     val rows = ProbeSweep.map { p =>
       val scanned = (1 to p).map(scannedByRank.getOrElse(_, 0L)).sum
       val hits = (1 to p).map(hitsByRank.getOrElse(_, 0L)).sum
@@ -751,14 +749,7 @@ object Similarity {
     * (cell, label) — O(cells × labels) rows after the first combine.
     */
   def cellPurity(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-    val centroids = lloydCentroids(spark, dir).toDF("cell", "ce")
-    val wCell = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("cell"))
-    val members = emb.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("label"), col("cell"),
-        cosineSimilarity(col("embedding"), col("ce")).as("cscore"))
-      .withColumn("crank", row_number().over(wCell))
+    val members = cellRanked(spark, dir, Seq("label"))
       .filter(col("crank") === 1)
     val cl = members.groupBy("cell", "label").agg(count(lit(1)).as("n"))
     val wTop = Window.partitionBy("cell").orderBy(col("n").desc, col("label"))

@@ -703,10 +703,15 @@ object TextStats {
         sum((col("x") - col("xbar")) * (col("y") - col("ybar"))).as("sxy"),
         sum((col("x") - col("xbar")) * (col("x") - col("xbar"))).as("sxx"),
         sum((col("y") - col("ybar")) * (col("y") - col("ybar"))).as("syy"))
+      // degenerate-fit guards (the t27 discipline): a single-term
+      // language makes sxx = 0, a flat head (all counts equal) makes
+      // syy = 0 — NULL instead of an ANSI 0/0 error / NaN drift
       .select(col("lang"), col("n_terms"),
-        round(col("sxy") / col("sxx"), 6).as("slope"),
-        round(col("ybar") - (col("sxy") / col("sxx")) * col("xbar"), 6).as("intercept"),
-        round((col("sxy") * col("sxy")) / (col("sxx") * col("syy")), 6).as("r2"))
+        when(col("sxx") > 0, round(col("sxy") / col("sxx"), 6)).as("slope"),
+        when(col("sxx") > 0,
+          round(col("ybar") - (col("sxy") / col("sxx")) * col("xbar"), 6)).as("intercept"),
+        when(col("sxx") > 0 && col("syy") > 0,
+          round((col("sxy") * col("sxy")) / (col("sxx") * col("syy")), 6)).as("r2"))
       .orderBy("lang")
   }
 
@@ -735,9 +740,9 @@ object TextStats {
        |         sum((y - ybar) * (y - ybar)) AS syy
        |  FROM centered GROUP BY lang)
        |SELECT lang, n_terms,
-       |       round(sxy / sxx, 6) AS slope,
-       |       round(ybar - (sxy / sxx) * xbar, 6) AS intercept,
-       |       round((sxy * sxy) / (sxx * syy), 6) AS r2
+       |       CASE WHEN sxx > 0 THEN round(sxy / sxx, 6) END AS slope,
+       |       CASE WHEN sxx > 0 THEN round(ybar - (sxy / sxx) * xbar, 6) END AS intercept,
+       |       CASE WHEN sxx > 0 AND syy > 0 THEN round((sxy * sxy) / (sxx * syy), 6) END AS r2
        |FROM fit ORDER BY lang""".stripMargin
 
   /** t27 — Heaps' law fit: OLS of ln(vocab_size) on ln(cumulative
@@ -770,13 +775,14 @@ object TextStats {
         sum((col("x") - col("xbar")) * (col("y") - col("ybar"))).as("sxy"),
         sum((col("x") - col("xbar")) * (col("x") - col("xbar"))).as("sxx"),
         sum((col("y") - col("ybar")) * (col("y") - col("ybar"))).as("syy"))
+      // degenerate-fit guards: a 1-point curve makes sxx = 0, a flat
+      // curve (vocabulary saturated in decile 1) makes syy = 0 — NULL
+      // instead of an ANSI 0/0 error / NaN drift
       .select(col("n_points"),
-        round(col("sxy") / col("sxx"), 6).as("beta"),
-        round(col("ybar") - (col("sxy") / col("sxx")) * col("xbar"), 6).as("ln_k"),
-        // r2 is undefined when the curve is flat (syy = 0 — a corpus
-        // whose vocabulary saturates in the first decile): NULL, not
-        // 0/0 (ANSI divide error in Spark, NaN/NULL drift in DuckDB)
-        when(col("syy") > 0,
+        when(col("sxx") > 0, round(col("sxy") / col("sxx"), 6)).as("beta"),
+        when(col("sxx") > 0,
+          round(col("ybar") - (col("sxy") / col("sxx")) * col("xbar"), 6)).as("ln_k"),
+        when(col("sxx") > 0 && col("syy") > 0,
           round((col("sxy") * col("sxy")) / (col("sxx") * col("syy")), 6)).as("r2"))
   }
 
@@ -798,9 +804,9 @@ object TextStats {
        |         sum((y - ybar) * (y - ybar)) AS syy
        |  FROM centered)
        |SELECT n_points,
-       |       round(sxy / sxx, 6) AS beta,
-       |       round(ybar - (sxy / sxx) * xbar, 6) AS ln_k,
-       |       CASE WHEN syy > 0 THEN round((sxy * sxy) / (sxx * syy), 6) END AS r2
+       |       CASE WHEN sxx > 0 THEN round(sxy / sxx, 6) END AS beta,
+       |       CASE WHEN sxx > 0 THEN round(ybar - (sxy / sxx) * xbar, 6) END AS ln_k,
+       |       CASE WHEN sxx > 0 AND syy > 0 THEN round((sxy * sxy) / (sxx * syy), 6) END AS r2
        |FROM fit""".stripMargin
 
   /** t25 — language-ID evaluation: per-language precision / recall /
@@ -854,17 +860,16 @@ object TextStats {
        |j AS (SELECT d.lang, p.pred_lang AS pred
        |      FROM documents d JOIN p USING (doc_id)),
        |m AS (
-       |$perLang)
-       |SELECT lang, n_true, n_pred, tp,
-       |  CASE WHEN n_pred > 0 THEN tp * 1000000 // n_pred ELSE 0 END::BIGINT AS precision_ppm,
-       |  CASE WHEN n_true > 0 THEN tp * 1000000 // n_true ELSE 0 END::BIGINT AS recall_ppm,
-       |  CASE WHEN (CASE WHEN n_pred > 0 THEN tp * 1000000 // n_pred ELSE 0 END)
-       |          + (CASE WHEN n_true > 0 THEN tp * 1000000 // n_true ELSE 0 END) > 0
-       |       THEN 2 * (CASE WHEN n_pred > 0 THEN tp * 1000000 // n_pred ELSE 0 END)
-       |              * (CASE WHEN n_true > 0 THEN tp * 1000000 // n_true ELSE 0 END)
-       |           // ((CASE WHEN n_pred > 0 THEN tp * 1000000 // n_pred ELSE 0 END)
-       |             + (CASE WHEN n_true > 0 THEN tp * 1000000 // n_true ELSE 0 END))
-       |       ELSE 0 END::BIGINT AS f1_ppm
-       |FROM m ORDER BY lang""".stripMargin
+       |$perLang),
+       |r AS (
+       |  SELECT lang, n_true, n_pred, tp,
+       |    (CASE WHEN n_pred > 0 THEN tp * 1000000 // n_pred ELSE 0 END)::BIGINT AS precision_ppm,
+       |    (CASE WHEN n_true > 0 THEN tp * 1000000 // n_true ELSE 0 END)::BIGINT AS recall_ppm
+       |  FROM m)
+       |SELECT lang, n_true, n_pred, tp, precision_ppm, recall_ppm,
+       |  (CASE WHEN precision_ppm + recall_ppm > 0
+       |        THEN 2 * precision_ppm * recall_ppm // (precision_ppm + recall_ppm)
+       |        ELSE 0 END)::BIGINT AS f1_ppm
+       |FROM r ORDER BY lang""".stripMargin
   }
 }
