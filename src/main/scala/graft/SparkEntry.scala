@@ -158,6 +158,10 @@ object SparkEntry {
     "t28_bpe_fertility"     -> (llm.Bpe.fertility(_, _)),
     "d59_softdedup_sample"  -> (llm.Dedup.softDedupSample(_, _)),
     "d60_corpus_diff"       -> (llm.Dedup.corpusDiff(_, _)),
+    "d61_xsplit_leakage"    -> (llm.Similarity.xsplitLeakage(_, _)),
+    "t29_unigram_entropy"   -> (llm.TextStats.unigramEntropy(_, _)),
+    "t30_mojibake"          -> (llm.TextPrep.mojibakeScan(_, _)),
+    "m20_audio_clipping"    -> (llm.Multimodal.audioClipping(_, _)),
     "d53_link_predict"      -> (llm.Graph.linkPredict(_, _)),
     "s19_stream_sketch"     -> (streaming.StreamSketch.cmsIngest(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
@@ -653,6 +657,10 @@ object SparkEntry {
     "t28_bpe_fertility"     -> llm.Bpe.oracleFertility,
     "d59_softdedup_sample"  -> llm.Dedup.oracleSoftDedupSample,
     "d60_corpus_diff"       -> llm.Dedup.oracleCorpusDiff,
+    "d61_xsplit_leakage"    -> llm.Similarity.oracleXsplitLeakage,
+    "t29_unigram_entropy"   -> llm.TextStats.oracleUnigramEntropy,
+    "t30_mojibake"          -> llm.TextPrep.oracleMojibakeScan,
+    "m20_audio_clipping"    -> llm.Multimodal.oracleAudioClipping,
     "d53_link_predict"      -> llm.Graph.oracleLinkPredict,
     "s19_stream_sketch"     -> streaming.StreamSketch.oracleCmsIngest,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,

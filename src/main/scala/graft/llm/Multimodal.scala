@@ -617,6 +617,85 @@ object Multimodal {
        |  md5(string_agg(v::VARCHAR, ',' ORDER BY i)) AS samples_md5
        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -- m20: clipping detection over the decoded PCM ---------------------------
+
+  /** |sample| at or above this counts as clipped (~92% of full scale —
+    * low enough that the uniform md5 fixture yields real clipped runs,
+    * high enough that most samples stay clean).
+    */
+  val ClipThresh = 30000
+
+  // public like AudioStats: a private case class breaks the codegen'd
+  // encoder (Janino cannot reference private accessors → interpreted
+  // fallback for every result row)
+  case class AudioClip(doc_id: Long, n_samples: Int, n_clipped: Int,
+                       max_run: Int, peak_abs: Int)
+
+  /** m20 — audio clipping QA (the loudness-damage filter an audio
+    * training pipeline runs at ingest): per document, how many decoded
+    * samples sit at/above [[ClipThresh]], the clipped fraction, the
+    * longest CONSECUTIVE clipped run (single outliers are transients;
+    * runs are true clipping), and the absolute peak. Decode goes
+    * through the same real JDK WAV codec as m04; the run-length scan
+    * is a single forward pass per blob inside `mapPartitions`.
+    *
+    * Scale shape: bytes never shuffle — decode + scan are map-side per
+    * partition (the m14 rule); only the fixed-width stats rows move.
+    */
+  def audioClipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioTable(spark, dir).mapPartitions { rows =>
+      val readers = audioReaders()
+      rows.map { r =>
+        val in = readAudio(readers, r.media)
+        val n = in.getFrameLength.toInt
+        val pcm = in.readAllBytes()
+        var nClip = 0; var run = 0; var maxRun = 0; var peak = 0
+        var i = 0
+        while (i < n) {
+          val v = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)) // LE signed 16-bit
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          if (a >= ClipThresh) { nClip += 1; run += 1; if (run > maxRun) maxRun = run }
+          else run = 0
+          i += 1
+        }
+        AudioClip(r.doc_id, n, nClip, maxRun, peak)
+      }
+    }.toDF()
+      .select(col("doc_id"), col("n_samples"), col("n_clipped"),
+        round(col("n_clipped").cast("double") / col("n_samples"), 6).as("clip_ratio"),
+        col("max_run"), col("peak_abs"))
+      .orderBy("doc_id")
+  }
+
+  /** Replays the md5 sample chain (the m04 CTE), then rebuilds runs of
+    * clipped samples with the gaps-and-islands `i - row_number()` key.
+    */
+  val oracleAudioClipping: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, i,
+       |    ('0x' || substr(md5(doc_id || ':a:' || (i // 8)),
+       |                    (i % 8) * 4 + 1, 4))::INT - 32768 AS v
+       |  FROM documents,
+       |       LATERAL (SELECT unnest(range(160 + doc_id % 97)) AS i) t),
+       |c AS (SELECT doc_id, i, abs(v) AS a FROM s),
+       |runs AS (
+       |  SELECT doc_id, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |  FROM c WHERE a >= $ClipThresh),
+       |rl AS (SELECT doc_id, count(*) AS run_len FROM runs GROUP BY doc_id, grp),
+       |mr AS (SELECT doc_id, max(run_len) AS max_run FROM rl GROUP BY doc_id),
+       |agg AS (
+       |  SELECT doc_id, count(*)::INT AS n_samples,
+       |         count(*) FILTER (a >= $ClipThresh)::INT AS n_clipped,
+       |         max(a)::INT AS peak_abs
+       |  FROM c GROUP BY doc_id)
+       |SELECT agg.doc_id, n_samples, n_clipped,
+       |  round(n_clipped::DOUBLE / n_samples, 6) AS clip_ratio,
+       |  coalesce(mr.max_run, 0)::INT AS max_run, peak_abs
+       |FROM agg LEFT JOIN mr USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // -- m14: silence-span detection (voice-activity shape) ---------------------
 
   /** Samples per m14 analysis window (25 @ 8 kHz ≈ 3 ms — fixture-

@@ -839,4 +839,77 @@ object Similarity {
        |SELECT query_id, qlabel, vec_id, label, score, rank, margin
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
+
+  // -- d61: cross-split semantic decontamination ------------------------------
+
+  /** Cosine above which a held-out vector counts as leaked into train.
+    * Fixture-calibrated: the corpus max pairwise cosine is ~0.51 at
+    * sf0.01 and ~0.60 at sf0.1, so 0.40 yields a genuine true/false
+    * mix at every SF (a production embedding space would pin ~0.95);
+    * the threshold is a named constant so both engines compare against
+    * the same double literal.
+    */
+  val LeakTau = 0.40
+
+  /** d61 — embedding-space train/held-out leakage (the semantic
+    * counterpart of d18's n-gram decontamination): for every val/test
+    * vector under the [[Sampling]] split rule, the EXACT max cosine
+    * against the train split, the nearest train vector (ties broken to
+    * the smallest id on the 6-dp rounded score), the count of train
+    * vectors above [[LeakTau]], and the leak verdict.
+    *
+    * Scale shape: a decontamination check's held-out side is small by
+    * construction (eval sets), so it broadcasts; the train corpus
+    * streams through in ONE map-side pass and the per-(held-out,
+    * partition) max/count partials fold in the hash aggregate before
+    * the only shuffle — O(n_heldout × n_partitions) partial rows, no
+    * train-side shuffle, no window over the cross product. The struct
+    * max carries (score, -train_id) so the argmax needs no second pass.
+    */
+  def xsplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("split", Sampling.splitCol(col("vec_id")))
+    val heldout = emb.filter(col("split") =!= "train")
+      .select(col("vec_id").as("test_vec_id"), col("split"),
+        col("embedding").as("te"))
+    val train = emb.filter(col("split") === "train")
+      .select(col("vec_id").as("train_id"), col("embedding"))
+    train.crossJoin(broadcast(heldout))
+      .select(col("test_vec_id"), col("split"), col("train_id"),
+        round(cosineSimilarity(col("te"), col("embedding")), 6).as("score"))
+      .groupBy("test_vec_id", "split")
+      .agg(
+        max(struct(col("score"), (-col("train_id")).as("nid"))).as("nn"),
+        sum(when(col("score") >= LeakTau, 1L).otherwise(0L)).as("n_leaks"))
+      .select(col("test_vec_id"), col("split"),
+        col("nn.score").as("nn_score"),
+        (-col("nn.nid")).as("nn_train_id"),
+        col("n_leaks"),
+        (col("nn.score") >= LeakTau).as("leaked"))
+      .orderBy("test_vec_id")
+  }
+
+  val oracleXsplitLeakage: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         ${Sampling.splitCaseSql("vec_id")} AS split
+       |  FROM embeddings),
+       |sc AS (
+       |  SELECT t.vec_id AS test_vec_id, t.split, tr.vec_id AS train_id,
+       |         round(list_cosine_similarity(t.embedding::DOUBLE[],
+       |                                      tr.embedding::DOUBLE[]), 6) AS score
+       |  FROM e t, e tr
+       |  WHERE t.split <> 'train' AND tr.split = 'train'),
+       |agg AS (
+       |  SELECT test_vec_id, split, max(score) AS nn_score,
+       |         count(*) FILTER (score >= $LeakTau)::BIGINT AS n_leaks
+       |  FROM sc GROUP BY 1, 2),
+       |nn AS (
+       |  SELECT sc.test_vec_id, min(sc.train_id) AS nn_train_id
+       |  FROM sc JOIN agg USING (test_vec_id)
+       |  WHERE sc.score = agg.nn_score GROUP BY 1)
+       |SELECT a.test_vec_id, a.split, a.nn_score, nn.nn_train_id, a.n_leaks,
+       |       a.nn_score >= $LeakTau AS leaked
+       |FROM agg a JOIN nn USING (test_vec_id)
+       |ORDER BY test_vec_id""".stripMargin
 }

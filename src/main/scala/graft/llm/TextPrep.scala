@@ -239,4 +239,79 @@ object TextPrep {
        |       (CASE WHEN n_tokens > 0 THEN n_hits::BIGINT * 1000 // n_tokens ELSE 0 END) < $BlocklistMaxPm AS keep
        |FROM r ORDER BY doc_id""".stripMargin
   }
+
+  // ---- t30: encoding-anomaly (mojibake) detection ----------------------------
+
+  /** U+FFFD REPLACEMENT CHARACTER — what a lossy decode leaves behind. */
+  private val Repl = "�"
+
+  /** "Ã©" — the classic UTF-8-read-as-Latin-1 mojibake digraph for é. */
+  private val Moji = "Ã©"
+
+  /** The fixture corpus is clean ASCII, so (the t07 pattern) the
+    * operator runs over a deterministically CORRUPTED twin: a doc is
+    * corrupted iff the first md5 byte of `"<doc_id>:moji"` < 64 (¼ of
+    * docs — the m14 silence rule), at a hash-derived position, with a
+    * hash-derived 1-3 replacement chars plus one mojibake digraph. The
+    * oracle replays the corruption from md5 hex substrings in SQL.
+    */
+  private def mojiSeeded(text: Column, docId: Column): Column = {
+    val h = md5(concat(docId.cast("string"), lit(":moji")))
+    val b0 = conv(substring(h, 1, 2), 16, 10).cast("int")
+    val pos = (conv(substring(h, 3, 2), 16, 10).cast("int") % length(text)) + 1
+    val k = (conv(substring(h, 5, 2), 16, 10).cast("int") % 3) + 1
+    val marker = concat(lit(Repl * 3).substr(lit(1), k), lit(Moji))
+    when(b0 < 64,
+      concat(text.substr(lit(1), pos), marker,
+        text.substr(pos + 1, length(text))))
+      .otherwise(text)
+  }
+
+  /** t30 — encoding-anomaly detection (a CCNet/RefinedWeb-style
+    * ingest QA gate): per document, how many U+FFFD replacement chars
+    * and UTF-8-as-Latin-1 digraphs the text carries, and whether the
+    * doc would be quarantined. Counts are substring-occurrence counts
+    * via the length-delta trick (no regex, so the two engines cannot
+    * disagree on Unicode character classes).
+    *
+    * Scale shape: pure map-side projection fused into the scan — the
+    * detection side touches each doc once and shuffles nothing but the
+    * presentation sort.
+    */
+  def mojibakeScan(spark: SparkSession, dir: String): DataFrame = {
+    val ct = mojiSeeded(col("text"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), ct.as("ct"))
+      .select(col("doc_id"), col("source"),
+        (length(col("ct")) - length(replace(col("ct"), lit(Repl))))
+          .cast("long").as("n_repl"),
+        ((length(col("ct")) - length(replace(col("ct"), lit(Moji)))) / 2)
+          .cast("long").as("n_moji"))
+      .withColumn("flagged", col("n_repl") > 0 || col("n_moji") > 0)
+      .orderBy("doc_id")
+  }
+
+  val oracleMojibakeScan: String =
+    """WITH h AS (
+      |  SELECT doc_id, source, text, md5(doc_id || ':moji') AS hh
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, source, text,
+      |         ('0x' || substr(hh, 1, 2))::INT AS b0,
+      |         (('0x' || substr(hh, 3, 2))::INT % len(text)) + 1 AS pos,
+      |         (('0x' || substr(hh, 5, 2))::INT % 3) + 1 AS k
+      |  FROM h),
+      |f AS (
+      |  SELECT doc_id, source,
+      |         CASE WHEN b0 < 64
+      |              THEN substr(text, 1, pos) || repeat(chr(65533), k)
+      |                   || chr(195) || chr(169) || substr(text, pos + 1)
+      |              ELSE text END AS ct
+      |  FROM p)
+      |SELECT doc_id, source,
+      |  (len(ct) - len(replace(ct, chr(65533), '')))::BIGINT AS n_repl,
+      |  ((len(ct) - len(replace(ct, chr(195) || chr(169), ''))) // 2)::BIGINT AS n_moji,
+      |  (len(ct) - len(replace(ct, chr(65533), ''))) > 0
+      |    OR (len(ct) - len(replace(ct, chr(195) || chr(169), ''))) > 0 AS flagged
+      |FROM f ORDER BY doc_id""".stripMargin
 }

@@ -872,4 +872,50 @@ object TextStats {
        |        ELSE 0 END)::BIGINT AS f1_ppm
        |FROM r ORDER BY lang""".stripMargin
   }
+
+  // -- t29: unigram-entropy quality signal -------------------------------------
+
+  /** t29 — per-document Shannon entropy of the unigram distribution
+    * (Gopher-style repetition/diversity signal: low entropy = a few
+    * tokens dominate = templated or degenerate text, complementary to
+    * t10's n-gram repetition ratio). `entropy = log2(n) - Σ c·log2(c) / n`
+    * over per-word counts c; `norm_entropy` divides by the max possible
+    * `log2(n_distinct)` so documents of different lengths compare on
+    * [0, 1] (0 when a doc has a single distinct token — the degenerate
+    * case where the normalizer is 0).
+    *
+    * Scale shape: one hash-aggregate per (doc, word) with map-side
+    * partials, then a per-doc fold — the same two-level shape as t05;
+    * no joins, no windows, nothing corpus-global.
+    */
+  def unigramEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val h = log2(col("n_tokens")) - col("clog") / col("n_tokens")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+           count(lit(1)).as("n_distinct"),
+           sum(col("c").cast("double") * log2(col("c"))).as("clog"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(h, 6).as("entropy"),
+        round(when(col("n_distinct") > 1, h / log2(col("n_distinct")))
+          .otherwise(lit(0.0)), 6).as("norm_entropy"))
+      .orderBy("doc_id")
+  }
+
+  val oracleUnigramEntropy: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest($toksSql) AS w FROM documents),
+       |c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
+       |a AS (
+       |  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*) AS n_distinct,
+       |         sum(c::DOUBLE * log2(c)) AS clog
+       |  FROM c GROUP BY 1)
+       |SELECT doc_id, n_tokens, n_distinct,
+       |  round(log2(n_tokens) - clog / n_tokens, 6) AS entropy,
+       |  round(CASE WHEN n_distinct > 1
+       |             THEN (log2(n_tokens) - clog / n_tokens) / log2(n_distinct)
+       |             ELSE 0.0 END, 6) AS norm_entropy
+       |FROM a ORDER BY doc_id""".stripMargin
 }

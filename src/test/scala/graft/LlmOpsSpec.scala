@@ -948,4 +948,87 @@ class LlmOpsSpec extends AnyFunSuite {
       s"stream ${streamRows.length} vs batch-closed ${batchRows.length}")
     streamRows.zip(batchRows).foreach { case (s, b) => assert(s == b) }
   }
+
+  test("d61: leakage verdicts agree with a window-ranked brute force") {
+    // independent recomputation: rank the full heldout×train cross
+    // product per heldout vec (the shape d61 deliberately avoids) and
+    // compare nn/count columns row-for-row
+    val emb = graft.tables.Tables.embeddings(spark, Sf)
+      .withColumn("split", Sampling.splitCol(col("vec_id")))
+    val heldout = emb.filter(col("split") =!= "train")
+      .select(col("vec_id").as("test_vec_id"), col("embedding").as("te"))
+    val train = emb.filter(col("split") === "train")
+      .select(col("vec_id").as("train_id"), col("embedding"))
+    val scored = heldout.crossJoin(train)
+      .select(col("test_vec_id"), col("train_id"),
+        round(cosineSimilarity(col("te"), col("embedding")), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("test_vec_id").orderBy(col("score").desc, col("train_id"))
+    val want = scored
+      .withColumn("rn", row_number().over(w))
+      .groupBy("test_vec_id")
+      .agg(max(when(col("rn") === 1, col("score"))).as("nn_score"),
+        max(when(col("rn") === 1, col("train_id"))).as("nn_train_id"),
+        sum(when(col("score") >= Similarity.LeakTau, 1L).otherwise(0L)).as("n_leaks"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    val got = Similarity.xsplitLeakage(spark, Sf).collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { r =>
+      val (s, nn, k) = want(r.getLong(0))
+      assert(r.getDouble(2) == s && r.getLong(3) == nn && r.getLong(4) == k,
+        s"mismatch for heldout vec ${r.getLong(0)}")
+      assert(r.getBoolean(5) == (s >= Similarity.LeakTau))
+    }
+    // the fixture threshold must exercise both verdicts
+    assert(got.exists(_.getBoolean(5)) && got.exists(!_.getBoolean(5)))
+  }
+
+  test("t29: entropy bounds and a hand-computed document") {
+    val out = TextStats.unigramEntropy(spark, Sf)
+    // 0 ≤ entropy ≤ log2(n_distinct) (+ rounding slack); norm ∈ [0,1]
+    assert(out.filter(col("entropy") < 0 ||
+      col("entropy") > log2(col("n_distinct")) + 1e-6).isEmpty)
+    assert(out.filter(col("norm_entropy") < 0 || col("norm_entropy") > 1 + 1e-9).isEmpty)
+    val doc = graft.tables.Tables.documents(spark, Sf)
+      .orderBy("doc_id").select("doc_id", "text").head()
+    val counts = doc.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      .groupBy(identity).map(_._2.length)
+    val n = counts.sum.toDouble
+    val h = (math.log(n) - counts.map(c => c * math.log(c)).sum / n) / math.log(2)
+    val got = out.filter(col("doc_id") === doc.getLong(0)).head().getDouble(3)
+    assert(math.abs(got - h) < 1e-5, s"doc ${doc.getLong(0)}: got $got want $h")
+  }
+
+  test("t30: exactly the md5-selected quarter is flagged, with 1-3+1 anomalies") {
+    val out = graft.llm.TextPrep.mojibakeScan(spark, Sf).collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    out.foreach { r =>
+      val corrupt = (md.digest(s"${r.getLong(0)}:moji".getBytes("UTF-8"))(0) & 0xff) < 64
+      md.reset()
+      assert(r.getBoolean(4) == corrupt, s"doc ${r.getLong(0)} flag")
+      if (corrupt) {
+        assert(r.getLong(2) >= 1 && r.getLong(2) <= 3, "n_repl out of band")
+        assert(r.getLong(3) == 1, "n_moji must be exactly 1")
+      } else assert(r.getLong(2) == 0 && r.getLong(3) == 0)
+    }
+    val flagged = out.count(_.getBoolean(4))
+    assert(flagged > 0 && flagged < out.length)
+  }
+
+  test("m20: clipping stats agree with the md5 sample chain") {
+    val got = Multimodal.audioClipping(spark, Sf).collect()
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val vals = Multimodal.samplesOf(id, 160 + (id % 97).toInt)
+      val clipped = vals.map(v => math.abs(v) >= Multimodal.ClipThresh)
+      var run = 0; var maxRun = 0
+      clipped.foreach { c => if (c) { run += 1; maxRun = math.max(maxRun, run) } else run = 0 }
+      assert(r.getInt(1) == vals.length && r.getInt(2) == clipped.count(identity))
+      assert(r.getInt(4) == maxRun && r.getInt(5) == vals.map(math.abs).max)
+      assert(math.abs(r.getDouble(3) -
+        math.rint(clipped.count(identity).toDouble / vals.length * 1e6) / 1e6) < 1e-12)
+    }
+    // the fixture must exercise real runs, not only isolated transients
+    assert(got.exists(_.getInt(4) >= 2))
+  }
 }
