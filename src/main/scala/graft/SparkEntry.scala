@@ -162,6 +162,8 @@ object SparkEntry {
     "t29_unigram_entropy"   -> (llm.TextStats.unigramEntropy(_, _)),
     "t30_mojibake"          -> (llm.TextPrep.mojibakeScan(_, _)),
     "m20_audio_clipping"    -> (llm.Multimodal.audioClipping(_, _)),
+    "m21_lum_entropy"       -> (llm.ImageHist.lumStats(_, _)),
+    "s26_stream_leakage"    -> (streaming.StreamLeak.leakAlerts(_, _)),
     "d53_link_predict"      -> (llm.Graph.linkPredict(_, _)),
     "s19_stream_sketch"     -> (streaming.StreamSketch.cmsIngest(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
@@ -661,6 +663,8 @@ object SparkEntry {
     "t29_unigram_entropy"   -> llm.TextStats.oracleUnigramEntropy,
     "t30_mojibake"          -> llm.TextPrep.oracleMojibakeScan,
     "m20_audio_clipping"    -> llm.Multimodal.oracleAudioClipping,
+    "m21_lum_entropy"       -> llm.ImageHist.oracleLumStats,
+    "s26_stream_leakage"    -> streaming.StreamLeak.oracleLeakAlerts,
     "d53_link_predict"      -> llm.Graph.oracleLinkPredict,
     "s19_stream_sketch"     -> streaming.StreamSketch.oracleCmsIngest,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,

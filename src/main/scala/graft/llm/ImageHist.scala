@@ -54,4 +54,84 @@ object ImageHist {
       |FROM px
       |GROUP BY doc_id, width, height, px // 32
       |ORDER BY doc_id, bucket""".stripMargin
+
+  // -- m21: luminance entropy + contrast ---------------------------------------
+
+  case class LumStats(doc_id: Long, n_px: Int, n_levels: Int,
+                      entropy: Double, mean_lum: Double, stddev_lum: Double)
+
+  /** m21 — per-image luminance ENTROPY and contrast from the decoded
+    * raster: Shannon entropy of the 256-level gray distribution (a
+    * near-constant scan ≈ 0 bits; dithered noise ≈ 8) plus mean and
+    * population stddev — the information-content filter an image
+    * curation pass runs next to m19's exposure histogram (entropy
+    * catches low-information images the bucket shares can miss).
+    *
+    * Decode and the level-count fold happen where the bytes live (the
+    * m19 rule — blobs never shuffle, one fixed-width stats row leaves
+    * the task). The stddev is computed from exact integer Σpx/Σpx² in
+    * the same expression shape as the SQL oracle so the doubles agree
+    * bit-for-bit before the 6-dp rounding; entropy terms sum in level
+    * order and the oracle in hash order, which is what the rounding
+    * absorbs.
+    */
+  def lumStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val log2 = math.log(2.0)
+    Multimodal.imageTable(spark, dir).mapPartitions { rows =>
+      Multimodal.CodecInit.ready
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val px = img.getRaster.getSamples(0, 0, w, h, 0, null: Array[Int])
+        val counts = new Array[Int](256)
+        var sum = 0L; var sumSq = 0L
+        px.foreach { p => counts(p) += 1; sum += p; sumSq += p.toLong * p }
+        val n = w * h
+        var nLevels = 0; var clog = 0.0
+        var v = 0
+        while (v < 256) {
+          val c = counts(v)
+          if (c > 0) { nLevels += 1; clog += c * (math.log(c.toDouble) / log2) }
+          v += 1
+        }
+        val entropy = math.log(n.toDouble) / log2 - clog / n
+        val mean = sum.toDouble / n
+        val sd = math.sqrt((n.toLong * sumSq - sum * sum).toDouble) / n
+        LumStats(r.doc_id, n, nLevels, entropy, mean, sd)
+      }
+    }.toDF()
+      // rounding via functions.round (BigDecimal HALF_UP on the exact
+      // double), the same rounding every oracled double in the suite
+      // goes through — never a JVM-side rint, whose multiply-first
+      // ties-to-even can disagree at representable .5 products
+      .select(col("doc_id"), col("n_px"), col("n_levels"),
+        round(col("entropy"), 6).as("entropy"),
+        round(col("mean_lum"), 6).as("mean_lum"),
+        round(col("stddev_lum"), 6).as("stddev_lum"))
+      .orderBy("doc_id")
+  }
+
+  /** Same md5-chain pixel rebuild, folded per level then per doc. */
+  val oracleLumStats: String =
+    """WITH px AS (
+      |  SELECT doc_id,
+      |         ('0x' || substr(md5(doc_id || ':' || (i // 16)),
+      |                         (i % 16) * 2 + 1, 2))::BIGINT AS px
+      |  FROM documents,
+      |       LATERAL (SELECT unnest(range((8 + doc_id % 9) * (8 + doc_id % 7))) AS i) t),
+      |lv AS (SELECT doc_id, px, count(*) AS c FROM px GROUP BY 1, 2),
+      |a AS (
+      |  SELECT doc_id, sum(c)::BIGINT AS n, count(*) AS n_levels,
+      |         sum(c::DOUBLE * log2(c)) AS clog
+      |  FROM lv GROUP BY 1),
+      |b AS (
+      |  SELECT doc_id, sum(px)::BIGINT AS s, sum(px * px)::BIGINT AS ss
+      |  FROM px GROUP BY 1)
+      |SELECT a.doc_id, n::INT AS n_px, n_levels::INT AS n_levels,
+      |  round(log2(n) - clog / n, 6) AS entropy,
+      |  round(s::DOUBLE / n, 6) AS mean_lum,
+      |  round(sqrt((n * ss - s * s)::DOUBLE) / n, 6) AS stddev_lum
+      |FROM a JOIN b USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 }

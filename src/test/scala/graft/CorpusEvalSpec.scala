@@ -340,4 +340,37 @@ class CorpusEvalSpec extends AnyFunSuite {
     // the delta is the whole output: no statuses beyond the three
     assert(got.values.toSet.subsetOf(Set("added", "removed", "changed")))
   }
+
+  test("m21: decoded luminance entropy/contrast match the md5-chain pixels") {
+    import graft.llm.{ImageHist, Multimodal}
+    val got = ImageHist.lumStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    collectedDocs.map(_._1).foreach { id =>
+      val w = 8 + (id % 9).toInt; val h = 8 + (id % 7).toInt
+      val px = Multimodal.pixelsOf(id, w, h)
+      val counts = px.groupBy(identity).view.mapValues(_.length).toMap
+      val n = w * h
+      val clog = counts.values.toSeq.sorted
+        .map(c => c * math.log(c.toDouble) / math.log(2.0)).sum
+      val want = math.log(n.toDouble) / math.log(2.0) - clog / n
+      val r = got(id)
+      assert(r.getInt(1) == n && r.getInt(2) == counts.size, s"doc $id counts")
+      assert(math.abs(r.getDouble(3) - want) < 1e-5, s"doc $id entropy")
+      assert(math.abs(r.getDouble(4) - px.map(_.toLong).sum.toDouble / n) < 1e-5)
+      assert(r.getDouble(3) >= 0 &&
+        r.getDouble(3) <= math.log(counts.size.toDouble) / math.log(2.0) + 1e-6)
+    }
+  }
+
+  test("s26: streamed leak alerts equal the batch d61 report's leaked rows (Kappa)") {
+    val streamed = graft.streaming.StreamLeak.leakAlerts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    val batch = Similarity.xsplitLeakage(spark, sf)
+      .filter(col("leaked"))
+      .select("test_vec_id", "split", "nn_score", "nn_train_id", "n_leaks")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    assert(streamed.nonEmpty, "fixture must produce at least one leak alert")
+    assert(streamed.toSeq == batch.toSeq)
+  }
 }
