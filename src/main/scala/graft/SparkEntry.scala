@@ -164,6 +164,7 @@ object SparkEntry {
     "m20_audio_clipping"    -> (llm.Multimodal.audioClipping(_, _)),
     "m21_lum_entropy"       -> (llm.ImageHist.lumStats(_, _)),
     "s26_stream_leakage"    -> (streaming.StreamLeak.leakAlerts(_, _)),
+    "t31_pmi_bigrams"       -> (llm.TextStats.pmiBigrams(_, _)),
     "d53_link_predict"      -> (llm.Graph.linkPredict(_, _)),
     "s19_stream_sketch"     -> (streaming.StreamSketch.cmsIngest(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
@@ -665,6 +666,7 @@ object SparkEntry {
     "m20_audio_clipping"    -> llm.Multimodal.oracleAudioClipping,
     "m21_lum_entropy"       -> llm.ImageHist.oracleLumStats,
     "s26_stream_leakage"    -> streaming.StreamLeak.oracleLeakAlerts,
+    "t31_pmi_bigrams"       -> llm.TextStats.oraclePmiBigrams,
     "d53_link_predict"      -> llm.Graph.oracleLinkPredict,
     "s19_stream_sketch"     -> streaming.StreamSketch.oracleCmsIngest,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,

@@ -872,8 +872,16 @@ object Similarity {
     val heldout = emb.filter(col("split") =!= "train")
       .select(col("vec_id").as("test_vec_id"), col("split"),
         col("embedding").as("te"))
+    // the probe is compute-dense (|heldout| cosines per train row), so
+    // the train side must be partitioned by COMPUTE, not bytes — a
+    // single small parquet split (or an AQE byte-coalesced stage)
+    // serializes the whole scan onto one task (the d35 lesson; measured
+    // 54 s single-task vs ~4 s spread at 32×). On a real corpus the
+    // scan's natural splits provide this for free; the round-robin
+    // exchange here moves only (id, 256 B vector) rows.
     val train = emb.filter(col("split") === "train")
       .select(col("vec_id").as("train_id"), col("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism * 2)
     train.crossJoin(broadcast(heldout))
       .select(col("test_vec_id"), col("split"), col("train_id"),
         round(cosineSimilarity(col("te"), col("embedding")), 6).as("score"))

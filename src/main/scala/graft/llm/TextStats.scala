@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.tables.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline: language ID
@@ -918,4 +919,80 @@ object TextStats {
        |             THEN (log2(n_tokens) - clog / n_tokens) / log2(n_distinct)
        |             ELSE 0.0 END, 6) AS norm_entropy
        |FROM a ORDER BY doc_id""".stripMargin
+
+  // -- t31: PMI collocations ----------------------------------------------------
+
+  /** A bigram must occur this often corpus-wide to be scored (PMI is
+    * unstable on hapax pairs — the standard phrase-mining floor).
+    */
+  val PmiMinCount = 3
+  val PmiTopK = 50
+
+  /** t31 — pointwise-mutual-information collocations: the top-K
+    * adjacent word pairs by `log2(p(ab) / (p(a)·p(b)))` — the classic
+    * phrase-mining / tokenizer-vocabulary signal (a high-PMI pair is a
+    * merge candidate BPE should learn, a multi-word entity, or a
+    * template artifact worth inspecting).
+    *
+    * Scale shape: bigrams come from ONE map-side `zip_with` over each
+    * doc's token array (never a positional self-join), then a
+    * vocab²-bounded hash aggregate with map-side partials; unigram
+    * counts broadcast onto the pair relation; the only global sort is
+    * the final window over the ≤|vocab|² candidate relation — bounded
+    * by the vocabulary, not the corpus. PMI doubles are built from an
+    * identical left-associated op tree in both engines, so they agree
+    * bit-for-bit before the 6-dp rounding.
+    */
+  def pmiBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tokens(col("text"))
+    val docs = Tables.documents(spark, dir)
+    // both small relations feed multiple subtrees — cache so the corpus
+    // is tokenized exactly twice (once per shape), not once per consumer
+    val uni = docs.select(explode(tok).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c")).persist()
+    val pairs = docs.select(explode(zip_with(
+        slice(tok, lit(1), greatest(size(tok) - 1, lit(0))),
+        slice(tok, lit(2), greatest(size(tok) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab")).persist()
+    val nUni = uni.agg(sum("c").as("n_uni"))
+    val nBi = pairs.agg(sum("c_ab").as("n_bi"))
+    val w = Window.orderBy(col("pmi").desc, col("w1"), col("w2"))
+    pairs.filter(col("c_ab") >= PmiMinCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_a"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_b"))), Seq("w2"))
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log2(col("c_ab").cast("double") * col("n_uni") * col("n_uni")
+          / (col("n_bi").cast("double") * col("c_a") * col("c_b"))), 6).as("pmi"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= PmiTopK)
+      .orderBy("rank")
+  }
+
+  val oraclePmiBigrams: String =
+    s"""WITH tk AS (SELECT $toksSql AS t FROM documents),
+       |uni AS (
+       |  SELECT w, count(*) AS c
+       |  FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+       |bi AS (
+       |  SELECT b, count(*) AS c_ab FROM (
+       |    SELECT unnest([t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]) AS b
+       |    FROM tk)
+       |  GROUP BY b),
+       |tot AS (SELECT sum(c)::BIGINT AS n_uni FROM uni),
+       |totb AS (SELECT sum(c_ab)::BIGINT AS n_bi FROM bi),
+       |sp AS (
+       |  SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2, c_ab
+       |  FROM bi WHERE c_ab >= $PmiMinCount),
+       |ranked AS (
+       |  SELECT sp.w1, sp.w2, sp.c_ab,
+       |    round(log2(sp.c_ab::DOUBLE * n_uni * n_uni
+       |               / (n_bi::DOUBLE * a.c * b.c)), 6) AS pmi
+       |  FROM sp JOIN uni a ON a.w = sp.w1 JOIN uni b ON b.w = sp.w2, tot, totb)
+       |SELECT w1, w2, c_ab, pmi,
+       |  CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS rank
+       |FROM ranked QUALIFY rank <= $PmiTopK
+       |ORDER BY rank""".stripMargin
 }

@@ -85,7 +85,11 @@ object StreamLeak {
         val s2 = batch.sparkSession
         import s2.implicits._
         val hdf = heldoutRows.toSeq.toDF("test_vec_id", "split", "te")
-        batch.crossJoin(broadcast(hdf))
+        // compute-dense probe: spread the one-file micro-batch across
+        // the executors before the |heldout|-cosines-per-row scan (the
+        // d61/d35 rule — bytes-small is not compute-small)
+        batch.repartition(s2.sparkContext.defaultParallelism * 2)
+          .crossJoin(broadcast(hdf))
           .select(col("test_vec_id"), col("split"),
             col("vec_id").as("train_id"),
             round(cosineSimilarity(col("te"), col("embedding")), 6).as("score"))

@@ -362,6 +362,35 @@ class CorpusEvalSpec extends AnyFunSuite {
     }
   }
 
+  test("t31: PMI top-K matches a driver-side exact recompute") {
+    val texts = collectedDocs.map(_._3)
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val bi = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { t =>
+      val ws = toks(t)
+      ws.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1)
+      ws.zip(ws.drop(1)).foreach(p => bi(p) = bi.getOrElse(p, 0L) + 1)
+    }
+    val nUni = uni.values.sum; val nBi = bi.values.sum
+    val want = bi.toSeq
+      .filter(_._2 >= TextStats.PmiMinCount)
+      .map { case ((a, b), cab) =>
+        val pmi = math.log(cab.toDouble * nUni * nUni /
+          (nBi.toDouble * uni(a) * uni(b))) / math.log(2.0)
+        (a, b, cab, pmi)
+      }
+      .sortBy { case (a, b, _, p) => (-math.rint(p * 1e6) / 1e6, a, b) }
+      .take(TextStats.PmiTopK)
+    val got = TextStats.pmiBigrams(spark, sf).collect()
+    assert(got.length == math.min(TextStats.PmiTopK, want.length) && got.nonEmpty)
+    got.zip(want).zipWithIndex.foreach { case ((g, (a, b, cab, pmi)), i) =>
+      assert(g.getString(0) == a && g.getString(1) == b && g.getLong(2) == cab,
+        s"rank ${i + 1}: got (${g.getString(0)},${g.getString(1)}) want ($a,$b)")
+      assert(math.abs(g.getDouble(3) - pmi) < 1e-5, s"rank ${i + 1} pmi")
+      assert(g.getInt(4) == i + 1)
+    }
+  }
+
   test("s26: streamed leak alerts equal the batch d61 report's leaked rows (Kappa)") {
     val streamed = graft.streaming.StreamLeak.leakAlerts(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
