@@ -165,6 +165,8 @@ object SparkEntry {
     "m21_lum_entropy"       -> (llm.ImageHist.lumStats(_, _)),
     "s26_stream_leakage"    -> (streaming.StreamLeak.leakAlerts(_, _)),
     "t31_pmi_bigrams"       -> (llm.TextStats.pmiBigrams(_, _)),
+    "t32_burstiness"        -> (llm.TextStats.burstiness(_, _)),
+    "d62_scaling_ladder"    -> (llm.Sampling.scalingLadder(_, _)),
     "d53_link_predict"      -> (llm.Graph.linkPredict(_, _)),
     "s19_stream_sketch"     -> (streaming.StreamSketch.cmsIngest(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
@@ -667,6 +669,8 @@ object SparkEntry {
     "m21_lum_entropy"       -> llm.ImageHist.oracleLumStats,
     "s26_stream_leakage"    -> streaming.StreamLeak.oracleLeakAlerts,
     "t31_pmi_bigrams"       -> llm.TextStats.oraclePmiBigrams,
+    "t32_burstiness"        -> llm.TextStats.oracleBurstiness,
+    "d62_scaling_ladder"    -> llm.Sampling.oracleScalingLadder,
     "d53_link_predict"      -> llm.Graph.oracleLinkPredict,
     "s19_stream_sketch"     -> streaming.StreamSketch.oracleCmsIngest,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,

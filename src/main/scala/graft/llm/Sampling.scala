@@ -608,4 +608,67 @@ object Sampling {
        |$rows
        |ORDER BY pair""".stripMargin
   }
+
+  // ---- d62: nested scaling-law sampling ladder -------------------------------
+
+  /** Sampling rates in basis points of the 10000-bucket hash space. */
+  val LadderBps: Seq[Int] = Seq(100, 500, 1000, 2000, 5000)
+  val LadderSeed = 23
+  val LadderDigestSeed = 29
+  /** Digest hashes are folded mod this so a BIGINT sum can never
+    * overflow at any corpus size the fixtures reach (ANSI Spark would
+    * throw where DuckDB's HUGEINT silently widens).
+    */
+  val LadderDigestMod = 1000000L
+
+  /** d62 — the scaling-law sampling ladder: one deterministic
+    * hash-threshold per document yields every subsample rate at once,
+    * and the subsets NEST by construction (bucket < 100 ⊂ bucket < 500
+    * ⊂ …) — the property a scaling-law study needs (each larger run's
+    * corpus is a superset of the smaller's) that `randomSplit` cannot
+    * give. Per rate: document count, token budget, and an
+    * order-independent id digest (sum of bounded re-hashes) that pins
+    * MEMBERSHIP, not just cardinality, on the oracle gate.
+    *
+    * Scale shape: ONE corpus scan; the five rates are conditional sums
+    * folding map-side into a single partial row per partition; the
+    * 5-row stack and sort are constant-size. Zero data shuffles.
+    */
+  def scalingLadder(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(TextHash.phash(col("doc_id").cast("string"), LadderSeed),
+      lit(10000L))
+    val nTok = size(TextStats.tokens(col("text"))).cast("long")
+    val idh = pmod(TextHash.phash(col("doc_id").cast("string"), LadderDigestSeed),
+      lit(LadderDigestMod))
+    val base = Tables.documents(spark, dir)
+      .select(bucket.as("b"), nTok.as("nt"), idh.as("ih"))
+    val aggs = LadderBps.flatMap { r => Seq(
+      sum(when(col("b") < r, 1L).otherwise(0L)).as(s"nd_$r"),
+      sum(when(col("b") < r, col("nt")).otherwise(0L)).as(s"nt_$r"),
+      sum(when(col("b") < r, col("ih")).otherwise(0L)).as(s"ih_$r")) }
+    base.agg(aggs.head, aggs.tail: _*)
+      .select(expr("stack(" + LadderBps.length + ", " +
+        LadderBps.map(r => s"$r, nd_$r, nt_$r, ih_$r").mkString(", ") +
+        ") as (rate_bps, n_docs, n_tokens, id_digest)"))
+      .orderBy("rate_bps")
+  }
+
+  lazy val oracleScalingLadder: String = {
+    val bucket = s"${TextHash.phashSql("doc_id::VARCHAR", LadderSeed)} % 10000"
+    val idh = s"${TextHash.phashSql("doc_id::VARCHAR", LadderDigestSeed)} % $LadderDigestMod"
+    val values = LadderBps.map(r => s"($r)").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT $bucket AS b,
+       |         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS nt,
+       |         $idh AS ih
+       |  FROM documents),
+       |r(rate_bps) AS (VALUES $values)
+       |SELECT rate_bps,
+       |  count(*) FILTER (b < rate_bps)::BIGINT AS n_docs,
+       |  coalesce(sum(nt) FILTER (b < rate_bps), 0)::BIGINT AS n_tokens,
+       |  coalesce(sum(ih) FILTER (b < rate_bps), 0)::BIGINT AS id_digest
+       |FROM d, r
+       |GROUP BY rate_bps
+       |ORDER BY rate_bps""".stripMargin
+  }
 }

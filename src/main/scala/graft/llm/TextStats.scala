@@ -995,4 +995,57 @@ object TextStats {
        |  CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS rank
        |FROM ranked QUALIFY rank <= $PmiTopK
        |ORDER BY rank""".stripMargin
+
+  // -- t32: term burstiness (Church-Gale VMR) -----------------------------------
+
+  val BurstTopK = 30
+
+  /** t32 — term burstiness: for the top-K words by collection
+    * frequency, the variance-to-mean ratio of the per-document count
+    * (zeros included). Under Poisson (a word sprinkled independently)
+    * VMR ≈ 1; content words BURST (VMR ≫ 1 — they recur within the
+    * documents they touch), function words sit near 1. The Church-Gale
+    * signal that separates topical terms from glue — used to pick
+    * keyword candidates and to sanity-check synthetic corpora (a
+    * generator that sprinkles tokens i.i.d. shows VMR ≈ 1 everywhere).
+    *
+    * `vmr = E[x²]/E[x] − E[x] = sumsq/cf − cf/D` — two exact-integer
+    * divisions and one subtraction, the identical IEEE tree in both
+    * engines. Scale shape: the t29 two-level hash aggregate (map-side
+    * partials, vocab-bounded result) plus a broadcast 1-row doc count;
+    * the only sort is the top-K window over the vocab-bounded relation.
+    */
+  def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.orderBy(col("cf").desc, col("word"))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("df"), sum("c").as("cf"),
+        sum(col("c") * col("c")).as("sumsq"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("word"), col("df"), col("cf"),
+        round(col("sumsq").cast("double") / col("cf")
+          - col("cf").cast("double") / col("n_docs"), 6).as("vmr"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= BurstTopK)
+      .orderBy("rank")
+  }
+
+  val oracleBurstiness: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest($toksSql) AS w FROM documents),
+       |c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
+       |a AS (
+       |  SELECT w AS word, count(*) AS df, sum(c)::BIGINT AS cf,
+       |         sum(c * c)::BIGINT AS sumsq
+       |  FROM c GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents)
+       |SELECT word, df, cf,
+       |  round(sumsq::DOUBLE / cf - cf::DOUBLE / n_docs, 6) AS vmr,
+       |  CAST(row_number() OVER (ORDER BY cf DESC, word) AS INT) AS rank
+       |FROM a, n
+       |QUALIFY rank <= $BurstTopK
+       |ORDER BY rank""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, Sampling, Similarity, TextStats}
+import graft.llm.{Dedup, Sampling, Similarity, TextHash, TextStats}
 import graft.tables.Tables
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -389,6 +389,48 @@ class CorpusEvalSpec extends AnyFunSuite {
       assert(math.abs(g.getDouble(3) - pmi) < 1e-5, s"rank ${i + 1} pmi")
       assert(g.getInt(4) == i + 1)
     }
+  }
+
+  test("t32: burstiness matches a driver-side exact recompute") {
+    val texts = collectedDocs.map(_._3)
+    val perDoc = texts.map(t => toks(t).groupBy(identity).view.mapValues(_.length.toLong).toMap)
+    val words = perDoc.flatMap(_.keys).distinct
+    val d = perDoc.length.toLong
+    val stats = words.map { w =>
+      val cs = perDoc.map(_.getOrElse(w, 0L)).filter(_ > 0)
+      val cf = cs.sum; val sumsq = cs.map(c => c * c).sum
+      (w, cs.length.toLong, cf, sumsq.toDouble / cf - cf.toDouble / d)
+    }.sortBy { case (w, _, cf, _) => (-cf, w) }.take(TextStats.BurstTopK)
+    val got = TextStats.burstiness(spark, sf).collect()
+    assert(got.length == stats.length && got.nonEmpty)
+    got.zip(stats).foreach { case (g, (w, df, cf, vmr)) =>
+      assert(g.getString(0) == w && g.getLong(1) == df && g.getLong(2) == cf)
+      assert(math.abs(g.getDouble(3) - vmr) < 1e-5, s"word $w vmr")
+    }
+    // the synthetic corpus must show real burst spread, not all ~1
+    assert(got.map(_.getDouble(3)).max > got.map(_.getDouble(3)).min + 0.01)
+  }
+
+  test("d62: ladder rates nest and match a driver-side recompute") {
+    val ids = collectedDocs.map(_._1)
+    val want = Sampling.LadderBps.map { r =>
+      val kept = ids.filter(id =>
+        TextHash.jvmHash(id.toString, Sampling.LadderSeed) % 10000L < r)
+      (r, kept.length.toLong,
+        kept.map(id => TextHash.jvmHash(id.toString, Sampling.LadderDigestSeed)
+          % Sampling.LadderDigestMod).sum)
+    }
+    val got = Sampling.scalingLadder(spark, sf).collect()
+    assert(got.length == Sampling.LadderBps.length)
+    got.zip(want).foreach { case (g, (r, nd, dig)) =>
+      assert(g.getInt(0) == r && g.getLong(1) == nd && g.getLong(3) == dig,
+        s"rate $r")
+    }
+    // nesting: counts and token budgets are nondecreasing in rate
+    val nds = got.map(_.getLong(1)); val nts = got.map(_.getLong(2))
+    assert(nds.zip(nds.tail).forall { case (a, b) => a <= b })
+    assert(nts.zip(nts.tail).forall { case (a, b) => a <= b })
+    assert(nds.last > 0)
   }
 
   test("s26: streamed leak alerts equal the batch d61 report's leaked rows (Kappa)") {
