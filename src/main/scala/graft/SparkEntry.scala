@@ -167,6 +167,8 @@ object SparkEntry {
     "t31_pmi_bigrams"       -> (llm.TextStats.pmiBigrams(_, _)),
     "t32_burstiness"        -> (llm.TextStats.burstiness(_, _)),
     "d62_scaling_ladder"    -> (llm.Sampling.scalingLadder(_, _)),
+    "t33_train_coverage"    -> (llm.TextStats.trainCoverage(_, _)),
+    "d63_centroid_drift"    -> (llm.Similarity.centroidDrift(_, _)),
     "d53_link_predict"      -> (llm.Graph.linkPredict(_, _)),
     "s19_stream_sketch"     -> (streaming.StreamSketch.cmsIngest(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
@@ -671,6 +673,8 @@ object SparkEntry {
     "t31_pmi_bigrams"       -> llm.TextStats.oraclePmiBigrams,
     "t32_burstiness"        -> llm.TextStats.oracleBurstiness,
     "d62_scaling_ladder"    -> llm.Sampling.oracleScalingLadder,
+    "t33_train_coverage"    -> llm.TextStats.oracleTrainCoverage,
+    "d63_centroid_drift"    -> llm.Similarity.oracleCentroidDrift,
     "d53_link_predict"      -> llm.Graph.oracleLinkPredict,
     "s19_stream_sketch"     -> streaming.StreamSketch.oracleCmsIngest,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,

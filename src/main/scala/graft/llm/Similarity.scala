@@ -920,4 +920,72 @@ object Similarity {
        |       a.nn_score >= $LeakTau AS leaked
        |FROM agg a JOIN nn USING (test_vec_id)
        |ORDER BY test_vec_id""".stripMargin
+
+  // -- d63: embedding-space split drift ----------------------------------------
+
+  /** d63 — split representativeness in EMBEDDING space: the cosine
+    * between the centroids of every d13 split pair — the vector-side
+    * complement of d57's scalar KS test (a split whose centroid points
+    * away from train's is topically skewed even when its length
+    * distribution matches). Per-dimension sums quantize to longs
+    * (`floor(x·2²⁰ + 0.5)`, the Lloyd parity trick) so partials
+    * re-aggregate associatively and both engines hold identical
+    * integers; the 64-term cosine fold is the only float reduction and
+    * rides the 6-dp round.
+    *
+    * Scale shape: ONE corpus pass — posexplode + (split, dim)-keyed
+    * hash agg with map-side partials down to |splits|×64 rows; the
+    * pair join and norms live on that bounded relation. 3 result rows.
+    */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("split", Sampling.splitCol(col("vec_id")))
+    val sums = emb
+      .select(col("split"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("split", "pos")
+      .agg(sum(floor(col("x").cast("double") * QuantScale + lit(0.5))
+        .cast("long")).as("s"))
+      .persist() // feeds the norms AND both sides of the pair join
+    val counts = emb.groupBy("split").agg(count(lit(1)).as("n"))
+    val norms = sums.groupBy("split")
+      .agg(sum(col("s").cast("double") * col("s")).as("nsq"))
+    val a = sums.select(col("split").as("split_a"), col("pos"), col("s").as("sa"))
+    val b = sums.select(col("split").as("split_b"), col("pos"), col("s").as("sb"))
+    a.join(b, Seq("pos")).filter(col("split_a") < col("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(sum(col("sa").cast("double") * col("sb")).as("dot"))
+      .join(broadcast(counts.select(col("split").as("split_a"), col("n").as("n_a"))), Seq("split_a"))
+      .join(broadcast(counts.select(col("split").as("split_b"), col("n").as("n_b"))), Seq("split_b"))
+      .join(broadcast(norms.select(col("split").as("split_a"), col("nsq").as("nsq_a"))), Seq("split_a"))
+      .join(broadcast(norms.select(col("split").as("split_b"), col("nsq").as("nsq_b"))), Seq("split_b"))
+      .select(col("split_a"), col("split_b"), col("n_a"), col("n_b"),
+        round(col("dot") / sqrt(col("nsq_a") * col("nsq_b")), 6).as("centroid_cos"))
+      .orderBy("split_a", "split_b")
+  }
+
+  lazy val oracleCentroidDrift: String = {
+    val split = Sampling.splitCaseSql("vec_id")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $split AS split FROM embeddings),
+       |x AS (
+       |  SELECT split, i AS pos,
+       |         CAST(floor(embedding[i + 1]::DOUBLE * $QuantScale + 0.5) AS BIGINT) AS q
+       |  FROM e, LATERAL (SELECT unnest(range($Dim)) AS i) t),
+       |s AS (SELECT split, pos, sum(q)::BIGINT AS s FROM x GROUP BY 1, 2),
+       |n AS (SELECT split, count(*)::BIGINT AS n FROM e GROUP BY 1),
+       |nsq AS (SELECT split, sum(s::DOUBLE * s) AS nsq FROM s GROUP BY 1),
+       |d AS (
+       |  SELECT a.split AS split_a, b.split AS split_b,
+       |         sum(a.s::DOUBLE * b.s) AS dot
+       |  FROM s a JOIN s b USING (pos)
+       |  WHERE a.split < b.split GROUP BY 1, 2)
+       |SELECT split_a, split_b, na.n AS n_a, nb.n AS n_b,
+       |  round(dot / sqrt(qa.nsq * qb.nsq), 6) AS centroid_cos
+       |FROM d
+       |JOIN n na ON na.split = d.split_a
+       |JOIN n nb ON nb.split = d.split_b
+       |JOIN nsq qa ON qa.split = d.split_a
+       |JOIN nsq qb ON qb.split = d.split_b
+       |ORDER BY split_a, split_b""".stripMargin
+  }
 }

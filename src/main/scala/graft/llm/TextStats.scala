@@ -1048,4 +1048,63 @@ object TextStats {
        |FROM a, n
        |QUALIFY rank <= $BurstTopK
        |ORDER BY rank""".stripMargin
+
+  // -- t33: held-out n-gram coverage vs train ------------------------------------
+
+  /** t33 — train-coverage of the held-out splits: for every val/test
+    * document (the d13 split rule), the fraction of its adjacent-pair
+    * bigrams that ALSO occur anywhere in the train split. The
+    * generalization-gap probe that sits between t13's within-corpus
+    * novelty and d18's contamination spans: coverage ≈ 1 means the
+    * eval set exercises only constructions the model trained on;
+    * a low-coverage doc is genuinely out-of-distribution (or junk).
+    *
+    * Scale shape: the train bigram DICTIONARY is vocab²-bounded, so it
+    * broadcasts; held-out docs stream map-side through one zip_with +
+    * explode and a left-semi-style null test — no corpus-sized shuffle,
+    * and the per-doc fold is a two-level hash aggregate. Integer
+    * per-mille coverage keeps the gate float-free.
+    */
+  def trainCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tokens(col("text"))
+    val withSplit = Tables.documents(spark, dir)
+      .withColumn("split", Sampling.splitCol(col("doc_id")))
+    def bigrams(df: DataFrame) = df.select(col("doc_id"), col("split"),
+      explode(zip_with(
+        slice(tok, lit(1), greatest(size(tok) - 1, lit(0))),
+        slice(tok, lit(2), greatest(size(tok) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("bi"))
+    val trainDict = bigrams(withSplit.filter(col("split") === "train"))
+      .select("bi").distinct()
+      .withColumn("in_train", lit(true))
+    bigrams(withSplit.filter(col("split") =!= "train"))
+      .join(broadcast(trainDict), Seq("bi"), "left")
+      .groupBy("doc_id", "split")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("in_train"), 1L).otherwise(0L)).as("n_covered"))
+      .select(col("doc_id"), col("split"), col("n_bigrams"), col("n_covered"),
+        // integer DIV, not `/` (Column./ is always double division);
+        // operands are non-negative so truncation == floor == DuckDB //
+        expr("n_covered * 1000 DIV n_bigrams").as("coverage_pm"))
+      .orderBy("doc_id")
+  }
+
+  lazy val oracleTrainCoverage: String = {
+    val splitCase = Sampling.splitCaseSql("doc_id")
+    s"""WITH d AS (
+       |  SELECT doc_id, $splitCase AS split, $toksSql AS t FROM documents),
+       |bi AS (
+       |  SELECT doc_id, split,
+       |         unnest([t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]) AS bi
+       |  FROM d),
+       |dict AS (SELECT DISTINCT bi FROM bi WHERE split = 'train')
+       |SELECT b.doc_id, b.split,
+       |  count(*)::BIGINT AS n_bigrams,
+       |  count(dict.bi)::BIGINT AS n_covered,
+       |  (count(dict.bi) * 1000 // count(*))::BIGINT AS coverage_pm
+       |FROM bi b LEFT JOIN dict ON b.bi = dict.bi
+       |WHERE b.split <> 'train'
+       |GROUP BY 1, 2
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -433,6 +433,67 @@ class CorpusEvalSpec extends AnyFunSuite {
     assert(nds.last > 0)
   }
 
+  test("t33: held-out train-coverage matches a driver-side recompute") {
+    val docs = collectedDocs
+    def split(id: Long): String = {
+      val b = TextHash.jvmHash(id.toString, Sampling.SplitSeed) % 100L
+      if (b < Sampling.TrainPct) "train"
+      else if (b < Sampling.TrainPct + Sampling.ValPct) "val" else "test"
+    }
+    def bigrams(t: String): Seq[String] = {
+      val ws = toks(t); ws.zip(ws.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    val dict = docs.filter(d => split(d._1) == "train")
+      .flatMap(d => bigrams(d._3)).toSet
+    val want = docs.filter(d => split(d._1) != "train").map { d =>
+      val bs = bigrams(d._3)
+      val cov = bs.count(dict.contains).toLong
+      d._1 -> (split(d._1), bs.length.toLong, cov, cov * 1000L / bs.length)
+    }.toMap
+    val got = TextStats.trainCoverage(spark, sf).collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { r =>
+      val (sp, nb, nc, pm) = want(r.getLong(0))
+      assert(r.getString(1) == sp && r.getLong(2) == nb &&
+        r.getLong(3) == nc && r.getLong(4) == pm, s"doc ${r.getLong(0)}")
+    }
+    // the corpus must exercise partial coverage, not a trivial all-1000
+    assert(got.exists(_.getLong(4) < 1000L))
+  }
+
+  test("d63: centroid-drift cosines match a driver-side quantized recompute") {
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def split(id: Long): String = {
+      val b = TextHash.jvmHash(id.toString, Sampling.SplitSeed) % 100L
+      if (b < Sampling.TrainPct) "train"
+      else if (b < Sampling.TrainPct + Sampling.ValPct) "val" else "test"
+    }
+    val sums = emb.groupBy(e => split(e._1)).view.mapValues { vs =>
+      val s = new Array[Long](Similarity.Dim)
+      vs.foreach(v => (0 until Similarity.Dim).foreach(i =>
+        s(i) += math.floor(v._2(i).toDouble * Similarity.QuantScale + 0.5).toLong))
+      s
+    }.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      (0 until Similarity.Dim).foreach { i =>
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val got = Similarity.centroidDrift(spark, sf).collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      val want = cos(sums(r.getString(0)), sums(r.getString(1)))
+      assert(math.abs(r.getDouble(4) - want) < 1e-5,
+        s"${r.getString(0)}-${r.getString(1)}: got ${r.getDouble(4)} want $want")
+      assert(r.getDouble(4) >= -1.0 - 1e-9 && r.getDouble(4) <= 1.0 + 1e-9)
+      assert(r.getLong(2) > 0 && r.getLong(3) > 0)
+    }
+  }
+
   test("s26: streamed leak alerts equal the batch d61 report's leaked rows (Kappa)") {
     val streamed = graft.streaming.StreamLeak.leakAlerts(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
