@@ -169,6 +169,12 @@ object SparkEntry {
     "d62_scaling_ladder"    -> (llm.Sampling.scalingLadder(_, _)),
     "t33_train_coverage"    -> (llm.TextStats.trainCoverage(_, _)),
     "d63_centroid_drift"    -> (llm.Similarity.centroidDrift(_, _)),
+    "t34_textrank"          -> (llm.TextRank.keywords(_, _)),
+    "t35_simpson_diversity" -> (llm.TextStats.simpsonDiversity(_, _)),
+    "d64_knn_reciprocity"   -> (llm.Similarity.knnReciprocity(_, _)),
+    "d65_label_anisotropy"  -> (llm.Similarity.labelAnisotropy(_, _)),
+    "m22_sharpness"         -> (llm.ImageHist.gradientStats(_, _)),
+    "s27_stream_budget"     -> (streaming.StreamBudget.budgetIngest(_, _)),
     "d53_link_predict"      -> (llm.Graph.linkPredict(_, _)),
     "s19_stream_sketch"     -> (streaming.StreamSketch.cmsIngest(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
@@ -675,6 +681,12 @@ object SparkEntry {
     "d62_scaling_ladder"    -> llm.Sampling.oracleScalingLadder,
     "t33_train_coverage"    -> llm.TextStats.oracleTrainCoverage,
     "d63_centroid_drift"    -> llm.Similarity.oracleCentroidDrift,
+    "t34_textrank"          -> llm.TextRank.oracleKeywords,
+    "t35_simpson_diversity" -> llm.TextStats.oracleSimpsonDiversity,
+    "d64_knn_reciprocity"   -> llm.Similarity.oracleKnnReciprocity,
+    "d65_label_anisotropy"  -> llm.Similarity.oracleLabelAnisotropy,
+    "m22_sharpness"         -> llm.ImageHist.oracleGradientStats,
+    "s27_stream_budget"     -> streaming.StreamBudget.oracleBudgetIngest,
     "d53_link_predict"      -> llm.Graph.oracleLinkPredict,
     "s19_stream_sketch"     -> streaming.StreamSketch.oracleCmsIngest,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,

@@ -786,18 +786,26 @@ object Graph {
     * whole LSH+verify chain behind `pairs` once per round (measured:
     * a > 80 GB temp spill at sf0.1).
     */
+  /** The unrolled `it1..it$PrIters` CTE rounds of the integer PageRank
+    * recurrence — shared by every oracle that replays
+    * [[pageRankOnPairs]] on some pair relation (d36 on the near-dup
+    * graph, t34 on the word co-occurrence graph). Expects `edges`,
+    * `deg`, `nodes`, `meta(tele)` and `it0` CTEs in scope.
+    */
+  private[llm] val prRoundsSql: String = (1 to PrIters).map { k =>
+    s"""it$k AS (
+       |  SELECT nd.id,
+       |         (SELECT tele FROM meta) + ((85 * COALESCE(m.s, 0))::BIGINT // 100) AS r
+       |  FROM nodes nd LEFT JOIN (
+       |    SELECT e.v AS id, sum(p.r // d.deg) AS s
+       |    FROM edges e
+       |    JOIN it${k - 1} p ON p.id = e.u
+       |    JOIN deg d ON d.id = e.u
+       |    GROUP BY e.v) m ON m.id = nd.id)""".stripMargin
+  }.mkString(",\n")
+
   val oraclePageRank: String = {
-    val iters = (1 to PrIters).map { k =>
-      s"""it$k AS (
-         |  SELECT nd.id,
-         |         (SELECT tele FROM meta) + ((85 * COALESCE(m.s, 0))::BIGINT // 100) AS r
-         |  FROM nodes nd LEFT JOIN (
-         |    SELECT e.v AS id, sum(p.r // d.deg) AS s
-         |    FROM edges e
-         |    JOIN it${k - 1} p ON p.id = e.u
-         |    JOIN deg d ON d.id = e.u
-         |    GROUP BY e.v) m ON m.id = nd.id)""".stripMargin
-    }.mkString(",\n")
+    val iters = prRoundsSql
     s"""WITH ${Dedup.pairsCteSql},
        |edges AS MATERIALIZED (
        |  SELECT id_a AS u, id_b AS v FROM pairs

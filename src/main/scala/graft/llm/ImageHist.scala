@@ -112,6 +112,72 @@ object ImageHist {
       .orderBy("doc_id")
   }
 
+  // -- m22: sharpness / gradient profile ---------------------------------------
+
+  case class GradStats(doc_id: Long, n_pairs: Int, total_abs: Long, max_grad: Int)
+
+  /** m22 — per-image sharpness from the decoded raster: mean and max
+    * absolute HORIZONTAL gradient (|px[r,c+1] − px[r,c]|, the 1-D
+    * Laplacian-energy proxy). Blurry or synthetically upscaled images
+    * sit near zero; dithered noise pegs the mean near the 85 expected
+    * of uniform random levels — the focus/quality filter an image
+    * curation pass runs next to m21's entropy (entropy measures the
+    * level DISTRIBUTION; gradient measures its spatial arrangement, so
+    * a smooth ramp and white noise separate here and not there).
+    *
+    * Decode and the gradient fold happen where the bytes live (the m19
+    * rule — blobs never shuffle, one fixed-width row leaves the task);
+    * the totals are exact integers, so `mean_grad` is a quotient of
+    * identical BIGINTs in both engines under the 6-dp round.
+    */
+  def gradientStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.imageTable(spark, dir).mapPartitions { rows =>
+      Multimodal.CodecInit.ready
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val px = img.getRaster.getSamples(0, 0, w, h, 0, null: Array[Int])
+        var tot = 0L; var mx = 0
+        var row = 0
+        while (row < h) {
+          var c = 0
+          while (c < w - 1) {
+            val d = math.abs(px(row * w + c + 1) - px(row * w + c))
+            tot += d; if (d > mx) mx = d
+            c += 1
+          }
+          row += 1
+        }
+        GradStats(r.doc_id, h * (w - 1), tot, mx)
+      }
+    }.toDF()
+      .select(col("doc_id"), col("n_pairs"), col("total_abs"),
+        round(col("total_abs").cast("double") / col("n_pairs"), 6).as("mean_grad"),
+        col("max_grad"))
+      .orderBy("doc_id")
+  }
+
+  /** Same md5-chain pixel rebuild; row-major adjacency via lead() with
+    * the last column of each row excluded.
+    */
+  val oracleGradientStats: String =
+    """WITH px AS (
+      |  SELECT doc_id, (8 + doc_id % 9)::INT AS width, i,
+      |         ('0x' || substr(md5(doc_id || ':' || (i // 16)),
+      |                         (i % 16) * 2 + 1, 2))::BIGINT AS px
+      |  FROM documents,
+      |       LATERAL (SELECT unnest(range((8 + doc_id % 9) * (8 + doc_id % 7))) AS i) t),
+      |g AS (
+      |  SELECT doc_id, width, i,
+      |         abs(lead(px) OVER (PARTITION BY doc_id ORDER BY i) - px) AS d
+      |  FROM px),
+      |f AS (SELECT doc_id, d FROM g WHERE d IS NOT NULL AND i % width <> width - 1)
+      |SELECT doc_id, count(*)::INT AS n_pairs, sum(d)::BIGINT AS total_abs,
+      |  round(sum(d)::DOUBLE / count(*), 6) AS mean_grad, max(d)::INT AS max_grad
+      |FROM f GROUP BY 1
+      |ORDER BY doc_id""".stripMargin
+
   /** Same md5-chain pixel rebuild, folded per level then per doc. */
   val oracleLumStats: String =
     """WITH px AS (

@@ -988,4 +988,158 @@ object Similarity {
        |JOIN nsq qb ON qb.split = d.split_b
        |ORDER BY split_a, split_b""".stripMargin
   }
+
+  // -- d64: kNN-graph reciprocity ----------------------------------------------
+
+  val KnnK = 5
+  val KnnSampleMod = 4
+
+  /** d64 — mutual-kNN reciprocity over a fixed probe panel: build the
+    * exact k-nearest-neighbour digraph on every 4th vector and measure,
+    * per node, its in-degree and how many of its k out-edges are
+    * RECIPROCATED. A healthy embedding space is locally symmetric
+    * (reciprocity near 1); hubness — a few points appearing in
+    * everyone's top-k while reciprocating almost nothing — is the
+    * classic symptom of anisotropic/collapsed representations
+    * (Radovanović et al. 2010) and predicts bad ANN recall before any
+    * index is built. Complements d40 (which audits the INDEX against
+    * exact top-k; this audits the SPACE itself).
+    *
+    * Scale shape: the panel is a deterministic fixed-rate sample — the
+    * diagnostic's cost is panel², independent of how the corpus grows
+    * around it, and the panel side broadcasts so candidates never
+    * shuffle (the d06 shape). At full scale the same statistic runs on
+    * d08's IVF top-k instead of the exact panel; the exact panel IS the
+    * calibration for that, the same way d40 calibrates recall.
+    */
+  def knnReciprocity(spark: SparkSession, dir: String): DataFrame = {
+    val panel = Tables.embeddings(spark, dir)
+      .filter(pmod(col("vec_id"), lit(KnnSampleMod.toLong)) === 0)
+    val left = panel.select(col("vec_id").as("u"), col("embedding").as("eu"))
+    val right = panel.select(col("vec_id").as("v"), col("embedding").as("ev"))
+    val w = Window.partitionBy("u").orderBy(col("score").desc, col("v"))
+    val edges = left.crossJoin(broadcast(right))
+      .filter(col("u") =!= col("v"))
+      .select(col("u"), col("v"),
+        round(cosineSimilarity(col("eu"), col("ev")), 6).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KnnK)
+      .select("u", "v")
+      .persist() // feeds out-deg, in-deg AND both sides of the mutual join
+    val outDeg = edges.groupBy("u").agg(count(lit(1)).as("out_deg"))
+    val inDeg = edges.groupBy(col("v").as("u")).agg(count(lit(1)).as("in_deg"))
+    val mutual = edges
+      .join(edges.select(col("v").as("u"), col("u").as("v")), Seq("u", "v"), "leftsemi")
+      .groupBy("u").agg(count(lit(1)).as("n_mutual"))
+    panel.select(col("vec_id").as("u"))
+      .join(outDeg, Seq("u"), "left")
+      .join(inDeg, Seq("u"), "left")
+      .join(mutual, Seq("u"), "left")
+      .select(col("u").as("vec_id"),
+        col("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"),
+        expr("coalesce(n_mutual, 0L) * 1000 DIV out_deg").as("recip_pm"))
+      .orderBy("vec_id")
+  }
+
+  val oracleKnnReciprocity: String =
+    s"""WITH s AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id % $KnnSampleMod = 0),
+       |sc AS (
+       |  SELECT a.vec_id AS u, b.vec_id AS v,
+       |         round(list_cosine_similarity(
+       |           a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+       |  FROM s a JOIN s b ON a.vec_id <> b.vec_id),
+       |e AS (
+       |  SELECT u, v FROM (
+       |    SELECT u, v,
+       |           row_number() OVER (PARTITION BY u ORDER BY score DESC, v) AS rk
+       |    FROM sc)
+       |  WHERE rk <= $KnnK),
+       |od AS (SELECT u, count(*)::BIGINT AS out_deg FROM e GROUP BY 1),
+       |idg AS (SELECT v AS u, count(*)::BIGINT AS in_deg FROM e GROUP BY 1),
+       |m AS (
+       |  SELECT e.u, count(*)::BIGINT AS n_mutual
+       |  FROM e JOIN e r ON e.u = r.v AND e.v = r.u GROUP BY 1)
+       |SELECT s.vec_id, od.out_deg,
+       |  COALESCE(idg.in_deg, 0)::BIGINT AS in_deg,
+       |  COALESCE(m.n_mutual, 0)::BIGINT AS n_mutual,
+       |  (COALESCE(m.n_mutual, 0) * 1000 // od.out_deg)::BIGINT AS recip_pm
+       |FROM s
+       |LEFT JOIN od ON od.u = s.vec_id
+       |LEFT JOIN idg ON idg.u = s.vec_id
+       |LEFT JOIN m ON m.u = s.vec_id
+       |ORDER BY vec_id""".stripMargin
+
+  // -- d65: per-label anisotropy -----------------------------------------------
+
+  /** d65 — representation-collapse check per label: the anisotropy
+    * ratio `|Σx|² / (n·Σ|x|²)` (= ‖mean‖²/E‖x‖², cosine-regime version
+    * of Ethayarajh 2019's anisotropy measure) plus the single dimension
+    * carrying the most centroid mass and its share. A label whose
+    * vectors all point the same way (ratio → 1) or whose mean is
+    * dominated by one rogue dimension is a collapsed / mis-scaled
+    * cluster — caught here before it poisons every cosine-based dedup
+    * and ANN pass downstream.
+    *
+    * Parity: per-dimension sums quantize to longs (the d63 Lloyd
+    * trick) so partials are exact in both engines; the two 64-term
+    * double folds (Σs², and the quotient) ride the 6-dp round exactly
+    * as d63's cosine fold does. Σq² stays a BIGINT.
+    *
+    * Scale shape: ONE corpus pass — posexplode + (label, dim)-keyed
+    * hash agg with map-side partials down to |labels|×64 rows;
+    * everything after lives on that bounded relation. |labels| rows out.
+    */
+  def labelAnisotropy(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val dims = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+        floor(col("x").cast("double") * QuantScale + lit(0.5)).cast("long").as("q"))
+      .groupBy("label", "pos")
+      .agg(sum("q").as("s"), sum(col("q") * col("q")).as("qq"))
+      .persist() // feeds the per-label fold AND the top-dim window
+    val agg = dims.groupBy("label")
+      .agg(sum(col("s").cast("double") * col("s")).as("ssq"),
+        sum("qq").as("qsum"))
+    val wTop = Window.partitionBy("label").orderBy(abs(col("s")).desc, col("pos"))
+    val top = dims.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") === 1)
+      .select(col("label"), col("pos").as("top_dim"), col("s").as("s_top"))
+    val counts = emb.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+    agg.join(top, Seq("label")).join(broadcast(counts), Seq("label"))
+      .select(col("label"), col("n_vecs"), col("top_dim"),
+        round(col("s_top").cast("double") * col("s_top") / col("ssq"), 6)
+          .as("top_share"),
+        round(col("ssq") / (col("n_vecs").cast("double") * col("qsum")), 6)
+          .as("anisotropy"))
+      .orderBy("label")
+  }
+
+  val oracleLabelAnisotropy: String =
+    s"""WITH x AS (
+       |  SELECT label, i AS pos,
+       |         CAST(floor(embedding[i + 1]::DOUBLE * $QuantScale + 0.5) AS BIGINT) AS q
+       |  FROM embeddings, LATERAL (SELECT unnest(range($Dim)) AS i) t),
+       |d AS (
+       |  SELECT label, pos, sum(q)::BIGINT AS s, sum(q * q)::BIGINT AS qq
+       |  FROM x GROUP BY 1, 2),
+       |n AS (SELECT label, count(*)::BIGINT AS n_vecs FROM embeddings GROUP BY 1),
+       |a AS (
+       |  SELECT label, sum(s::DOUBLE * s) AS ssq, sum(qq)::BIGINT AS qsum
+       |  FROM d GROUP BY 1),
+       |top AS (
+       |  SELECT label, pos AS top_dim, s FROM (
+       |    SELECT label, pos, s,
+       |           row_number() OVER (PARTITION BY label ORDER BY abs(s) DESC, pos) AS rk
+       |    FROM d)
+       |  WHERE rk = 1)
+       |SELECT a.label, n.n_vecs, top.top_dim::INT AS top_dim,
+       |  round(top.s::DOUBLE * top.s / a.ssq, 6) AS top_share,
+       |  round(a.ssq / (n.n_vecs::DOUBLE * a.qsum), 6) AS anisotropy
+       |FROM a JOIN n USING (label) JOIN top USING (label)
+       |ORDER BY label""".stripMargin
 }

@@ -327,7 +327,7 @@ object TextStats {
 
   // ---- DuckDB oracles -------------------------------------------------------
 
-  private[llm] val toksSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  private[graft] val toksSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
   private def markerCountSql(markers: Seq[String]): String =
     s"len(list_filter($toksSql, t -> t IN (${markers.map(m => s"'$m'").mkString(", ")})))::INT"
@@ -1107,4 +1107,51 @@ object TextStats {
        |GROUP BY 1, 2
        |ORDER BY doc_id""".stripMargin
   }
+
+  // -- t35: Simpson lexical diversity per language --------------------------------
+
+  /** t35 — per-language Simpson (inverse-participation) lexical
+    * diversity: `inv_simpson = n² / Σc²` over the language's term
+    * counts — the "effective vocabulary" a sampler sees (a language
+    * whose mass sits on a handful of boilerplate terms has
+    * inv_simpson ≪ vocab even when raw vocab looks healthy). The
+    * log-free complement of t29's Shannon entropy: Σc² is an exact
+    * BIGINT, so the diversity ratio is a quotient of identical
+    * integers in both engines — no transcendental anywhere.
+    *
+    * `eff_ratio = n² / (Σc²·vocab)` ∈ (0, 1] normalizes by vocabulary
+    * size (1 = perfectly uniform usage).
+    *
+    * Scale shape: two hash aggregates with map-side partials —
+    * (lang, word) counts then a per-lang fold — and |langs| result
+    * rows. Nothing shuffles but the count partials; at 100 TB this is
+    * the same one-pass profile as t29.
+    */
+  def simpsonDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("c"))
+      .groupBy("lang")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .select(col("lang"), col("n_tokens"), col("vocab"), col("sum_sq"),
+        round(col("n_tokens").cast("double") * col("n_tokens") / col("sum_sq"), 6)
+          .as("inv_simpson"),
+        round(col("n_tokens").cast("double") * col("n_tokens")
+          / (col("sum_sq") * col("vocab")), 6).as("eff_ratio"))
+      .orderBy("lang")
+
+  val oracleSimpsonDiversity: String =
+    s"""WITH t AS (
+       |  SELECT lang, unnest($toksSql) AS w FROM documents),
+       |c AS (SELECT lang, w, count(*) AS c FROM t GROUP BY 1, 2),
+       |a AS (
+       |  SELECT lang, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
+       |         sum(c * c)::BIGINT AS sum_sq
+       |  FROM c GROUP BY 1)
+       |SELECT lang, n_tokens, vocab, sum_sq,
+       |  round(n_tokens::DOUBLE * n_tokens / sum_sq, 6) AS inv_simpson,
+       |  round(n_tokens::DOUBLE * n_tokens / (sum_sq * vocab), 6) AS eff_ratio
+       |FROM a
+       |ORDER BY lang""".stripMargin
 }

@@ -505,4 +505,158 @@ class CorpusEvalSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "fixture must produce at least one leak alert")
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("t34: TextRank equals a driver-side exact integer power iteration") {
+    import graft.llm.{Graph, TextRank}
+    // driver replay of the fixed-point recurrence on the same graph
+    val edges0 = collectedDocs.flatMap { d =>
+      val ws = toks(d._3)
+      ws.zip(ws.drop(1)).filter { case (a, b) => a != b }
+        .map { case (a, b) => if (a < b) (a, b) else (b, a) }
+    }.distinct
+    val sym = edges0 ++ edges0.map(_.swap)
+    val deg = sym.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nodes = deg.keys.toSeq.sorted
+    val n = nodes.size.toLong
+    val tele = (Graph.PrScale * 15L / 100L) / n
+    var r = nodes.map(_ -> Graph.PrScale / n).toMap
+    (1 to Graph.PrIters).foreach { _ =>
+      val in = sym.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+      r = nodes.map(id => id -> (tele + 85L * in.getOrElse(id, 0L) / 100L)).toMap
+    }
+    val want = r.toSeq.sortBy { case (w, pr) => (-pr, w) }.take(TextRank.TopK)
+    val got = TextRank.keywords(spark, sf).collect()
+    assert(got.length == math.min(TextRank.TopK, n).toInt)
+    got.zip(want).zipWithIndex.foreach { case ((g, (ww, wpr)), i) =>
+      assert(g.getString(0) == ww && g.getLong(2) == wpr && g.getInt(3) == i + 1,
+        s"rank ${i + 1}: got (${g.getString(0)}, ${g.getLong(2)}) want ($ww, $wpr)")
+      assert(g.getLong(1) == deg(ww), s"deg of $ww")
+    }
+    // total mass is conserved up to truncation leak: n·tele + 85% of total
+    assert(r.values.sum <= Graph.PrScale && r.values.sum > Graph.PrScale * 9L / 10L)
+  }
+
+  test("t35: Simpson diversity matches a driver-side exact recompute") {
+    val got = TextStats.simpsonDiversity(spark, sf).collect()
+    val byLang = collectedDocs.groupBy(_._2)
+    assert(got.map(_.getString(0)).toSeq == byLang.keys.toSeq.sorted)
+    got.foreach { r =>
+      val counts = byLang(r.getString(0)).flatMap(d => toks(d._3))
+        .groupBy(identity).view.mapValues(_.size.toLong).values.toSeq
+      val (nt, v, ss) = (counts.sum, counts.size.toLong, counts.map(c => c * c).sum)
+      assert(r.getLong(1) == nt && r.getLong(2) == v && r.getLong(3) == ss)
+      assert(math.abs(r.getDouble(4) - nt.toDouble * nt / ss) < 1e-5)
+      assert(math.abs(r.getDouble(5) - nt.toDouble * nt / (ss * v)) < 1e-5)
+      // inv_simpson is bounded by the vocabulary it spreads over
+      assert(r.getDouble(4) >= 1.0 && r.getDouble(4) <= v.toDouble + 1e-9)
+    }
+  }
+
+  test("d64: kNN reciprocity matches a driver-side exact recompute") {
+    val panel = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .filter(_._1 % Similarity.KnnSampleMod == 0)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      (0 until Similarity.Dim).foreach { i =>
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      dot / math.sqrt(na * nb)
+    }
+    def r6(d: Double): Double =
+      new java.math.BigDecimal(d).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val edges = panel.flatMap { case (u, eu) =>
+      panel.filter(_._1 != u)
+        .map { case (v, ev) => (v, r6(cos(eu, ev))) }
+        .sortBy { case (v, s) => (-s, v) }
+        .take(Similarity.KnnK).map { case (v, _) => (u, v) }
+    }.toSet
+    val got = Similarity.knnReciprocity(spark, sf).collect()
+    assert(got.length == panel.length)
+    got.foreach { r =>
+      val u = r.getLong(0)
+      val out = edges.filter(_._1 == u)
+      val in = edges.count(_._2 == u).toLong
+      val mut = out.count { case (_, v) => edges.contains((v, u)) }.toLong
+      assert(r.getLong(1) == out.size.toLong && r.getLong(2) == in &&
+        r.getLong(3) == mut && r.getLong(4) == mut * 1000L / out.size, s"node $u")
+    }
+    // the panel must exercise asymmetry (hubness), not a trivial all-mutual graph
+    assert(got.exists(_.getLong(4) < 1000L))
+    assert(got.map(_.getLong(3)).sum > 0L)
+  }
+
+  test("d65: label anisotropy matches a driver-side quantized recompute") {
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val got = Similarity.labelAnisotropy(spark, sf).collect()
+    assert(got.map(_.getInt(0)).toSeq == emb.map(_._3).distinct.sorted.toSeq)
+    got.foreach { r =>
+      val vs = emb.filter(_._3 == r.getInt(0))
+      val s = new Array[Long](Similarity.Dim)
+      var qsum = 0L
+      vs.foreach { v =>
+        (0 until Similarity.Dim).foreach { i =>
+          val q = math.floor(v._2(i).toDouble * Similarity.QuantScale + 0.5).toLong
+          s(i) += q; qsum += q * q
+        }
+      }
+      val ssq = s.map(x => x.toDouble * x).sum
+      val topDim = (0 until Similarity.Dim).minBy(i => (-math.abs(s(i)), i))
+      assert(r.getLong(1) == vs.length.toLong, s"label ${r.getInt(0)} n_vecs")
+      assert(r.getInt(2) == topDim, s"label ${r.getInt(0)} top_dim")
+      assert(math.abs(r.getDouble(3) - s(topDim).toDouble * s(topDim) / ssq) < 1e-5)
+      assert(math.abs(r.getDouble(4) - ssq / (vs.length.toDouble * qsum)) < 1e-5)
+      // Cauchy-Schwarz: |Σx|² ≤ n·Σ|x|², so the ratio is a true fraction
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("m22: decoded gradient stats equal the md5-chain source pixels") {
+    import graft.llm.{ImageHist, Multimodal}
+    val got = ImageHist.gradientStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
+    collectedDocs.map(_._1).foreach { id =>
+      val w = 8 + (id % 9).toInt; val h = 8 + (id % 7).toInt
+      val px = Multimodal.pixelsOf(id, w, h)
+      var tot = 0L; var mx = 0
+      (0 until h).foreach { r =>
+        (0 until w - 1).foreach { c =>
+          val d = math.abs(px(r * w + c + 1) - px(r * w + c))
+          tot += d; if (d > mx) mx = d
+        }
+      }
+      val (gn, gt, gm, gx) = got(id)
+      assert(gn == h * (w - 1) && gt == tot && gx == mx, s"doc $id")
+      assert(math.abs(gm - tot.toDouble / (h * (w - 1))) < 1e-5, s"doc $id mean")
+    }
+  }
+
+  test("s27: streamed budget report is Kappa-equal to the one-shot prefix sum") {
+    val got = graft.streaming.StreamBudget.budgetIngest(spark, sf).collect()
+    val textOf = collectedDocs.map(d => d._1 -> d._3).toMap
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val grouped = docs.groupBy(_._2)
+    assert(got.map(_.getString(0)).toSeq == grouped.keys.toSeq.sorted)
+    got.foreach { r =>
+      val ds = grouped(r.getString(0)).map(_._1).sorted
+        .map(id => id -> toks(textOf(id)).size.toLong)
+      val total = ds.map(_._2).sum
+      val cums = ds.scanLeft(0L)(_ + _._2).drop(1)
+      val kept = cums.count(_ <= graft.streaming.StreamBudget.BudgetTokens).toLong
+      val cutoff = ds.zip(cums)
+        .find(_._2 > graft.streaming.StreamBudget.BudgetTokens).map(_._1._1)
+      assert(r.getLong(1) == ds.size.toLong && r.getLong(2) == total, s"${r.getString(0)} totals")
+      assert(r.getBoolean(3) == (total > graft.streaming.StreamBudget.BudgetTokens))
+      assert(r.getLong(4) == kept, s"${r.getString(0)} kept")
+      assert(Option(r.get(5)).map(_.asInstanceOf[Long]) == cutoff, s"${r.getString(0)} cutoff")
+    }
+    // the fixture must exercise both fates
+    assert(got.exists(_.getBoolean(3)) && got.exists(r => r.getLong(4) > 0L))
+  }
 }
