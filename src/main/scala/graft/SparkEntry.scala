@@ -175,6 +175,9 @@ object SparkEntry {
     "d65_label_anisotropy"  -> (llm.Similarity.labelAnisotropy(_, _)),
     "m22_sharpness"         -> (llm.ImageHist.gradientStats(_, _)),
     "s27_stream_budget"     -> (streaming.StreamBudget.budgetIngest(_, _)),
+    "d66_conductance"       -> (llm.Graph.conductance(_, _)),
+    "t36_char_entropy"      -> (llm.TextStats.charEntropy(_, _)),
+    "m23_frame_energy"      -> (llm.Multimodal.frameEnergy(_, _)),
     "d53_link_predict"      -> (llm.Graph.linkPredict(_, _)),
     "s19_stream_sketch"     -> (streaming.StreamSketch.cmsIngest(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
@@ -687,6 +690,9 @@ object SparkEntry {
     "d65_label_anisotropy"  -> llm.Similarity.oracleLabelAnisotropy,
     "m22_sharpness"         -> llm.ImageHist.oracleGradientStats,
     "s27_stream_budget"     -> streaming.StreamBudget.oracleBudgetIngest,
+    "d66_conductance"       -> llm.Graph.oracleConductance,
+    "t36_char_entropy"      -> llm.TextStats.oracleCharEntropy,
+    "m23_frame_energy"      -> llm.Multimodal.oracleFrameEnergy,
     "d53_link_predict"      -> llm.Graph.oracleLinkPredict,
     "s19_stream_sketch"     -> streaming.StreamSketch.oracleCmsIngest,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,

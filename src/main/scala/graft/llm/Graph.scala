@@ -554,6 +554,21 @@ object Graph {
     * (m_intra, m_cross — O(1) driver values, the d36 `n` precedent).
     */
   def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val (masses, m) = communityMasses(spark, dir)
+    masses
+      .withColumn("q_part",
+        col("e_in").cast("double") / lit(m) -
+          (col("d_sum") * col("d_sum")).cast("double") / lit(4L * m * m))
+      .orderBy("community")
+  }
+
+  /** Per-community exact member-level masses over the contracted
+    * graph: `(community, n_members, e_in, d_sum)` plus the member edge
+    * total m — the shared substrate of d54 (modularity) and d66
+    * (conductance). All BIGINTs via the contracted closed forms
+    * documented on [[modularity]].
+    */
+  private def communityMasses(spark: SparkSession, dir: String): (DataFrame, Long) = {
     val (verts0, edges0, _) = Dedup.contractedPairGraph(spark, dir)
     val v = verts0.toDF("id", "f").localCheckpoint()
     val e0 = edges0.toDF("u", "v").localCheckpoint()
@@ -572,7 +587,7 @@ object Graph {
       .join(v.select(col("id").as("v"), col("f").as("fv")), Seq("v"))
       .agg(coalesce(sum(col("fu") * col("fv")), lit(0L))).head.getLong(0)
     val m = mIntra + mCross
-    require(m > 0, "modularity needs a non-empty graph")
+    require(m > 0, "community masses need a non-empty graph")
     val cstat = lab.join(mdeg, Seq("id"))
       .groupBy("lab")
       .agg(sum("f").as("n_members"),
@@ -585,13 +600,41 @@ object Graph {
       .join(v.select(col("id").as("u"), col("f").as("fu")), Seq("u"))
       .join(v.select(col("id").as("v"), col("f").as("fv")), Seq("v"))
       .groupBy(col("lu").as("lab")).agg(sum(col("fu") * col("fv")).as("e_cross"))
-    cstat.join(eCross, Seq("lab"), "left")
+    val masses = cstat.join(eCross, Seq("lab"), "left")
       .select(col("lab").as("community"), col("n_members"),
         (col("e_intra") + coalesce(col("e_cross"), lit(0L))).as("e_in"),
         col("d_sum"))
-      .withColumn("q_part",
-        col("e_in").cast("double") / lit(m) -
-          (col("d_sum") * col("d_sum")).cast("double") / lit(4L * m * m))
+    (masses, m)
+  }
+
+  /** d66 — conductance of each d41 LPA community: `cut / min(vol,
+    * 2m − vol)` with `cut = d_sum − 2·e_in` boundary edges and
+    * `vol = d_sum` (Kannan, Vempala & Vetta 2004). Modularity (d54)
+    * asks "is this partition better than chance overall"; conductance
+    * asks, PER community, "how leaky is its boundary" — a
+    * keep-one-per-community curation decision is only safe for
+    * low-conductance communities (a leaky one is still exchanging
+    * near-dup mass with the rest of the graph, so dropping its members
+    * loses non-duplicate content). Near-zero cut with d54's q_part > 0
+    * is the green light; the ranked leaky tail is d34's tuning
+    * worklist.
+    *
+    * Determinism contract: cut/vol are the SAME exact BIGINTs d54
+    * emits (shared [[communityMasses]]); conductance is one division
+    * of identical integers — bit-identical across engines, NULL for
+    * the degenerate whole-graph community (denominator 0).
+    *
+    * Scale shape: identical to d54 — the contracted-graph LPA loop
+    * plus two keyed aggregates; |communities| rows out.
+    */
+  def conductance(spark: SparkSession, dir: String): DataFrame = {
+    val (masses, m) = communityMasses(spark, dir)
+    val denom = least(col("vol"), lit(2L * m) - col("vol"))
+    masses
+      .select(col("community"), col("n_members"), col("d_sum").as("vol"),
+        (col("d_sum") - lit(2L) * col("e_in")).as("cut"))
+      .withColumn("conductance",
+        when(denom > 0, col("cut").cast("double") / denom))
       .orderBy("community")
   }
 
@@ -621,6 +664,35 @@ object Graph {
        |       coalesce(e.e_in, 0)::DOUBLE / (SELECT m FROM mm) -
        |         (c.d_sum * c.d_sum)::DOUBLE /
        |         (4 * (SELECT m FROM mm) * (SELECT m FROM mm)) AS q_part
+       |FROM cstat c LEFT JOIN ein e USING (community)
+       |ORDER BY c.community""".stripMargin
+
+  /** d66's DuckDB replay: the d41 LPA unroll, then cut = vol − 2·e_in
+    * counted directly off the member-level pair relation (the d54
+    * aggregation-order twin).
+    */
+  val oracleConductance: String =
+    s"""WITH $lpaCteSql,
+       |deg2 AS (SELECT u AS id, count(*) AS deg FROM edges GROUP BY 1),
+       |mm AS (SELECT count(*) AS m FROM pairs),
+       |cstat AS (
+       |  SELECT l.lab AS community, count(*) AS n_members,
+       |         sum(d.deg)::BIGINT AS vol
+       |  FROM lab$LpaRounds l JOIN deg2 d ON d.id = l.id
+       |  GROUP BY 1),
+       |ein AS (
+       |  SELECT la.lab AS community, count(*) AS e_in
+       |  FROM pairs p
+       |  JOIN lab$LpaRounds la ON la.id = p.id_a
+       |  JOIN lab$LpaRounds lb ON lb.id = p.id_b
+       |  WHERE la.lab = lb.lab
+       |  GROUP BY 1)
+       |SELECT c.community, c.n_members, c.vol,
+       |  (c.vol - 2 * coalesce(e.e_in, 0))::BIGINT AS cut,
+       |  CASE WHEN least(c.vol, 2 * (SELECT m FROM mm) - c.vol) > 0
+       |       THEN (c.vol - 2 * coalesce(e.e_in, 0))::DOUBLE
+       |            / least(c.vol, 2 * (SELECT m FROM mm) - c.vol)
+       |  END AS conductance
        |FROM cstat c LEFT JOIN ein e USING (community)
        |ORDER BY c.community""".stripMargin
 

@@ -617,6 +617,84 @@ object Multimodal {
        |  md5(string_agg(v::VARCHAR, ',' ORDER BY i)) AS samples_md5
        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -- m23: frame-energy dynamic range -----------------------------------------
+
+  /** Samples per m23 energy frame (32 @ 8 kHz = 4 ms). */
+  val EnergyFrame = 32
+
+  case class FrameEnergy(doc_id: Long, n_frames: Int, e_min: Long, e_max: Long,
+                         e_total: Long)
+
+  /** m23 — frame-energy dynamic range over the decoded PCM: per
+    * document, the per-[[EnergyFrame]] energy extremes (Σv² per full
+    * frame, trailing partial frame dropped) and their ratio. The
+    * loudness-profile filter an audio ingest runs next to m20
+    * (clipping) and m14 (silence): a near-1 dynamic range is
+    * constant-energy tone/noise, an extreme ratio is a mastering
+    * defect — both drop signals that per-sample stats (m04) average
+    * away. Same real JDK WAV decode, same blobs-never-shuffle shape:
+    * the frame fold runs where the bytes live and one fixed-width row
+    * leaves the task.
+    *
+    * Frame energies are exact BIGINTs, so `dyn_range` is a quotient of
+    * identical integers in both engines under the 6-dp round (NULL for
+    * an all-zero quietest frame).
+    */
+  def frameEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioTable(spark, dir).mapPartitions { rows =>
+      val readers = audioReaders()
+      rows.map { r =>
+        val in = readAudio(readers, r.media)
+        val n = in.getFrameLength.toInt
+        val pcm = in.readAllBytes()
+        val nf = n / EnergyFrame
+        var eMin = Long.MaxValue; var eMax = Long.MinValue; var tot = 0L
+        var f = 0
+        while (f < nf) {
+          var e = 0L
+          var i = f * EnergyFrame
+          val end = i + EnergyFrame
+          while (i < end) {
+            val v = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8))
+            e += v.toLong * v
+            i += 1
+          }
+          if (e < eMin) eMin = e
+          if (e > eMax) eMax = e
+          tot += e
+          f += 1
+        }
+        FrameEnergy(r.doc_id, nf, eMin, eMax, tot)
+      }
+    }.toDF()
+      .select(col("doc_id"), col("n_frames"), col("e_min"), col("e_max"),
+        col("e_total"),
+        when(col("e_min") > 0,
+          round(col("e_max").cast("double") / col("e_min"), 6)).as("dyn_range"))
+      .orderBy("doc_id")
+  }
+
+  /** Same md5-chain sample rebuild as m04's oracle, folded per frame. */
+  val oracleFrameEnergy: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, i,
+       |    ('0x' || substr(md5(doc_id || ':a:' || (i // 8)),
+       |                    (i % 8) * 4 + 1, 4))::INT - 32768 AS v
+       |  FROM documents,
+       |       LATERAL (SELECT unnest(range(160 + doc_id % 97)) AS i) t),
+       |fr AS (
+       |  SELECT doc_id, i // $EnergyFrame AS f, sum(v::BIGINT * v)::BIGINT AS e
+       |  FROM s
+       |  WHERE i // $EnergyFrame < (160 + doc_id % 97) // $EnergyFrame
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, count(*)::INT AS n_frames,
+       |  min(e)::BIGINT AS e_min, max(e)::BIGINT AS e_max,
+       |  sum(e)::BIGINT AS e_total,
+       |  CASE WHEN min(e) > 0 THEN round(max(e)::DOUBLE / min(e), 6) END AS dyn_range
+       |FROM fr GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // -- m20: clipping detection over the decoded PCM ---------------------------
 
   /** |sample| at or above this counts as clipped (~92% of full scale —

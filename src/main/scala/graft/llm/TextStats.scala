@@ -1141,6 +1141,49 @@ object TextStats {
           / (col("sum_sq") * col("vocab")), 6).as("eff_ratio"))
       .orderBy("lang")
 
+  // -- t36: per-document character entropy -----------------------------------
+
+  /** t36 — per-document character-level Shannon entropy plus the
+    * distinct-character count: the junk filter that catches what word
+    * statistics can't see (a doc of one repeated character scores near
+    * 0 bits; binary noise pushed through a text column scores near the
+    * alphabet ceiling — both are drop signals in a CCNet/Gopher-style
+    * rule stack, and both can carry healthy-LOOKING token counts).
+    * The per-DOCUMENT complement of t29's corpus-level word entropy,
+    * at character granularity like t30's mojibake scan.
+    *
+    * Parity: the level counts are exact integers; the Σc·log2(c) fold
+    * rides the 6-dp round exactly as m21's identically-shaped raster
+    * entropy does. One explode + two hash aggregates, map-side
+    * partials, |docs| rows out — per-doc character histograms never
+    * leave their aggregate.
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val chars = call_function("regexp_extract_all", col("text"), lit("."), lit(0))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(chars).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_read"), count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("double") * log2(col("c"))).as("clog"))
+      .select(col("doc_id"), col("n_read"), col("n_distinct"),
+        round(log2(col("n_read")) - col("clog") / col("n_read"), 6).as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  val oracleCharEntropy: String =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch FROM documents),
+      |c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+      |a AS (
+      |  SELECT doc_id, sum(c)::BIGINT AS n_read, count(*)::BIGINT AS n_distinct,
+      |         sum(c::DOUBLE * log2(c)) AS clog
+      |  FROM c GROUP BY 1)
+      |SELECT doc_id, n_read, n_distinct,
+      |  round(log2(n_read) - clog / n_read, 6) AS entropy
+      |FROM a
+      |ORDER BY doc_id""".stripMargin
+
   val oracleSimpsonDiversity: String =
     s"""WITH t AS (
        |  SELECT lang, unnest($toksSql) AS w FROM documents),

@@ -375,6 +375,35 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(out.sameElements(again))
   }
 
+  test("d66 conductance: exact identities against d54's masses") {
+    val cond = Graph.conductance(spark, SparkTestBase.Sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val mod = Graph.modularity(spark, SparkTestBase.Sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(cond.keySet == mod.keySet && cond.nonEmpty)
+    // vol sums to 2m (every member-edge endpoint counted once)
+    val vols = cond.values.map(_.getLong(2)).sum
+    assert(vols % 2 == 0, "Σvol must be even (= 2m)")
+    val m = vols / 2
+    // Σcut double-counts each cross-community edge, so it is even too
+    assert(cond.values.map(_.getLong(3)).sum % 2 == 0)
+    cond.foreach { case (c, r) =>
+      val (nm, vol, cut) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val md = mod(c)
+      assert(nm == md.getLong(1), s"community $c n_members")
+      // cut = d_sum − 2·e_in, vol = d_sum — the shared-masses identity
+      assert(vol == md.getLong(3), s"community $c vol")
+      assert(cut == md.getLong(3) - 2 * md.getLong(2), s"community $c cut")
+      val denom = math.min(vol, 2 * m - vol)
+      if (denom > 0) {
+        assert(r.getDouble(4) == cut.toDouble / denom, s"community $c phi")
+        assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, s"community $c range")
+      } else assert(r.isNullAt(4), s"community $c degenerate phi")
+    }
+    // the near-dup graph has real clusters: some boundary must be tight
+    assert(cond.values.exists(_.getLong(3) == 0L), "expected at least one zero-cut community")
+  }
+
   test("k-core engine loop runs past the oracle unroll bound (deep peel chain)") {
     // P_n^2 (path square) peels one vertex per end per round at k = 3 —
     // a 44-vertex chain needs ~21 rounds, far past KCoreRounds = 12.

@@ -659,4 +659,41 @@ class CorpusEvalSpec extends AnyFunSuite {
     // the fixture must exercise both fates
     assert(got.exists(_.getBoolean(3)) && got.exists(r => r.getLong(4) > 0L))
   }
+
+  test("t36: per-doc char entropy matches a driver-side exact recompute") {
+    val got = TextStats.charEntropy(spark, sf).collect()
+    val want = collectedDocs.map(d => d._1 -> d._3).toMap
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val cs = want(r.getLong(0)).toSeq.groupBy(identity).view
+        .mapValues(_.size.toLong).values.toSeq
+      val n = cs.sum
+      val ent = (math.log(n.toDouble) - cs.map(c => c * math.log(c.toDouble)).sum / n) /
+        math.log(2.0)
+      assert(r.getLong(1) == n && r.getLong(2) == cs.size.toLong, s"doc ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(3) - ent) < 1e-5, s"doc ${r.getLong(0)} entropy")
+      // 0 ≤ H ≤ log2(distinct levels)
+      assert(r.getDouble(3) >= 0.0 &&
+        r.getDouble(3) <= math.log(cs.size.toDouble) / math.log(2.0) + 1e-9)
+    }
+  }
+
+  test("m23: decoded frame energies equal the md5-chain source samples") {
+    import graft.llm.Multimodal
+    val got = Multimodal.frameEnergy(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    collectedDocs.map(_._1).foreach { id =>
+      val n = 160 + (id % 97).toInt
+      val vs = Multimodal.samplesOf(id, n)
+      val es = vs.grouped(Multimodal.EnergyFrame).filter(_.length == Multimodal.EnergyFrame)
+        .map(_.map(v => v.toLong * v).sum).toSeq
+      val (gn, gmin, gmax, gtot, gdr) = got(id)
+      assert(gn == es.size && gmin == es.min && gmax == es.max && gtot == es.sum, s"doc $id")
+      if (es.min > 0)
+        assert(math.abs(gdr.get - es.max.toDouble / es.min) < 1e-5, s"doc $id dyn_range")
+      else assert(gdr.isEmpty, s"doc $id null dyn_range")
+    }
+  }
 }
