@@ -992,29 +992,41 @@ object Similarity {
   // -- d64: kNN-graph reciprocity ----------------------------------------------
 
   val KnnK = 5
-  val KnnSampleMod = 4
+
+  /** Target probe-panel size for d64: the sampling step is derived
+    * from the corpus count (`⌈n/512⌉`), so the panel stays ~512 nodes
+    * no matter how the corpus grows — the diagnostic's panel² cost is
+    * CONSTANT, not corpus-quadratic (the first cut used a fixed 1-in-4
+    * rate and measured 0.4 s → 16 s at 8× docs; a fixed-SIZE panel is
+    * the only shape that survives 100 TB).
+    */
+  val KnnPanelTarget = 512L
 
   /** d64 — mutual-kNN reciprocity over a fixed probe panel: build the
-    * exact k-nearest-neighbour digraph on every 4th vector and measure,
-    * per node, its in-degree and how many of its k out-edges are
-    * RECIPROCATED. A healthy embedding space is locally symmetric
-    * (reciprocity near 1); hubness — a few points appearing in
-    * everyone's top-k while reciprocating almost nothing — is the
+    * exact k-nearest-neighbour digraph on a deterministic ~[[KnnPanelTarget]]-node
+    * sample and measure, per node, its in-degree and how many of its k
+    * out-edges are RECIPROCATED. A healthy embedding space is locally
+    * symmetric (reciprocity near 1); hubness — a few points appearing
+    * in everyone's top-k while reciprocating almost nothing — is the
     * classic symptom of anisotropic/collapsed representations
     * (Radovanović et al. 2010) and predicts bad ANN recall before any
     * index is built. Complements d40 (which audits the INDEX against
     * exact top-k; this audits the SPACE itself).
     *
-    * Scale shape: the panel is a deterministic fixed-rate sample — the
-    * diagnostic's cost is panel², independent of how the corpus grows
-    * around it, and the panel side broadcasts so candidates never
-    * shuffle (the d06 shape). At full scale the same statistic runs on
-    * d08's IVF top-k instead of the exact panel; the exact panel IS the
-    * calibration for that, the same way d40 calibrates recall.
+    * Scale shape: the panel is a deterministic fixed-SIZE sample (step
+    * ⌈n/target⌉ over vec_id) — the diagnostic's cost is panel²,
+    * independent of how the corpus grows around it, and the panel side
+    * broadcasts so candidates never shuffle (the d06 shape). The only
+    * corpus-sized work is the count that picks the step. At full scale
+    * the same statistic runs on d08's IVF top-k instead of the exact
+    * panel; the exact panel IS the calibration for that, the same way
+    * d40 calibrates recall.
     */
   def knnReciprocity(spark: SparkSession, dir: String): DataFrame = {
-    val panel = Tables.embeddings(spark, dir)
-      .filter(pmod(col("vec_id"), lit(KnnSampleMod.toLong)) === 0)
+    val emb = Tables.embeddings(spark, dir)
+    // O(1) driver scalar (the d36 `n` precedent), deciding the step only
+    val step = (emb.count() + KnnPanelTarget - 1L) / KnnPanelTarget
+    val panel = emb.filter(pmod(col("vec_id"), lit(step)) === 0)
     val left = panel.select(col("vec_id").as("u"), col("embedding").as("eu"))
     val right = panel.select(col("vec_id").as("v"), col("embedding").as("ev"))
     val w = Window.partitionBy("u").orderBy(col("score").desc, col("v"))
@@ -1031,10 +1043,12 @@ object Similarity {
     val mutual = edges
       .join(edges.select(col("v").as("u"), col("u").as("v")), Seq("u", "v"), "leftsemi")
       .groupBy("u").agg(count(lit(1)).as("n_mutual"))
+    // every side is panel-bounded (≤ ~KnnPanelTarget rows) — broadcast
+    // the report joins so none plans as a sort-merge exchange pair
     panel.select(col("vec_id").as("u"))
-      .join(outDeg, Seq("u"), "left")
-      .join(inDeg, Seq("u"), "left")
-      .join(mutual, Seq("u"), "left")
+      .join(broadcast(outDeg), Seq("u"), "left")
+      .join(broadcast(inDeg), Seq("u"), "left")
+      .join(broadcast(mutual), Seq("u"), "left")
       .select(col("u").as("vec_id"),
         col("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"),
@@ -1044,9 +1058,12 @@ object Similarity {
   }
 
   val oracleKnnReciprocity: String =
-    s"""WITH s AS (
+    s"""WITH st AS (
+       |  SELECT (count(*) + $KnnPanelTarget - 1) // $KnnPanelTarget AS step
+       |  FROM embeddings),
+       |s AS (
        |  SELECT vec_id, embedding FROM embeddings
-       |  WHERE vec_id % $KnnSampleMod = 0),
+       |  WHERE vec_id % (SELECT step FROM st) = 0),
        |sc AS (
        |  SELECT a.vec_id AS u, b.vec_id AS v,
        |         round(list_cosine_similarity(

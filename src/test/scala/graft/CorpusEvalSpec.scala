@@ -554,10 +554,11 @@ class CorpusEvalSpec extends AnyFunSuite {
   }
 
   test("d64: kNN reciprocity matches a driver-side exact recompute") {
-    val panel = Tables.embeddings(spark, sf)
+    val all = Tables.embeddings(spark, sf)
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .filter(_._1 % Similarity.KnnSampleMod == 0)
+    val step = (all.length + Similarity.KnnPanelTarget - 1) / Similarity.KnnPanelTarget
+    val panel = all.filter(_._1 % step == 0)
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       (0 until Similarity.Dim).foreach { i =>
