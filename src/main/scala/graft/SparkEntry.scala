@@ -178,6 +178,8 @@ object SparkEntry {
     "d66_conductance"       -> (llm.Graph.conductance(_, _)),
     "t36_char_entropy"      -> (llm.TextStats.charEntropy(_, _)),
     "m23_frame_energy"      -> (llm.Multimodal.frameEnergy(_, _)),
+    "d67_label_outliers"    -> (llm.Similarity.labelOutliers(_, _)),
+    "d68_lexical_drift"     -> (llm.Sampling.lexicalDrift(_, _)),
     "d53_link_predict"      -> (llm.Graph.linkPredict(_, _)),
     "s19_stream_sketch"     -> (streaming.StreamSketch.cmsIngest(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
@@ -693,6 +695,8 @@ object SparkEntry {
     "d66_conductance"       -> llm.Graph.oracleConductance,
     "t36_char_entropy"      -> llm.TextStats.oracleCharEntropy,
     "m23_frame_energy"      -> llm.Multimodal.oracleFrameEnergy,
+    "d67_label_outliers"    -> llm.Similarity.oracleLabelOutliers,
+    "d68_lexical_drift"     -> llm.Sampling.oracleLexicalDrift,
     "d53_link_predict"      -> llm.Graph.oracleLinkPredict,
     "s19_stream_sketch"     -> streaming.StreamSketch.oracleCmsIngest,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,

@@ -671,4 +671,108 @@ object Sampling {
        |GROUP BY rate_bps
        |ORDER BY rate_bps""".stripMargin
   }
+
+  // -- d68: lexical split drift (Jensen-Shannon) --------------------------------
+
+  /** d68 — lexical drift between the d13 splits: the Jensen-Shannon
+    * divergence between every split pair's unigram distributions, plus
+    * the single most-drifted term. Completes the split-drift triptych —
+    * d57 tests the LENGTH distribution (scalar KS), d63 the EMBEDDING
+    * centroids, d68 the VOCABULARY USAGE: an eval split can pass both
+    * and still over-represent a topic's terms, which this catches
+    * (JSD is bounded [0,1] in bits and symmetric, the standard corpus
+    * drift number).
+    *
+    * Parity: counts and totals are exact BIGINTs; per-term
+    * probabilities are identical rationals, and the ~vocab-sized
+    * Σ p·log2(2p/(p+q)) fold rides the 6-dp round (the m21/d65 log2
+    * convention). The top term is argmax of the EXACT cross-multiplied
+    * gap |c_a·N_b − c_b·N_a| (tiebreak term ASC) with its per-million
+    * probability gap in integer arithmetic — no float in the ranking.
+    *
+    * Scale shape: one corpus pass to (split, word) counts (two-level
+    * hash agg, map-side partials); the pair grid lives on the
+    * vocab-bounded relation (|pairs|×|vocab| rows), totals broadcast.
+    * 3 result rows.
+    */
+  def lexicalDrift(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextStats.tokens(col("text"))
+    val counts = Tables.documents(spark, dir)
+      .withColumn("split", splitCol(col("doc_id")))
+      .select(col("split"), explode(toks).as("w"))
+      .groupBy("split", "w").agg(count(lit(1)).as("c"))
+      .persist() // feeds totals, the vocab grid and both pair legs
+    val totals = counts.groupBy("split").agg(sum("c").as("n"))
+    val prs = totals.select(col("split").as("split_a"), col("n").as("n_a"))
+      .join(totals.select(col("split").as("split_b"), col("n").as("n_b")),
+        col("split_a") < col("split_b"))
+    val vocab = counts.select("w").distinct()
+    val grid = prs.crossJoin(broadcast(vocab))
+      .join(broadcast(counts.select(col("split").as("split_a"), col("w"), col("c").as("ca"))),
+        Seq("split_a", "w"), "left")
+      .join(broadcast(counts.select(col("split").as("split_b"), col("w"), col("c").as("cb"))),
+        Seq("split_b", "w"), "left")
+      .select(col("split_a"), col("split_b"), col("n_a"), col("n_b"), col("w"),
+        coalesce(col("ca"), lit(0L)).as("ca"), coalesce(col("cb"), lit(0L)).as("cb"))
+      .where(col("ca") + col("cb") > 0)
+    val pa = col("ca").cast("double") / col("n_a")
+    val pb = col("cb").cast("double") / col("n_b")
+    val term =
+      when(col("ca") > 0, pa * log2(lit(2.0) * pa / (pa + pb))).otherwise(lit(0.0)) +
+      when(col("cb") > 0, pb * log2(lit(2.0) * pb / (pa + pb))).otherwise(lit(0.0))
+    val gap = abs(col("ca") * col("n_b") - col("cb") * col("n_a"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("split_a", "split_b").orderBy(gap.desc, col("w"))
+    val top = grid.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+      .select(col("split_a"), col("split_b"), col("w").as("top_term"),
+        expr("abs(ca * n_b - cb * n_a) * 1000000 DIV (n_a * n_b)").as("top_gap_ppm"))
+    grid.groupBy("split_a", "split_b", "n_a", "n_b")
+      .agg(round(sum(term) / 2.0, 6).as("jsd"))
+      .join(top, Seq("split_a", "split_b"))
+      .select("split_a", "split_b", "n_a", "n_b", "jsd", "top_term", "top_gap_ppm")
+      .orderBy("split_a", "split_b")
+  }
+
+  lazy val oracleLexicalDrift: String = {
+    val splitCase = splitCaseSql("doc_id")
+    val toks = TextStats.toksSql
+    s"""WITH d AS (
+       |  SELECT $splitCase AS split, unnest($toks) AS w FROM documents),
+       |c AS (SELECT split, w, count(*)::BIGINT AS c FROM d GROUP BY 1, 2),
+       |n AS (SELECT split, sum(c)::BIGINT AS n FROM c GROUP BY 1),
+       |pr AS (
+       |  SELECT a.split AS split_a, b.split AS split_b, a.n AS n_a, b.n AS n_b
+       |  FROM n a JOIN n b ON a.split < b.split),
+       |v AS (SELECT DISTINCT w FROM c),
+       |g AS (
+       |  SELECT pr.split_a, pr.split_b, pr.n_a, pr.n_b, v.w,
+       |         coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+       |  FROM pr CROSS JOIN v
+       |  LEFT JOIN c ca ON ca.split = pr.split_a AND ca.w = v.w
+       |  LEFT JOIN c cb ON cb.split = pr.split_b AND cb.w = v.w
+       |  WHERE coalesce(ca.c, 0) + coalesce(cb.c, 0) > 0),
+       |t AS (
+       |  SELECT split_a, split_b, n_a, n_b,
+       |    CASE WHEN ca > 0 THEN (ca::DOUBLE / n_a)
+       |         * log2(2.0 * (ca::DOUBLE / n_a) / ((ca::DOUBLE / n_a) + (cb::DOUBLE / n_b)))
+       |         ELSE 0.0 END +
+       |    CASE WHEN cb > 0 THEN (cb::DOUBLE / n_b)
+       |         * log2(2.0 * (cb::DOUBLE / n_b) / ((ca::DOUBLE / n_a) + (cb::DOUBLE / n_b)))
+       |         ELSE 0.0 END AS term,
+       |    abs(ca * n_b - cb * n_a) AS gap,
+       |    abs(ca * n_b - cb * n_a) * 1000000 // (n_a * n_b) AS gap_ppm, w
+       |  FROM g),
+       |top AS (
+       |  SELECT split_a, split_b, w AS top_term, gap_ppm AS top_gap_ppm FROM (
+       |    SELECT split_a, split_b, w, gap_ppm,
+       |           row_number() OVER (PARTITION BY split_a, split_b
+       |                              ORDER BY gap DESC, w) AS rn
+       |    FROM t) WHERE rn = 1)
+       |SELECT s.split_a, s.split_b, s.n_a, s.n_b, s.jsd, top.top_term, top.top_gap_ppm
+       |FROM (
+       |  SELECT split_a, split_b, n_a, n_b, round(sum(term) / 2.0, 6) AS jsd
+       |  FROM t GROUP BY 1, 2, 3, 4) s
+       |JOIN top USING (split_a, split_b)
+       |ORDER BY split_a, split_b""".stripMargin
+  }
 }

@@ -1110,14 +1110,20 @@ object Similarity {
     * hash agg with map-side partials down to |labels|×64 rows;
     * everything after lives on that bounded relation. |labels| rows out.
     */
+  /** Per-(label, dim) quantized component sums — the exact substrate
+    * shared by d65 (anisotropy) and d67 (outliers): `s = Σ⌊x·2²⁰+0.5⌋`
+    * and `qq = Σq²` over the label's members.
+    */
+  private def labelDims(emb: DataFrame): DataFrame = emb
+    .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+    .select(col("label"), col("pos"),
+      floor(col("x").cast("double") * QuantScale + lit(0.5)).cast("long").as("q"))
+    .groupBy("label", "pos")
+    .agg(sum("q").as("s"), sum(col("q") * col("q")).as("qq"))
+
   def labelAnisotropy(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val dims = emb
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .select(col("label"), col("pos"),
-        floor(col("x").cast("double") * QuantScale + lit(0.5)).cast("long").as("q"))
-      .groupBy("label", "pos")
-      .agg(sum("q").as("s"), sum(col("q") * col("q")).as("qq"))
+    val dims = labelDims(emb)
       .persist() // feeds the per-label fold AND the top-dim window
     val agg = dims.groupBy("label")
       .agg(sum(col("s").cast("double") * col("s")).as("ssq"),
@@ -1135,6 +1141,75 @@ object Similarity {
           .as("anisotropy"))
       .orderBy("label")
   }
+
+  // -- d67: per-label semantic outliers ----------------------------------------
+
+  /** Outliers reported per label (the cos-to-centroid bottom-k). */
+  val OutlierK = 5
+
+  /** d67 — semantic outlier / mislabel detection: for every label, the
+    * [[OutlierK]] members whose cosine to the LABEL CENTROID is lowest
+    * — the confident-learning-style cleanup list (a point far from its
+    * own label's centroid is mislabeled, an annotation error, or a
+    * genuine boundary case; all three are reviewed before the label is
+    * trusted by d56's negative mining or d58's purity pruning).
+    *
+    * Parity: cosine is scale-invariant, so the centroid can stay in
+    * QUANTIZED-SUM form — `dot = Σ q_x·S_label` and `|q_x|²` are exact
+    * BIGINTs, and only `|S|²` (d65's 64-term fold) is a double; the
+    * score is one division under the 6-dp round. Ranking is
+    * (cos ASC, vec_id) per label — engine-independent after rounding.
+    *
+    * Scale shape: the (label, dim) sum table is |labels|×64 and
+    * BROADCASTS; the corpus makes ONE posexplode pass whose
+    * (vec, label)-keyed partial agg collapses map-side (all 64 rows of
+    * a vector are adjacent), so the shuffle carries one row per
+    * vector. The bottom-k window runs per label on scored rows.
+    */
+  def labelOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val dims = labelDims(emb).persist() // feeds ssq AND the dot join
+    val ssq = dims.groupBy("label")
+      .agg(sum(col("s").cast("double") * col("s")).as("ssq"))
+    val pts = emb
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        floor(col("x").cast("double") * QuantScale + lit(0.5)).cast("long").as("q"))
+    val scored = pts
+      .join(broadcast(dims.select("label", "pos", "s")), Seq("label", "pos"))
+      .groupBy("vec_id", "label")
+      .agg(sum(col("q") * col("s")).as("dot"), sum(col("q") * col("q")).as("qq"))
+      .join(broadcast(ssq), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(col("dot").cast("double")
+          / sqrt(col("qq").cast("double") * col("ssq")), 6).as("cos_c"))
+    val w = Window.partitionBy("label").orderBy(col("cos_c").asc, col("vec_id"))
+    scored.withColumn("orank", row_number().over(w))
+      .filter(col("orank") <= OutlierK)
+      .orderBy("label", "orank")
+  }
+
+  val oracleLabelOutliers: String =
+    s"""WITH x AS (
+       |  SELECT vec_id, label, i AS pos,
+       |         CAST(floor(embedding[i + 1]::DOUBLE * $QuantScale + 0.5) AS BIGINT) AS q
+       |  FROM embeddings, LATERAL (SELECT unnest(range($Dim)) AS i) t),
+       |d AS (SELECT label, pos, sum(q)::BIGINT AS s FROM x GROUP BY 1, 2),
+       |nsq AS (SELECT label, sum(s::DOUBLE * s) AS ssq FROM d GROUP BY 1),
+       |p AS (
+       |  SELECT x.vec_id, x.label,
+       |         sum(x.q * d.s)::BIGINT AS dot, sum(x.q * x.q)::BIGINT AS qq
+       |  FROM x JOIN d ON d.label = x.label AND d.pos = x.pos
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT p.vec_id, p.label,
+       |         round(p.dot::DOUBLE / sqrt(p.qq::DOUBLE * n.ssq), 6) AS cos_c
+       |  FROM p JOIN nsq n USING (label))
+       |SELECT vec_id, label, cos_c,
+       |  CAST(row_number() OVER (PARTITION BY label ORDER BY cos_c, vec_id) AS INT) AS orank
+       |FROM sc
+       |QUALIFY orank <= $OutlierK
+       |ORDER BY label, orank""".stripMargin
 
   val oracleLabelAnisotropy: String =
     s"""WITH x AS (

@@ -679,6 +679,81 @@ class CorpusEvalSpec extends AnyFunSuite {
     }
   }
 
+  test("d67: label outliers match a driver-side quantized recompute") {
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def r6(d: Double): Double =
+      new java.math.BigDecimal(d).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val want = emb.groupBy(_._3).toSeq.sortBy(_._1).flatMap { case (lab, vs) =>
+      val s = new Array[Long](Similarity.Dim)
+      vs.foreach(v => (0 until Similarity.Dim).foreach { i =>
+        s(i) += math.floor(v._2(i).toDouble * Similarity.QuantScale + 0.5).toLong
+      })
+      val ssq = s.map(x => x.toDouble * x).sum
+      vs.map { v =>
+        var dot = 0L; var qq = 0L
+        (0 until Similarity.Dim).foreach { i =>
+          val q = math.floor(v._2(i).toDouble * Similarity.QuantScale + 0.5).toLong
+          dot += q * s(i); qq += q * q
+        }
+        (lab, v._1, r6(dot.toDouble / math.sqrt(qq.toDouble * ssq)))
+      }.sortBy { case (_, id, c) => (c, id) }
+        .take(Similarity.OutlierK).zipWithIndex
+        .map { case ((l, id, c), i) => (l, id, c, i + 1) }
+    }
+    val got = Similarity.labelOutliers(spark, sf).collect()
+      .map(r => (r.getInt(1), r.getLong(0), r.getDouble(2), r.getInt(3)))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._4 == w._4, s"row $g vs $w")
+      assert(math.abs(g._3 - w._3) < 1e-9, s"score $g vs $w")
+      // a member can never be anti-aligned with a centroid it is part of
+      // on this fixture; sanity-bound the score
+      assert(g._3 >= -1.0 - 1e-9 && g._3 <= 1.0 + 1e-9)
+    }
+    // outliers must genuinely sit below their label's typical alignment
+    assert(got.map(_._3).min < 1.0)
+  }
+
+  test("d68: lexical JSD matches a driver-side exact recompute") {
+    def split(id: Long): String = {
+      val b = TextHash.jvmHash(id.toString, Sampling.SplitSeed) % 100L
+      if (b < Sampling.TrainPct) "train"
+      else if (b < Sampling.TrainPct + Sampling.ValPct) "val" else "test"
+    }
+    val counts = collectedDocs.flatMap(d => toks(d._3).map(w => (split(d._1), w)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val splits = counts.keys.map(_._1).toSeq.distinct.sorted
+    val totals = splits.map(s =>
+      s -> counts.collect { case ((sp, _), c) if sp == s => c }.sum).toMap
+    val vocab = counts.keys.map(_._2).toSeq.distinct
+    val got = Sampling.lexicalDrift(spark, sf).collect()
+    val pairs = for (a <- splits; b <- splits if a < b) yield (a, b)
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSeq == pairs)
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (na, nb) = (totals(a), totals(b))
+      assert(r.getLong(2) == na && r.getLong(3) == nb)
+      val log2 = math.log(2.0)
+      var jsd = 0.0
+      var bestGap = -1L; var bestW = ""; var bestPpm = 0L
+      vocab.sorted.foreach { w =>
+        val ca = counts.getOrElse((a, w), 0L); val cb = counts.getOrElse((b, w), 0L)
+        if (ca + cb > 0) {
+          val pa = ca.toDouble / na; val pb = cb.toDouble / nb
+          if (ca > 0) jsd += pa * math.log(2.0 * pa / (pa + pb)) / log2
+          if (cb > 0) jsd += pb * math.log(2.0 * pb / (pa + pb)) / log2
+          val gap = math.abs(ca * nb - cb * na)
+          if (gap > bestGap) { bestGap = gap; bestW = w; bestPpm = gap * 1000000L / (na * nb) }
+        }
+      }
+      assert(math.abs(r.getDouble(4) - jsd / 2.0) < 1e-5, s"$a-$b jsd")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0 + 1e-9, s"$a-$b jsd range")
+      assert(r.getString(5) == bestW && r.getLong(6) == bestPpm, s"$a-$b top term")
+    }
+  }
+
   test("m23: decoded frame energies equal the md5-chain source samples") {
     import graft.llm.Multimodal
     val got = Multimodal.frameEnergy(spark, sf).collect()
