@@ -1108,6 +1108,68 @@ object TextStats {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -- t37: language-tag mismatch list ------------------------------------------
+
+  /** t37 — the per-document language-tag cleanup list: every document
+    * whose t01 marker-vote prediction DISAGREES with its `lang` tag,
+    * with both scores and the vote margin. t25 grades the classifier
+    * in aggregate (ppm confusion); this emits the actionable rows — a
+    * positive margin means the text really reads like the predicted
+    * language (a mislabeled tag, route to re-tag), a zero/low margin
+    * means the doc is marker-poor (route to the quality gate instead).
+    * The lexical sibling of d67's embedding-side mislabel list.
+    *
+    * Scale shape: ONE fused map-side pass (the t01/t25 shape — marker
+    * counts and the argmax vote are pure codegen projections); the
+    * mismatch filter prunes before the presentation sort, so only the
+    * cleanup list itself shuffles. Integer scores, total tiebreak
+    * order — no floats anywhere.
+    */
+  def langMismatch(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scoreCols = LangMarkers.map { case (lang, ms) =>
+      markerCount(toks, ms).as(s"score_$lang")
+    }
+    val tagScore = element_at(
+      map(LangMarkers.flatMap { case (l, _) => Seq(lit(l), col(s"score_$l")) }: _*),
+      col("lang"))
+    val predScore = element_at(
+      map(LangMarkers.flatMap { case (l, _) => Seq(lit(l), col(s"score_$l")) }: _*),
+      col("pred_lang"))
+    Tables.documents(spark, dir)
+      .select((col("doc_id") +: col("lang") +: scoreCols): _*)
+      .withColumn("pred_lang", predLangFromScores(l => col(s"score_$l")))
+      .where(col("pred_lang") =!= col("lang"))
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        // 0, not NULL, for a tag/prediction outside the marker set
+        // (t01 votes 'und' on marker-free docs): "no marker evidence"
+        coalesce(tagScore, lit(0)).as("score_tag"),
+        coalesce(predScore, lit(0)).as("score_pred"))
+      .withColumn("margin", col("score_pred") - col("score_tag"))
+      .orderBy("doc_id")
+  }
+
+  lazy val oracleLangMismatch: String = {
+    val langs = LangMarkers.map(_._1)
+    def scoreCase(of: String) =
+      s"CASE $of ${langs.map(l => s"WHEN '$l' THEN score_$l").mkString(" ")} ELSE 0 END"
+    s"""WITH s AS (
+       |  SELECT doc_id, lang,
+       |         $langScoreColsSql
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, lang, ${langs.map(l => s"score_$l").mkString(", ")},
+       |         $bestLangCaseSql AS pred_lang
+       |  FROM s)
+       |SELECT doc_id, lang, pred_lang,
+       |  ${scoreCase("lang")} AS score_tag,
+       |  ${scoreCase("pred_lang")} AS score_pred,
+       |  ${scoreCase("pred_lang")} - ${scoreCase("lang")} AS margin
+       |FROM p
+       |WHERE pred_lang <> lang
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // -- t35: Simpson lexical diversity per language --------------------------------
 
   /** t35 — per-language Simpson (inverse-participation) lexical

@@ -679,6 +679,28 @@ class CorpusEvalSpec extends AnyFunSuite {
     }
   }
 
+  test("t37: mismatch list is exactly t01's disagreement set, margins consistent") {
+    val preds = TextStats.langId(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(r.length - 1),
+          TextStats.LangMarkers.map(_._1).zipWithIndex
+            .map { case (l, i) => l -> r.getInt(i + 1) }.toMap)).toMap
+    val tags = collectedDocs.map(d => d._1 -> d._2).toMap
+    val want = preds.filter { case (id, (pred, _)) => pred != tags(id) }
+    val got = TextStats.langMismatch(spark, sf).collect()
+    assert(got.length == want.size && got.nonEmpty, "fixture must exercise mismatches")
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (pred, scores) = want(id)
+      assert(r.getString(1) == tags(id) && r.getString(2) == pred, s"doc $id")
+      val (st, sp) = (scores.getOrElse(tags(id), 0), scores.getOrElse(pred, 0))
+      assert(r.getInt(3) == st && r.getInt(4) == sp, s"doc $id scores")
+      assert(r.getInt(5) == sp - st, s"doc $id margin")
+      // pred is the argmax, so the margin can never be negative
+      assert(r.getInt(5) >= 0, s"doc $id argmax margin")
+    }
+  }
+
   test("d67: label outliers match a driver-side quantized recompute") {
     val emb = Tables.embeddings(spark, sf)
       .select("vec_id", "embedding", "label").collect()
