@@ -715,6 +715,7 @@ object Sampling {
       .select(col("split_a"), col("split_b"), col("n_a"), col("n_b"), col("w"),
         coalesce(col("ca"), lit(0L)).as("ca"), coalesce(col("cb"), lit(0L)).as("cb"))
       .where(col("ca") + col("cb") > 0)
+      .persist() // |pairs|×|vocab| rows, feeds both the JSD fold and the top window
     val pa = col("ca").cast("double") / col("n_a")
     val pb = col("cb").cast("double") / col("n_b")
     val term =
@@ -728,7 +729,7 @@ object Sampling {
         expr("abs(ca * n_b - cb * n_a) * 1000000 DIV (n_a * n_b)").as("top_gap_ppm"))
     grid.groupBy("split_a", "split_b", "n_a", "n_b")
       .agg(round(sum(term) / 2.0, 6).as("jsd"))
-      .join(top, Seq("split_a", "split_b"))
+      .join(broadcast(top), Seq("split_a", "split_b"))
       .select("split_a", "split_b", "n_a", "n_b", "jsd", "top_term", "top_gap_ppm")
       .orderBy("split_a", "split_b")
   }
