@@ -181,6 +181,7 @@ object SparkEntry {
     "d67_label_outliers"    -> (llm.Similarity.labelOutliers(_, _)),
     "d68_lexical_drift"     -> (llm.Sampling.lexicalDrift(_, _)),
     "t37_lang_mismatch"     -> (llm.TextStats.langMismatch(_, _)),
+    "d69_budget_select"     -> (llm.Sampling.budgetSelect(_, _)),
     "d53_link_predict"      -> (llm.Graph.linkPredict(_, _)),
     "s19_stream_sketch"     -> (streaming.StreamSketch.cmsIngest(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
@@ -699,6 +700,7 @@ object SparkEntry {
     "d67_label_outliers"    -> llm.Similarity.oracleLabelOutliers,
     "d68_lexical_drift"     -> llm.Sampling.oracleLexicalDrift,
     "t37_lang_mismatch"     -> llm.TextStats.oracleLangMismatch,
+    "d69_budget_select"     -> llm.Sampling.oracleBudgetSelect,
     "d53_link_predict"      -> llm.Graph.oracleLinkPredict,
     "s19_stream_sketch"     -> streaming.StreamSketch.oracleCmsIngest,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,

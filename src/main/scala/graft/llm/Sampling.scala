@@ -672,6 +672,91 @@ object Sampling {
        |ORDER BY rate_bps""".stripMargin
   }
 
+  // -- d69: budget-constrained quality selection ---------------------------------
+
+  /** Token budget for d69's selected slice. */
+  val SelBudget = 8192L
+
+  /** Id-range buckets for d69's distributed prefix sum (the d44 shape). */
+  val SelBuckets = 32L
+
+  /** d69 — budget-constrained quality selection: take documents in
+    * quality order (best first, doc_id tiebreak) until a token budget
+    * is exhausted — THE "train on the best N tokens" primitive that
+    * closes the loop between t02's scoring and d44's budget
+    * arithmetic. Quality is t02's composite re-emitted as an exact
+    * integer band (`q10 = 4·[n_tokens≥20] + 3·[stopword ratio] +
+    * 3·[token length] ∈ {0,3,4,6,7,10}`), so the global order
+    * (q10 DESC, doc_id) is integer-total and engine-independent.
+    *
+    * Scale shape — NO global sort, NO single-task window: the d44
+    * two-pass distributed prefix sum generalized to (band, id-range
+    * bucket): per-(q10, bucket) token totals (a tiny agg) fold into
+    * exclusive offsets on the |bands×buckets| relation, broadcast
+    * back, and each bucket computes its within-bucket running sum
+    * independently. Buckets are doc_id RANGES, so bucket-then-id
+    * order equals id order within a band; the budget filter prunes
+    * before the presentation sort.
+    */
+  def budgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextStats.tokens(col("text"))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).as("n_tok"),
+        aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+          .as("alnum"),
+        TextStats.markerCount(toks, TextStats.Stopwords).as("n_stop"))
+      .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+        (when(col("n_tok") >= 20, 4).otherwise(0)
+          + when((col("n_stop").cast("double") / col("n_tok")).between(0.05, 0.5), 3)
+            .otherwise(0)
+          + when((col("alnum").cast("double") / col("n_tok")).between(3.0, 10.0), 3)
+            .otherwise(0)).as("q10"))
+    val maxId = base.agg(max("doc_id")).head.getLong(0)
+    val span = maxId / SelBuckets + 1L
+    val withBucket = base.withColumn("bkt", expr(s"doc_id DIV $span"))
+    val totals = withBucket.groupBy("q10", "bkt").agg(sum("n_tok").as("t"))
+    // exclusive offsets over the tiny (bands × buckets) relation — the
+    // single-partition window is |bands·buckets| rows, never the corpus
+    val wOff = Window.orderBy(col("q10").desc, col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("off", coalesce(sum("t").over(wOff), lit(0L)))
+      .select("q10", "bkt", "off")
+    val wIn = Window.partitionBy("q10", "bkt").orderBy("doc_id")
+    withBucket.join(broadcast(offsets), Seq("q10", "bkt"))
+      .withColumn("cum_tokens", col("off") + sum("n_tok").over(wIn))
+      .where(col("cum_tokens") <= SelBudget)
+      .select("doc_id", "q10", "n_tok", "cum_tokens")
+      .orderBy("cum_tokens", "doc_id")
+  }
+
+  lazy val oracleBudgetSelect: String = {
+    val toks = TextStats.toksSql
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |         len($toks)::BIGINT AS n_tok,
+       |         list_sum(list_transform($toks, t -> length(t)))::INT AS alnum,
+       |         len(list_filter($toks,
+       |           t -> t IN (${TextStats.Stopwords.map(w => s"'$w'").mkString(", ")})))::INT AS n_stop
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, n_tok,
+       |    (CASE WHEN n_tok >= 20 THEN 4 ELSE 0 END
+       |     + CASE WHEN n_stop::DOUBLE / n_tok BETWEEN 0.05 AND 0.5 THEN 3 ELSE 0 END
+       |     + CASE WHEN alnum::DOUBLE / n_tok BETWEEN 3.0 AND 10.0 THEN 3 ELSE 0 END)::INT
+       |      AS q10
+       |  FROM s),
+       |c AS (
+       |  SELECT doc_id, q10, n_tok,
+       |         sum(n_tok) OVER (ORDER BY q10 DESC, doc_id) AS cum
+       |  FROM q)
+       |SELECT doc_id, q10, n_tok, cum::BIGINT AS cum_tokens
+       |FROM c WHERE cum <= $SelBudget
+       |ORDER BY cum_tokens, doc_id""".stripMargin
+  }
+
   // -- d68: lexical split drift (Jensen-Shannon) --------------------------------
 
   /** d68 — lexical drift between the d13 splits: the Jensen-Shannon

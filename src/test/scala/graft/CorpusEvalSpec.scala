@@ -701,6 +701,33 @@ class CorpusEvalSpec extends AnyFunSuite {
     }
   }
 
+  test("d69: budget selection equals a driver-side quality-prefix recompute") {
+    val docs = collectedDocs.map { d =>
+      val ts = toks(d._3)
+      val nStop = ts.count(TextStats.Stopwords.contains)
+      val alnum = ts.map(_.length).sum
+      val q10 = (if (ts.size >= 20) 4 else 0) +
+        (if (nStop.toDouble / ts.size >= 0.05 && nStop.toDouble / ts.size <= 0.5) 3 else 0) +
+        (if (alnum.toDouble / ts.size >= 3.0 && alnum.toDouble / ts.size <= 10.0) 3 else 0)
+      (d._1, q10, ts.size.toLong)
+    }
+    val ordered = docs.sortBy { case (id, q, _) => (-q, id) }
+    val want = ordered.scanLeft((0L, (0L, 0, 0L))) { case ((cum, _), d) => (cum + d._3, d) }
+      .drop(1).takeWhile(_._1 <= Sampling.SelBudget)
+      .map { case (cum, (id, q, nt)) => (id, q, nt, cum) }
+    val got = Sampling.budgetSelect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g vs $w") }
+    // the selection must be a true quality prefix: nothing unselected
+    // outranks anything selected under (q10 DESC, doc_id)
+    val selIds = got.map(_._1).toSet
+    val boundary = ordered.indexWhere(d => !selIds.contains(d._1))
+    assert(boundary == got.length, "selected rows are exactly the head of the order")
+    // budget actually binds on this fixture
+    assert(got.length < docs.length)
+  }
+
   test("d67: label outliers match a driver-side quantized recompute") {
     val emb = Tables.embeddings(spark, sf)
       .select("vec_id", "embedding", "label").collect()
