@@ -1170,6 +1170,67 @@ object TextStats {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -- t38: source-overlap matrix -------------------------------------------------
+
+  /** t38 — the source-overlap matrix: exact Jaccard similarity of the
+    * distinct-bigram SETS of every source pair. The mixture-design
+    * complement of d68 (which measures distributional drift between
+    * splits): two sources with high set overlap are redundant in a
+    * training mixture (d26/d52 should treat them as one pool), and a
+    * source overlapping nothing is the diversity an upsampler
+    * protects. Integer arithmetic end-to-end (∩ via one equi-join on
+    * the bigram key, ∪ = |A|+|B|−∩, Jaccard in exact per-million).
+    *
+    * Scale shape: one corpus pass explodes to (source, bigram),
+    * distinct folds it to the vocab²-bounded per-source set relation;
+    * the pair intersection is a bigram-keyed equi-join of that bounded
+    * relation with map-side partial counts — never all-pairs over
+    * docs. |sources|² result rows.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tokens(col("text"))
+    val bigrams = Tables.documents(spark, dir)
+      .select(col("source"), explode(zip_with(
+        slice(tok, lit(1), greatest(size(tok) - 1, lit(0))),
+        slice(tok, lit(2), greatest(size(tok) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("bi"))
+      .distinct()
+      .persist() // feeds the sizes AND both legs of the intersection join
+    val sizes = bigrams.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = bigrams.toDF("src_a", "bi")
+      .join(bigrams.toDF("src_b", "bi"), Seq("bi"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+    sizes.toDF("src_a", "n_a")
+      .join(sizes.toDF("src_b", "n_b"), col("src_a") < col("src_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("jaccard_ppm",
+        expr("n_common * 1000000 DIV (n_a + n_b - n_common)"))
+      .orderBy("src_a", "src_b")
+  }
+
+  lazy val oracleSourceOverlap: String =
+    s"""WITH d AS (SELECT source, $toksSql AS t FROM documents),
+       |bi AS (
+       |  SELECT DISTINCT source,
+       |         unnest([t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]) AS bi
+       |  FROM d),
+       |sz AS (SELECT source, count(*)::BIGINT AS n FROM bi GROUP BY 1),
+       |iv AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_common
+       |  FROM bi a JOIN bi b ON a.bi = b.bi AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT sa.source AS src_a, sb.source AS src_b, sa.n AS n_a, sb.n AS n_b,
+       |  coalesce(iv.n_common, 0)::BIGINT AS n_common,
+       |  (coalesce(iv.n_common, 0) * 1000000
+       |     // (sa.n + sb.n - coalesce(iv.n_common, 0)))::BIGINT AS jaccard_ppm
+       |FROM sz sa
+       |JOIN sz sb ON sa.source < sb.source
+       |LEFT JOIN iv ON iv.src_a = sa.source AND iv.src_b = sb.source
+       |ORDER BY src_a, src_b""".stripMargin
+
   // -- t35: Simpson lexical diversity per language --------------------------------
 
   /** t35 — per-language Simpson (inverse-participation) lexical

@@ -701,6 +701,31 @@ class CorpusEvalSpec extends AnyFunSuite {
     }
   }
 
+  test("t38: source-overlap Jaccard matches a driver-side set recompute") {
+    val srcOf = Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def bigrams(t: String): Set[String] = {
+      val ws = toks(t); ws.zip(ws.drop(1)).map { case (a, b) => s"$a $b" }.toSet
+    }
+    val sets = collectedDocs.groupBy(d => srcOf(d._1)).view
+      .mapValues(_.map(d => bigrams(d._3)).reduce(_ ++ _)).toMap
+    val srcs = sets.keys.toSeq.sorted
+    val got = TextStats.sourceOverlap(spark, sf).collect()
+    assert(got.length == srcs.size * (srcs.size - 1) / 2)
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (sa, sb) = (sets(a), sets(b))
+      val inter = (sa & sb).size.toLong
+      assert(r.getLong(2) == sa.size.toLong && r.getLong(3) == sb.size.toLong, s"$a-$b sizes")
+      assert(r.getLong(4) == inter, s"$a-$b intersection")
+      assert(r.getLong(5) == inter * 1000000L / (sa.size + sb.size - inter), s"$a-$b jaccard")
+    }
+    // the fixture's shared vocabulary must produce real overlap AND real variation
+    assert(got.exists(_.getLong(5) > 0L))
+    assert(got.map(_.getLong(5)).distinct.length > 1)
+  }
+
   test("d69: budget selection equals a driver-side quality-prefix recompute") {
     val docs = collectedDocs.map { d =>
       val ts = toks(d._3)
