@@ -183,6 +183,7 @@ object SparkEntry {
     "t37_lang_mismatch"     -> (llm.TextStats.langMismatch(_, _)),
     "d69_budget_select"     -> (llm.Sampling.budgetSelect(_, _)),
     "t38_source_overlap"    -> (llm.TextStats.sourceOverlap(_, _)),
+    "d70_cell_balance"      -> (llm.Similarity.cellBalance(_, _)),
     "d53_link_predict"      -> (llm.Graph.linkPredict(_, _)),
     "s19_stream_sketch"     -> (streaming.StreamSketch.cmsIngest(_, _)),
     "d37_allpairs_join"     -> (llm.Dedup.allPairsJoin(_, _)),
@@ -703,6 +704,7 @@ object SparkEntry {
     "t37_lang_mismatch"     -> llm.TextStats.oracleLangMismatch,
     "d69_budget_select"     -> llm.Sampling.oracleBudgetSelect,
     "t38_source_overlap"    -> llm.TextStats.oracleSourceOverlap,
+    "d70_cell_balance"      -> llm.Similarity.oracleCellBalance,
     "d53_link_predict"      -> llm.Graph.oracleLinkPredict,
     "s19_stream_sketch"     -> streaming.StreamSketch.oracleCmsIngest,
     "d37_allpairs_join" -> llm.Dedup.oracleAllPairsJoin,

@@ -1142,6 +1142,49 @@ object Similarity {
       .orderBy("label")
   }
 
+  // -- d70: IVF cell-balance audit ----------------------------------------------
+
+  /** d70 — IVF index balance audit: the per-cell population of the
+    * rank-1 Lloyd assignment, each cell's corpus share and its load
+    * factor vs the uniform ideal (n·k/N, in per-mille). The third leg
+    * of the index-health triad — d40 audits RECALL, d58 audits label
+    * PURITY, d70 audits BALANCE: a cell at several× the uniform load
+    * is the classic IVF failure (probe latency spikes and recall drops
+    * exactly on the hot cell), and empty cells mean wasted probes. At
+    * a billion vectors this report IS the re-train trigger for the
+    * coarse quantizer.
+    *
+    * Integer arithmetic throughout; empty cells are emitted with
+    * n_vecs = 0 (a LEFT join from the centroid list, not the members),
+    * because an empty cell is precisely the defect being audited.
+    */
+  def cellBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val members = cellRanked(spark, dir, Seq.empty)
+      .filter(col("crank") === 1)
+    val counts = members.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val n = Tables.embeddings(spark, dir).count()
+    val cells = lloydCentroids(spark, dir).map(_._1).toDF("cell")
+    cells.join(counts, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+      .withColumn("share_pm", expr(s"n_vecs * 1000 DIV $n"))
+      .withColumn("load_pm", expr(s"n_vecs * $NumCells * 1000 DIV $n"))
+      .orderBy("cell")
+  }
+
+  lazy val oracleCellBalance: String =
+    s"""WITH $lloydMembersSql,
+       |cn AS (SELECT cell, count(*)::BIGINT AS n_vecs FROM members GROUP BY 1),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+       |cl AS (SELECT unnest(range($NumCells)) AS cell)
+       |SELECT cl.cell::INT AS cell,
+       |  coalesce(cn.n_vecs, 0)::BIGINT AS n_vecs,
+       |  (coalesce(cn.n_vecs, 0) * 1000 // (SELECT n FROM nn))::BIGINT AS share_pm,
+       |  (coalesce(cn.n_vecs, 0) * $NumCells * 1000 // (SELECT n FROM nn))::BIGINT AS load_pm
+       |FROM cl LEFT JOIN cn ON cn.cell = cl.cell
+       |ORDER BY cell""".stripMargin
+
   // -- d67: per-label semantic outliers ----------------------------------------
 
   /** Outliers reported per label (the cos-to-centroid bottom-k). */

@@ -701,6 +701,23 @@ class CorpusEvalSpec extends AnyFunSuite {
     }
   }
 
+  test("d70: cell balance ties exactly to d58's rank-1 assignment") {
+    val bal = Similarity.cellBalance(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(bal.keySet == (0 until Similarity.NumCells).toSet, "one row per centroid, empty included")
+    val purity = Similarity.cellPurity(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = Tables.embeddings(spark, sf).count()
+    assert(bal.values.map(_._1).sum == n, "rank-1 assignment partitions the corpus")
+    bal.foreach { case (cell, (nv, share, load)) =>
+      assert(nv == purity.getOrElse(cell, 0L), s"cell $cell count vs d58")
+      assert(share == nv * 1000L / n && load == nv * Similarity.NumCells * 1000L / n,
+        s"cell $cell ratios")
+    }
+    // the audit must see real imbalance on this fixture, not uniform cells
+    assert(bal.values.map(_._3).max > 1000L, "some cell above uniform load")
+  }
+
   test("t38: source-overlap Jaccard matches a driver-side set recompute") {
     val srcOf = Tables.documents(spark, sf)
       .select("doc_id", "source").collect()
