@@ -1165,7 +1165,7 @@ object Similarity {
     val counts = members.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
     val n = Tables.embeddings(spark, dir).count()
     val cells = lloydCentroids(spark, dir).map(_._1).toDF("cell")
-    cells.join(counts, Seq("cell"), "left")
+    cells.join(broadcast(counts), Seq("cell"), "left")
       .select(col("cell"),
         coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
       .withColumn("share_pm", expr(s"n_vecs * 1000 DIV $n"))

@@ -1203,7 +1203,7 @@ object TextStats {
       .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
     sizes.toDF("src_a", "n_a")
       .join(sizes.toDF("src_b", "n_b"), col("src_a") < col("src_b"))
-      .join(inter, Seq("src_a", "src_b"), "left")
+      .join(broadcast(inter), Seq("src_a", "src_b"), "left")
       .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
         coalesce(col("n_common"), lit(0L)).as("n_common"))
       .withColumn("jaccard_ppm",
