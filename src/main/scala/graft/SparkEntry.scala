@@ -493,9 +493,10 @@ object SparkEntry {
     "d28_soft_dedup"        -> llm.Dedup.oracleSoftDedup,
     "d29_bloom_dedup"       -> llm.Dedup.oracleBloomIncrementalDedup,
     "t14_boilerplate"       -> llm.Curation.oracleBoilerplate,
-    // d16/d16b: the HLL estimate itself is engine-specific, so both
-    // queries gate the DECLARED 15% bound (and d16b the sketch-merge +
-    // subadditivity claims) — the raw estimate is pinned in TextPrepSpec
+    // d16/d16b: the gated estimate is a deterministic portable-hash KMV
+    // (estimate + 15% bound + d16b's sketch-merge/subadditivity claims
+    // all hash-match); the engine-native HLL++ twin stays off the gate
+    // (seed-fragile bound — round-7 red row) and is pinned in TextPrepSpec
     "d16_distinct_sketch"   -> llm.TextStats.oracleDistinctSketch,
     "d16b_sketch_bound"     -> llm.TextStats.oracleDistinctSketchBound,
     "d17_embed_quantize"    -> llm.Similarity.oracleEmbedQuantize,
