@@ -700,19 +700,13 @@ object Sampling {
     */
   def budgetSelect(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = TextStats.tokens(col("text"))
+    // q10 IS the shared t02/d52 band (TextStats.qualityLevel) — never
+    // re-spelled inline, so a tweak to the composite can't silently
+    // desynchronize d69 from the rest of the quality stack.
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        size(toks).as("n_tok"),
-        aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
-          .as("alnum"),
-        TextStats.markerCount(toks, TextStats.Stopwords).as("n_stop"))
-      .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
-        (when(col("n_tok") >= 20, 4).otherwise(0)
-          + when((col("n_stop").cast("double") / col("n_tok")).between(0.05, 0.5), 3)
-            .otherwise(0)
-          + when((col("alnum").cast("double") / col("n_tok")).between(3.0, 10.0), 3)
-            .otherwise(0)).as("q10"))
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tok"),
+        TextStats.qualityLevel(col("text")).as("q10"))
     val maxId = base.agg(max("doc_id")).head.getLong(0)
     val span = maxId / SelBuckets + 1L
     val withBucket = base.withColumn("bkt", expr(s"doc_id DIV $span"))
@@ -734,20 +728,11 @@ object Sampling {
 
   lazy val oracleBudgetSelect: String = {
     val toks = TextStats.toksSql
-    s"""WITH s AS (
+    s"""WITH q AS (
        |  SELECT doc_id,
        |         len($toks)::BIGINT AS n_tok,
-       |         list_sum(list_transform($toks, t -> length(t)))::INT AS alnum,
-       |         len(list_filter($toks,
-       |           t -> t IN (${TextStats.Stopwords.map(w => s"'$w'").mkString(", ")})))::INT AS n_stop
+       |         (${TextStats.qualityLevelSql})::INT AS q10
        |  FROM documents),
-       |q AS (
-       |  SELECT doc_id, n_tok,
-       |    (CASE WHEN n_tok >= 20 THEN 4 ELSE 0 END
-       |     + CASE WHEN n_stop::DOUBLE / n_tok BETWEEN 0.05 AND 0.5 THEN 3 ELSE 0 END
-       |     + CASE WHEN alnum::DOUBLE / n_tok BETWEEN 3.0 AND 10.0 THEN 3 ELSE 0 END)::INT
-       |      AS q10
-       |  FROM s),
        |c AS (
        |  SELECT doc_id, q10, n_tok,
        |         sum(n_tok) OVER (ORDER BY q10 DESC, doc_id) AS cum
@@ -772,8 +757,12 @@ object Sampling {
     * probabilities are identical rationals, and the ~vocab-sized
     * Σ p·log2(2p/(p+q)) fold rides the 6-dp round (the m21/d65 log2
     * convention). The top term is argmax of the EXACT cross-multiplied
-    * gap |c_a·N_b − c_b·N_a| (tiebreak term ASC) with its per-million
-    * probability gap in integer arithmetic — no float in the ranking.
+    * gap |c_a·N_b − c_b·N_a| (tiebreak term ASC) — no float in the
+    * RANKING; its operands are bounded by term-count × split-total,
+    * safe far past where a ×1e6 BIGINT product would overflow. The
+    * emitted per-million gap is presentation-only and derives from
+    * doubles (identical IEEE trees in both engines), keeping BIGINT
+    * products out of the ×1000000 step.
     *
     * Scale shape: one corpus pass to (split, word) counts (two-level
     * hash agg, map-side partials); the pair grid lives on the
@@ -809,9 +798,19 @@ object Sampling {
     val gap = abs(col("ca") * col("n_b") - col("cb") * col("n_a"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy("split_a", "split_b").orderBy(gap.desc, col("w"))
+    // ppm is PRESENTATION-only and derives from doubles: the BIGINT
+    // form `gap * 1000000 DIV (n_a*n_b)` overflows once per-split
+    // token counts pass ~3e9 (and the engines fail differently —
+    // Spark wraps, DuckDB raises). The RANKING stays on the exact
+    // integer gap, whose operands are bounded by c·N (a term count ×
+    // a split total — safe far past the corpus sizes where the ppm
+    // product already blew up; bound noted here per the d68 contract).
+    val ppm = floor(abs(col("ca").cast("double") * col("n_b").cast("double")
+        - col("cb").cast("double") * col("n_a").cast("double")) * 1e6
+      / (col("n_a").cast("double") * col("n_b").cast("double")))
     val top = grid.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
       .select(col("split_a"), col("split_b"), col("w").as("top_term"),
-        expr("abs(ca * n_b - cb * n_a) * 1000000 DIV (n_a * n_b)").as("top_gap_ppm"))
+        ppm.as("top_gap_ppm"))
     grid.groupBy("split_a", "split_b", "n_a", "n_b")
       .agg(round(sum(term) / 2.0, 6).as("jsd"))
       .join(broadcast(top), Seq("split_a", "split_b"))
@@ -846,7 +845,8 @@ object Sampling {
        |         * log2(2.0 * (cb::DOUBLE / n_b) / ((ca::DOUBLE / n_a) + (cb::DOUBLE / n_b)))
        |         ELSE 0.0 END AS term,
        |    abs(ca * n_b - cb * n_a) AS gap,
-       |    abs(ca * n_b - cb * n_a) * 1000000 // (n_a * n_b) AS gap_ppm, w
+       |    floor(abs(ca::DOUBLE * n_b::DOUBLE - cb::DOUBLE * n_a::DOUBLE)
+       |          * 1000000.0 / (n_a::DOUBLE * n_b::DOUBLE))::BIGINT AS gap_ppm, w
        |  FROM g),
        |top AS (
        |  SELECT split_a, split_b, w AS top_term, gap_ppm AS top_gap_ppm FROM (

@@ -1164,7 +1164,13 @@ object Similarity {
       .filter(col("crank") === 1)
     val counts = members.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
     val n = Tables.embeddings(spark, dir).count()
-    val cells = lloydCentroids(spark, dir).map(_._1).toDF("cell")
+    // ALL of 0 until NumCells unconditionally — the oracle's range()
+    // convention. Deriving the list from lloydCentroids diverges when
+    // a cell loses every member in some Lloyd round (or the corpus has
+    // < NumCells seeds): the centroid drops out of the surviving set
+    // while the oracle still emits the cell with n_vecs = 0 — and an
+    // empty cell is precisely the defect this audit reports.
+    val cells = (0 until NumCells).toDF("cell")
     cells.join(broadcast(counts), Seq("cell"), "left")
       .select(col("cell"),
         coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))

@@ -1290,8 +1290,13 @@ object TextStats {
       .join(broadcast(inter), Seq("src_a", "src_b"), "left")
       .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
         coalesce(col("n_common"), lit(0L)).as("n_common"))
+      // ppm from doubles (the d68 convention): `n_common * 1000000`
+      // in BIGINT overflows once a source holds ~9e12 distinct
+      // bigrams; presentation-only, so the double tree is fine and
+      // identical IEEE in both engines.
       .withColumn("jaccard_ppm",
-        expr("n_common * 1000000 DIV (n_a + n_b - n_common)"))
+        floor(col("n_common").cast("double") * 1e6
+          / (col("n_a") + col("n_b") - col("n_common")).cast("double")))
       .orderBy("src_a", "src_b")
   }
 
@@ -1308,8 +1313,8 @@ object TextStats {
        |  GROUP BY 1, 2)
        |SELECT sa.source AS src_a, sb.source AS src_b, sa.n AS n_a, sb.n AS n_b,
        |  coalesce(iv.n_common, 0)::BIGINT AS n_common,
-       |  (coalesce(iv.n_common, 0) * 1000000
-       |     // (sa.n + sb.n - coalesce(iv.n_common, 0)))::BIGINT AS jaccard_ppm
+       |  floor(coalesce(iv.n_common, 0)::DOUBLE * 1000000.0
+       |     / (sa.n + sb.n - coalesce(iv.n_common, 0))::DOUBLE)::BIGINT AS jaccard_ppm
        |FROM sz sa
        |JOIN sz sb ON sa.source < sb.source
        |LEFT JOIN iv ON iv.src_a = sa.source AND iv.src_b = sb.source
@@ -1366,7 +1371,12 @@ object TextStats {
     * leave their aggregate.
     */
   def charEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val chars = call_function("regexp_extract_all", col("text"), lit("."), lit(0))
+    // '[^\n]', not '.': Java regex '.' also excludes \r and the
+    // Unicode line separators (U+0085, U+2028, U+2029) while DuckDB's
+    // RE2 '.' excludes only \n — an explicit newline-complement class
+    // reads every non-\n char identically in both engines regardless
+    // of what line separators a doc carries.
+    val chars = call_function("regexp_extract_all", col("text"), lit("[^\\n]"), lit(0))
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(chars).as("ch"))
       .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
@@ -1380,7 +1390,7 @@ object TextStats {
 
   val oracleCharEntropy: String =
     """WITH ch AS (
-      |  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch FROM documents),
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '[^\n]')) AS ch FROM documents),
       |c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
       |a AS (
       |  SELECT doc_id, sum(c)::BIGINT AS n_read, count(*)::BIGINT AS n_distinct,
