@@ -851,6 +851,19 @@ object Similarity {
     */
   val LeakTau = 0.40
 
+  /** Above this many held-out rows the d61 probe side stops
+    * BROADCASTING (and s26 stops re-materializing it from driver
+    * memory): under the d13 hash-split rule the held-out side is a
+    * fixed FRACTION of the corpus, not a fixed-size eval set, so an
+    * unconditional broadcast grows linearly with data — the one
+    * scale-killer shape the round-7 audit found in the tree. Below
+    * the bound (~2 MB of vectors) broadcast is strictly best; above
+    * it the exact all-pairs runs as a partition-pair cartesian with
+    * BOTH sides distributed, so peak memory per task stays
+    * O(bound) and broadcast bytes stay flat at any corpus size.
+    */
+  val LeakBroadcastMaxRows = 8192L
+
   /** d61 — embedding-space train/held-out leakage (the semantic
     * counterpart of d18's n-gram decontamination): for every val/test
     * vector under the [[Sampling]] split rule, the EXACT max cosine
@@ -858,15 +871,30 @@ object Similarity {
     * the smallest id on the 6-dp rounded score), the count of train
     * vectors above [[LeakTau]], and the leak verdict.
     *
-    * Scale shape: a decontamination check's held-out side is small by
-    * construction (eval sets), so it broadcasts; the train corpus
-    * streams through in ONE map-side pass and the per-(held-out,
-    * partition) max/count partials fold in the hash aggregate before
-    * the only shuffle — O(n_heldout × n_partitions) partial rows, no
-    * train-side shuffle, no window over the cross product. The struct
-    * max carries (score, -train_id) so the argmax needs no second pass.
+    * Scale shape: the exact check is inherently |train|×|heldout|
+    * cosines; what must NOT grow with the corpus is driver/executor
+    * RESIDENT state. Below [[LeakBroadcastMaxRows]] the held-out side
+    * broadcasts and the train corpus streams through in ONE map-side
+    * pass; above it the join becomes a partition-pair cartesian
+    * (held-out re-chunked to ≤bound-row partitions, train spread by
+    * compute) — same arithmetic, no unbounded broadcast. Either way
+    * the per-(held-out, partition) max/count partials fold in the
+    * hash aggregate before the only shuffle, and the struct max
+    * carries (score, -train_id) so the argmax needs no second pass.
+    * (At production scale one would IVF-prune candidates first — d08's
+    * index — and keep this exact pass for the pruned survivors; the
+    * exact semantics gated here are the calibration for that.)
     */
-  def xsplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+  def xsplitLeakage(spark: SparkSession, dir: String): DataFrame =
+    xsplitLeakageBounded(spark, dir, LeakBroadcastMaxRows)
+
+  /** [[xsplitLeakage]] with an explicit broadcast bound — the spec
+    * forces the over-bound partition-pair cartesian branch on the
+    * gated fixture and asserts it is row-identical to the broadcast
+    * plan (the two branches must be plan-only variants of one query).
+    */
+  private[graft] def xsplitLeakageBounded(
+      spark: SparkSession, dir: String, maxRows: Long): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("split", Sampling.splitCol(col("vec_id")))
     val heldout = emb.filter(col("split") =!= "train")
@@ -882,7 +910,14 @@ object Similarity {
     val train = emb.filter(col("split") === "train")
       .select(col("vec_id").as("train_id"), col("embedding"))
       .repartition(spark.sparkContext.defaultParallelism * 2)
-    train.crossJoin(broadcast(heldout))
+    val nHeld = heldout.count() // one O(1) driver scalar (the d64 rule)
+    val probed =
+      if (nHeld <= maxRows) train.crossJoin(broadcast(heldout))
+      else {
+        val chunks = ((nHeld + maxRows - 1) / maxRows).toInt
+        train.crossJoin(heldout.repartition(chunks))
+      }
+    probed
       .select(col("test_vec_id"), col("split"), col("train_id"),
         round(cosineSimilarity(col("te"), col("embedding")), 6).as("score"))
       .groupBy("test_vec_id", "split")

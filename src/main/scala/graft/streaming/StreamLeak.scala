@@ -9,9 +9,11 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, S
 /** s26 — STREAMING eval-set protection: the continuous twin of d61's
   * batch decontamination. The TRAIN corpus arrives as ordered
   * micro-batches of embedding rows; the held-out (val/test) vectors
-  * are the small static side, collected once and broadcast into every
-  * trigger. Each batch scores its vectors against the full held-out
-  * set map-side and appends only the ALERT rows — (held-out id, split,
+  * are the static side, staged to parquet once and re-read into every
+  * trigger (broadcast only under [[graft.llm.Similarity.LeakBroadcastMaxRows]]
+  * — never collected to the driver, whose state stays O(1) however
+  * the corpus grows). Each batch scores its vectors against the full
+  * held-out set and appends only the ALERT rows — (held-out id, split,
   * offending train id, cosine) pairs at/above [[graft.llm.Similarity.LeakTau]]
   * — under the batch id (`overwrite` per batch: the s04/s11/s15
   * idempotent-retry convention). The reported relation folds the alert
@@ -23,11 +25,12 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, S
   * vector, same leak count. A dropped batch, a double-append, or a
   * drifted threshold breaks the hash.
   *
-  * Scale shape (100 TB): per trigger the work is batch-sized and
-  * shuffle-free — the held-out set broadcasts (eval sets are small by
-  * construction), scores fold map-side, and only rows that actually
-  * leak are ever written, so the alert log is O(true leaks), not
-  * O(corpus). The final fold is one keyed agg over that alert log.
+  * Scale shape (100 TB): per trigger the work is batch-sized — the
+  * held-out set broadcasts below the d61 bound and joins as a
+  * partition-pair cartesian above it, scores fold map-side, and only
+  * rows that actually leak are ever written, so the alert log is
+  * O(true leaks), not O(corpus). The final fold is one keyed agg over
+  * that alert log.
   */
 object StreamLeak {
 
@@ -66,15 +69,25 @@ object StreamLeak {
       fs.setTimes(dest, 1700000000000L + k * 60000L, -1)
     }
 
-    // driver-collected once (the broadcast-small premise of any
-    // decontamination check), re-materialized inside each trigger's
-    // session — a cross-session DataFrame reference would not be legal
-    val heldoutRows: Array[(Long, String, Seq[Float])] = {
-      import spark.implicits._
-      emb.filter(col("split") =!= "train")
-        .select(col("vec_id"), col("split"), col("embedding"))
-        .as[(Long, String, Seq[Float])].collect()
-    }
+    // staged to parquet ONCE, never collected: under the d13 split
+    // rule the held-out side is a fixed FRACTION of the corpus, so a
+    // driver collect grows linearly with data (the round-7 audit's
+    // one remaining scale-killer shape). Each trigger re-reads the
+    // staged relation in its own session (a cross-session DataFrame
+    // reference would not be legal) and broadcasts it only under the
+    // d61 bound — above it the probe joins as a partition-pair
+    // cartesian with both sides distributed, keeping per-task memory
+    // O(bound) and driver state O(1) at any corpus size.
+    val heldoutPath = s"$base/heldout"
+    emb.filter(col("split") =!= "train")
+      .select(col("vec_id").as("test_vec_id"), col("split"),
+        col("embedding").as("te"))
+      .write.parquet(heldoutPath)
+    val nHeld = spark.read.parquet(heldoutPath).count()
+    val broadcastHeldout = nHeld <= Similarity.LeakBroadcastMaxRows
+    val heldChunks =
+      ((nHeld + Similarity.LeakBroadcastMaxRows - 1)
+        / Similarity.LeakBroadcastMaxRows).toInt.max(1)
 
     val alertDir = s"$base/alerts"
     val q = ss.readStream.schema(vecSchema)
@@ -83,13 +96,15 @@ object StreamLeak {
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val s2 = batch.sparkSession
-        import s2.implicits._
-        val hdf = heldoutRows.toSeq.toDF("test_vec_id", "split", "te")
+        val held = s2.read.parquet(heldoutPath)
+        val hdf =
+          if (broadcastHeldout) broadcast(held)
+          else held.repartition(heldChunks)
         // compute-dense probe: spread the one-file micro-batch across
         // the executors before the |heldout|-cosines-per-row scan (the
         // d61/d35 rule — bytes-small is not compute-small)
         batch.repartition(s2.sparkContext.defaultParallelism * 2)
-          .crossJoin(broadcast(hdf))
+          .crossJoin(hdf)
           .select(col("test_vec_id"), col("split"),
             col("vec_id").as("train_id"),
             round(cosineSimilarity(col("te"), col("embedding")), 6).as("score"))

@@ -506,6 +506,18 @@ class CorpusEvalSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("d61: over-bound partition-pair cartesian branch equals the broadcast plan") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    val bcast = rows(Similarity.xsplitLeakage(spark, sf))
+    // bound of 16 forces the chunked non-broadcast path on the fixture
+    val chunked = rows(Similarity.xsplitLeakageBounded(spark, sf, 16L))
+    assert(bcast.nonEmpty)
+    assert(chunked == bcast,
+      "the two join strategies must be plan-only variants of one query")
+  }
+
   test("t34: TextRank equals a driver-side exact integer power iteration") {
     import graft.llm.{Graph, TextRank}
     // driver replay of the fixed-point recurrence on the same graph
