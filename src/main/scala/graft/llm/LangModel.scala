@@ -185,11 +185,14 @@ object LangModel {
     * probabilities — order-independent where the textbook per-token
     * log-prob sum is partition-order-dependent).
     *
-    * Scale shape (100 TB): identical to t12 — one explode, three hash
-    * aggregates build the count tables (each vocab-sized and
-    * pre-aggregated, so hot words never fan out), the type-count T is
-    * a one-row broadcast, then three shuffled equi-joins on word keys
-    * and one per-doc aggregate. No vocab broadcast assumption.
+    * Scale shape (100 TB): one explode, three hash aggregates build
+    * the count tables (each vocab-sized and pre-aggregated, so hot
+    * words never fan out), the type-count T is a one-row broadcast —
+    * and the scoring join runs at the (doc, DISTINCT bigram) grain,
+    * never per occurrence: a map-side partial agg folds each doc's
+    * bigram multiplicity k first, so the three word-keyed equi-joins
+    * move one row per distinct (doc, bigram) and the sums recover
+    * exactly as Σ k·f(w1,w2). No vocab broadcast assumption.
     */
   def knFamiliarity(spark: SparkSession, dir: String): DataFrame = {
     // bg feeds five subtrees (bc, cc+fan, cont, T, the scoring join) —
@@ -201,17 +204,29 @@ object LangModel {
       .agg(count(lit(1)).as("cc"), countDistinct("w2").as("fan"))
     val cont = occ.groupBy("w2").agg(countDistinct("w1").as("cont"))
     val types = bc.agg(count(lit(1)).as("t"))
-    val perDoc = bg.join(bc, Seq("w1", "w2"), "left")
+    // scoring join at the (doc, DISTINCT bigram) grain, not per
+    // occurrence: the joined values depend only on (w1, w2), so the
+    // per-doc multiplicity k folds in BEFORE the word-keyed shuffles —
+    // the groupBy's map-side partial combine means the three joins
+    // move one row per distinct (doc, bigram) instead of one per
+    // occurrence (template-heavy corpora repeat bigrams within a doc;
+    // at the 100×/16× doc-mass fixtures this was the steepest text-leg
+    // scaler). Sums recover exactly: Σ_occ f(w1,w2) = Σ_grain k·f.
+    // bg (not occ): explode_outer's null row keeps short docs in the
+    // grain so they emit with 0 bigrams / NULL sums, the oracle's
+    // LEFT-JOIN convention; null keys never match, left joins keep them
+    val grain = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+    val perDoc = grain.join(bc, Seq("w1", "w2"), "left")
       .join(cc, Seq("w1"), "left")
       .join(cont, Seq("w2"), "left")
       .crossJoin(broadcast(types))
       .groupBy("doc_id")
       .agg(
-        count(col("w1")).as("n_bigrams"),
-        sum(col("bc") * 4 - 3).as("sum_disc4"),
-        sum("cc").as("sum_ctx"),
-        sum("fan").as("sum_fan"),
-        sum("cont").as("sum_cont"),
+        sum(when(col("w1").isNotNull, col("k")).otherwise(0L)).as("n_bigrams"),
+        sum(col("k") * (col("bc") * 4 - 3)).as("sum_disc4"),
+        sum(col("k") * col("cc")).as("sum_ctx"),
+        sum(col("k") * col("fan")).as("sum_fan"),
+        sum(col("k") * col("cont")).as("sum_cont"),
         first("t").as("t"))
     val out = perDoc
       .withColumn("kn_direct",
