@@ -514,16 +514,62 @@ object Dedup {
       // the count fills the edge cache anyway; it also sizes the loop
       // width — ~500k edge rows per task, clamped to the session's
       // configured width so a large graph keeps full parallelism
-      val width = math.max(1L, math.min(sp0.toLong, edges.count() / 500000L + 1L))
-      sess.conf.set("spark.sql.shuffle.partitions", width.toString)
-      connectedComponentsLoop(edges)
+      val nSym = edges.count()
+      val longTyped = edges.schema.fields
+        .forall(_.dataType == org.apache.spark.sql.types.LongType)
+      if (longTyped && nSym <= 2L * CcDriverMaxEdges) {
+        // tiny-graph fast path: a batch-scale contracted graph (d32's
+        // is ~100 edges) pays ~8 Spark rounds of fixed job overhead in
+        // the loop; a driver union-find over a BOUNDED edge set (≤
+        // CcDriverMaxEdges, a few MB — the d61 threshold discipline)
+        // produces the identical min-label result in microseconds.
+        // Above the bound the distributed loop runs unconditionally.
+        val out = driverComponents(sess, edges.collect()
+          .map(r => (r.getLong(0), r.getLong(1))))
+        edges.unpersist()
+        out
+      } else {
+        val width = math.max(1L, math.min(sp0.toLong, nSym / 500000L + 1L))
+        sess.conf.set("spark.sql.shuffle.partitions", width.toString)
+        connectedComponentsLoop(edges)
+      }
     } finally {
       sess.conf.set("spark.sql.adaptive.enabled", aqe0)
       sess.conf.set("spark.sql.shuffle.partitions", sp0)
     }
   }
 
-  private def connectedComponentsLoop(edges: DataFrame): DataFrame = {
+  /** Edge bound for the [[connectedComponents]] driver fast path —
+    * collected state stays O(bound) regardless of corpus size.
+    */
+  private[graft] val CcDriverMaxEdges = 65536L
+
+  /** Min-label union-find over a collected edge list — the driver twin
+    * of [[connectedComponentsLoop]] (same contract: every vertex
+    * appearing in an edge, component = min vertex id; the spec asserts
+    * equality against the loop on the gated fixture).
+    */
+  private def driverComponents(
+      sess: org.apache.spark.sql.SparkSession, es: Array[(Long, Long)]): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    es.foreach { case (u, v) =>
+      parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    import sess.implicits._
+    parent.keysIterator.map(v => (v, find(v))).toSeq.sortBy(_._1)
+      .toDF("vertex", "component")
+  }
+
+  private[graft] def connectedComponentsLoop(edges: DataFrame): DataFrame = {
     var labels = edges.select(col("u").as("vertex")).distinct()
       .select(col("vertex"), col("vertex").as("component"))
       .localCheckpoint()
@@ -1636,6 +1682,19 @@ object Dedup {
     array(bandCols: _*)
   }
 
+  /** All three [[LshConfigs]] bandings of one minhash array in a
+    * single exploded relation — (cfg, band, band_hash) structs, 7 rows
+    * per doc — so the sweep's candidate generation is ONE band
+    * self-join keyed by (cfg, band, band_hash) instead of one join per
+    * config.
+    */
+  private def allCfgBandStructs(mh: Column): Column =
+    concat(LshConfigs.map { case (b, r) =>
+      transform(bandStructsCfg(mh, b, r),
+        s => struct(lit(b).as("cfg"), s.getField("band").as("band"),
+          s.getField("band_hash").as("band_hash")))
+    }: _*)
+
   /** d34 — LSH banding sensitivity: for each (bands × rows) split of
     * the same 16 minhashes, the candidate-pair count and the count
     * surviving exact-Jaccard verification — the precision/recall-cost
@@ -1669,33 +1728,48 @@ object Dedup {
     val mhDf = sh.join(sizes.withColumnRenamed("rep", "doc_id"), Seq("doc_id"))
       .select(col("doc_id"), col("f"), col("hs"),
         graft.expr.HashFunctions.minHash56(col("hs"), TextHash.minhashKeys(MinhashSeeds)).as("mh"))
-      .localCheckpoint() // one rep-level minhash pass feeds all three configs
-    val rows = LshConfigs.map { case (b, r) =>
-      val bands = mhDf.select(col("doc_id"),
-          explode(bandStructsCfg(col("mh"), b, r)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
-      val cand = bands.as("a").join(bands.as("b"),
+      .localCheckpoint() // one rep-level minhash pass feeds every config
+    // ONE band self-join for all three configs — (cfg, band, band_hash)
+    // keys the bucket — then candidates dedup to the PAIR level so the
+    // exact-Jaccard verify runs once per distinct rep pair, not once
+    // per (config, pair): cand(1,16) ⊆ cand(2,8) ⊆ cand(4,4), so the
+    // per-config loop re-verified most pairs up to 3×.
+    val bands = mhDf.select(col("doc_id"),
+        explode(allCfgBandStructs(col("mh"))).as("bb"))
+      .select(col("doc_id"), col("bb.cfg").as("cfg"),
+        col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.cfg") === col("b.cfg") &&
           col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
-        .join(mhDf.select(col("doc_id").as("id_a"), col("f").as("fa"), col("hs").as("ha")), Seq("id_a"))
-        .join(mhDf.select(col("doc_id").as("id_b"), col("f").as("fb"), col("hs").as("hb")), Seq("id_b"))
-        .select(col("ha"), col("hb"), (col("fa") * col("fb")).as("w"))
-        .localCheckpoint() // counted twice: raw and verified
-      val verified = cand
-        // ci_shingles arrays are staged sorted → the native two-pointer
-        // count, no per-row hash set or materialized intersection
-        .select(col("w"), graft.expr.VectorFunctions.sortedIntersectCount(
-            col("ha"), col("hb")).as("i"),
-          size(col("ha")).as("sa"), size(col("hb")).as("sb"))
-        .filter(col("i").cast("double") / (col("sa") + col("sb") - col("i"))
-          >= JaccardThreshold)
-      cand.agg((coalesce(sum("w"), lit(0L)) + lit(within)).as("n_candidates"))
-        .crossJoin(verified.agg((coalesce(sum("w"), lit(0L)) + lit(within)).as("n_verified")))
-        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
-          col("n_candidates"), col("n_verified"))
-    }
-    rows.reduce(_ unionByName _).orderBy("bands")
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.cfg").as("cfg"), col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+      .localCheckpoint() // feeds the pair dedup AND the per-cfg rollup
+    val verdicts = cand.select("id_a", "id_b").distinct()
+      .join(mhDf.select(col("doc_id").as("id_a"), col("f").as("fa"), col("hs").as("ha")), Seq("id_a"))
+      .join(mhDf.select(col("doc_id").as("id_b"), col("f").as("fb"), col("hs").as("hb")), Seq("id_b"))
+      // ci_shingles arrays are staged sorted → the native two-pointer
+      // count, no per-row hash set or materialized intersection
+      .select(col("id_a"), col("id_b"), (col("fa") * col("fb")).as("w"),
+        graft.expr.VectorFunctions.sortedIntersectCount(col("ha"), col("hb")).as("i"),
+        size(col("ha")).as("sa"), size(col("hb")).as("sb"))
+      .select(col("id_a"), col("id_b"), col("w"),
+        (col("i").cast("double") / (col("sa") + col("sb") - col("i"))
+          >= JaccardThreshold).as("ok"))
+      .localCheckpoint() // verify once; both rollup columns read it
+    val perCfg = cand.join(verdicts, Seq("id_a", "id_b"))
+      .groupBy("cfg")
+      .agg(sum("w").as("cross_cand"),
+        sum(when(col("ok"), col("w")).otherwise(0L)).as("cross_ver"))
+    // unconditional 3-row config spine: a config with zero cross-family
+    // candidates still reports (within-family mass is config-invariant)
+    import spark.implicits._
+    LshConfigs.toDF("bands", "rows_per_band")
+      .join(perCfg.withColumnRenamed("cfg", "bands"), Seq("bands"), "left")
+      .select(col("bands"), col("rows_per_band"),
+        (coalesce(col("cross_cand"), lit(0L)) + lit(within)).as("n_candidates"),
+        (coalesce(col("cross_ver"), lit(0L)) + lit(within)).as("n_verified"))
+      .orderBy("bands")
   }
 
   /** d34 oracle — the three bandings replayed from the same minhash

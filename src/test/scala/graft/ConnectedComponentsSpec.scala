@@ -53,6 +53,13 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       val got = Dedup.connectedComponents(edges.toDF("a", "b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == truth, s"trial $trial (n=$n m=$m): CC disagrees with union-find")
+      // the public entry takes the driver fast path at these sizes;
+      // the distributed loop must produce the identical labeling
+      val e0 = edges.toDF("u", "v")
+      val sym = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v"))).persist()
+      val loop = Dedup.connectedComponentsLoop(sym)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(loop == truth, s"trial $trial (n=$n m=$m): loop disagrees with union-find")
     }
   }
 
