@@ -116,6 +116,7 @@ object SparkEntry {
     "t18_perplexity"        -> (llm.LangModel.perplexityBuckets(_, _)),
     "t19_bm25"              -> (llm.Retrieval.bm25TopK(_, _)),
     "d40_ann_recall"        -> (llm.Similarity.annRecall(_, _)),
+    "d71_hnsw_ann"          -> (llm.GraphAnn.annHnsw(_, _)),
     "d41_lpa_communities"   -> (llm.Graph.labelPropagation(_, _)),
     "d42_kmv_overlap"       -> (llm.Sketch.kmvOverlap(_, _)),
     "d43_split_enforce"     -> (llm.Sampling.splitEnforce(_, _)),
@@ -638,6 +639,7 @@ object SparkEntry {
     "t18_perplexity"    -> llm.LangModel.oraclePerplexityBuckets,
     "t19_bm25"          -> llm.Retrieval.oracleBm25TopK,
     "d40_ann_recall"    -> llm.Similarity.oracleAnnRecall,
+    "d71_hnsw_ann"      -> llm.GraphAnn.oracleAnnHnsw,
     "d41_lpa_communities" -> llm.Graph.oracleLabelPropagation,
     "d42_kmv_overlap"   -> llm.Sketch.oracleKmvOverlap,
     "d43_split_enforce" -> llm.Sampling.oracleSplitEnforce,

@@ -55,7 +55,7 @@ object Similarity {
     ((TextHash.jvmHash(s"$p,$d", 7) % 2001L) - 1000L) / 1000.0
   }
 
-  private def bucketCol(embCol: String) = {
+  private[llm] def bucketCol(embCol: String) = {
     val dots = planes.map { plane =>
       aggregate(
         zip_with(col(embCol), typedlit(plane.toSeq), (x, y) => x * y),
@@ -191,7 +191,7 @@ object Similarity {
     * (embedding, label, none) without re-spelling the assignment —
     * the tie-break and scoring live in exactly one place.
     */
-  private def cellRanked(spark: SparkSession, dir: String, carry: Seq[String]): DataFrame = {
+  private[llm] def cellRanked(spark: SparkSession, dir: String, carry: Seq[String]): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
     val centroids = lloydCentroids(spark, dir).toDF("cell", "ce")
@@ -396,6 +396,7 @@ object Similarity {
       .unionByName(leg("d31_pq", Pq.annPq(spark, dir)))
       .unionByName(leg("d33_ivfpq", Pq.annIvfPq(spark, dir)))
       .unionByName(leg("d46_rerank", Pq.annIvfRerank(spark, dir)))
+      .unionByName(leg("d71_hnsw", GraphAnn.annHnsw(spark, dir)))
       .orderBy("method", "query_id")
   }
 
@@ -408,7 +409,8 @@ object Similarity {
     val legs = Seq(
       ("d07_lsh", oracleAnnLsh), ("d08_ivf", oracleAnnIvf),
       ("d31_pq", Pq.oracleAnnPq), ("d33_ivfpq", Pq.oracleAnnIvfPq),
-      ("d46_rerank", Pq.oracleAnnIvfRerank)).map { case (n, sql) =>
+      ("d46_rerank", Pq.oracleAnnIvfRerank),
+      ("d71_hnsw", GraphAnn.oracleAnnHnsw)).map { case (n, sql) =>
       s"""SELECT '$n' AS method, e.query_id, count(m.vec_id) AS n_hits
          |FROM exact e LEFT JOIN (SELECT query_id, vec_id FROM ($sql)) m
          |  ON m.query_id = e.query_id AND m.vec_id = e.vec_id
@@ -499,7 +501,7 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
-  private def planeSqlLiteral(p: Int): String =
+  private[llm] def planeSqlLiteral(p: Int): String =
     planes(p).map(w => if (w == w.toLong.toDouble) s"${w.toLong}.0" else w.toString)
       .mkString("[", ", ", "]::DOUBLE[]")
 

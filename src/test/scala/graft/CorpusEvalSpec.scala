@@ -506,6 +506,66 @@ class CorpusEvalSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("d71: layered graph build + ef-search equals a driver-side exact replay") {
+    import graft.llm.GraphAnn
+    val M = GraphAnn.M
+    val rows = GraphAnn.buildInputs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2), r.getLong(3)))
+    val vecs: Map[Long, Array[Float]] = rows.map(r => r._1 -> r._2).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; nx += x * x; ny += y * y; i += 1
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def score(q: Long, v: Long): Double = r6(cos(vecs(q), vecs(v)))
+    val lvl: Map[Long, Int] = rows.map(r =>
+      r._1 -> (if (r._4 % 16 == 0) 2 else if (r._4 % 4 == 0) 1 else 0)).toMap
+    def edges(l: Int): Map[Long, Seq[Long]] = {
+      val mem = rows.toSeq.filter(r => lvl(r._1) >= l)
+      mem.groupBy(_._3).values.toSeq
+        .flatMap { g =>
+          for (a <- g; b <- g if a._1 != b._1) yield (a._1, b._1)
+        }
+        .distinct.groupBy(_._1).map { case (u, vs) =>
+          u -> vs.map(_._2).map(v => (score(u, v), v))
+            .sortBy { case (s, v) => (-s, v) }.take(M).map(_._2)
+        }
+    }
+    val (e0, e1, e2) = (edges(0), edges(1), edges(2))
+    val maxLevel = lvl.values.max
+    val top = lvl.collect { case (v, l) if l == maxLevel => v }.toSeq
+    val queries = vecs.keys.filter(_ < graft.llm.Similarity.NumQueries).toSeq.sorted
+    val replay = queries.flatMap { q =>
+      var cur = top.map(v => (score(q, v), v)).minBy { case (s, v) => (-s, v) }._2
+      def hop(e: Map[Long, Seq[Long]]): Unit = {
+        val cand = (cur +: e.getOrElse(cur, Seq.empty)).distinct
+        cur = cand.map(v => (score(q, v), v)).minBy { case (s, v) => (-s, v) }._2
+      }
+      (1 to GraphAnn.HopsL2).foreach(_ => hop(e2))
+      (1 to GraphAnn.HopsL1).foreach(_ => hop(e1))
+      var visited = Set(cur)
+      var frontier = Seq(cur)
+      (1 to GraphAnn.EfRounds).foreach { _ =>
+        visited = visited ++ frontier.flatMap(v => e0.getOrElse(v, Seq.empty))
+        frontier = visited.toSeq.map(v => (score(q, v), v))
+          .sortBy { case (s, v) => (-s, v) }.take(GraphAnn.Ef).map(_._2)
+      }
+      visited.toSeq.filter(_ != q).map(v => (score(q, v), v))
+        .sortBy { case (s, v) => (-s, v) }.take(graft.llm.Similarity.TopK)
+        .zipWithIndex.map { case ((s, v), i) => (q, v, s, i + 1) }
+    }
+    val got = GraphAnn.annHnsw(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got.nonEmpty)
+    assert(got == replay, "Spark d71 disagrees with the driver replay")
+  }
+
   test("d61: over-bound partition-pair cartesian branch equals the broadcast plan") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
