@@ -138,23 +138,47 @@ object GraphAnn {
       .select(col("query_id"), col("cand").as("cur"))
   }
 
+  /** The staged layered graph — (e0, e1, e2, top-layer members), built
+    * ONCE per (data era, build) and shared by every search (d71 alone
+    * and the d40 leg re-run): the production shape is exactly this —
+    * the index build is the batch job, searches ride the artifact (the
+    * cc/ci index discipline). `g71_e0` is written LAST so its _SUCCESS
+    * gates the quartet.
+    */
+  private[graft] def graphIndex(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = synchronized {
+    import graft.ops.Staging
+    val tags = Seq("g71_e1", "g71_e2", "g71_top", "g71_e0")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val missing = tags.exists(t => !fs.exists(
+      new org.apache.hadoop.fs.Path(Staging.indexPath(t, dir), "_SUCCESS")))
+    if (missing) {
+      val b = withKeys(spark, dir).persist()
+      val lvl = when(pmod(col("lh"), lit(16L)) === 0, 2)
+        .when(pmod(col("lh"), lit(4L)) === 0, 1).otherwise(0)
+      val maxLevel = b.agg(max(lvl)).head().getInt(0)
+      Staging.publishIndex(spark, "g71_e1", dir)(p =>
+        edgesFor(b.filter(pmod(col("lh"), lit(4L)) === 0))
+          .write.mode("overwrite").parquet(p))
+      Staging.publishIndex(spark, "g71_e2", dir)(p =>
+        edgesFor(b.filter(pmod(col("lh"), lit(16L)) === 0))
+          .write.mode("overwrite").parquet(p))
+      Staging.publishIndex(spark, "g71_top", dir)(p =>
+        b.filter(lvl === maxLevel).select(col("vec_id"), col("embedding"))
+          .distinct().write.mode("overwrite").parquet(p))
+      Staging.publishIndex(spark, "g71_e0", dir)(p =>
+        edgesFor(b).write.mode("overwrite").parquet(p))
+      b.unpersist()
+    }
+    def rd(t: String) = spark.read.parquet(Staging.indexPath(t, dir))
+    (rd("g71_e0"), rd("g71_e1"), rd("g71_e2"), rd("g71_top"))
+  }
+
   /** d71 — layered graph-ANN top-K per query (the d06/d07 output
     * shape: query_id, vec_id, score, rank).
     */
   def annHnsw(spark: SparkSession, dir: String): DataFrame = {
-    val b = withKeys(spark, dir).persist()
-    // eager checkpoints: the O(n·M) graphs + the top-layer member set
-    // are the only things the search touches, so the cell-keyed
-    // relation can release after the builds (all actions) complete
-    val e0 = edgesFor(b).localCheckpoint()
-    val e1 = edgesFor(b.filter(pmod(col("lh"), lit(4L)) === 0)).localCheckpoint()
-    val e2 = edgesFor(b.filter(pmod(col("lh"), lit(16L)) === 0)).localCheckpoint()
-    val lvl = when(pmod(col("lh"), lit(16L)) === 0, 2)
-      .when(pmod(col("lh"), lit(4L)) === 0, 1).otherwise(0)
-    val maxLevel = b.agg(max(lvl)).head().getInt(0)
-    val topMembers = b.filter(lvl === maxLevel)
-      .select(col("vec_id"), col("embedding")).distinct().localCheckpoint()
-    b.unpersist()
+    val (e0, e1, e2, topMembers) = graphIndex(spark, dir)
 
     val emb = Tables.embeddings(spark, dir)
     val qs = emb.filter(col("vec_id") < Similarity.NumQueries)
@@ -165,22 +189,30 @@ object GraphAnn {
         .select(col("query_id"), col("vec_id"),
           round(cosineSimilarity(col("qe"), col("embedding")), 6).as("s"))
     val wEnt = Window.partitionBy("query_id").orderBy(col("s").desc, col("vec_id"))
+    // every hop/beam round references its input TWICE (left join +
+    // union; union + window), so without per-round truncation the
+    // lineage doubles each round and the single final action re-runs
+    // the upstream exponentially (measured 48 s before the eager
+    // per-round localCheckpoints; frames are query-panel-sized, so
+    // each checkpoint is a sub-second job — the CC-loop discipline)
     var cur = topMembers.crossJoin(broadcast(qs))
       .select(col("query_id"), col("vec_id"),
         round(cosineSimilarity(col("qe"), col("embedding")), 6).as("s"))
       .withColumn("rn", row_number().over(wEnt)).filter(col("rn") === 1)
       .select(col("query_id"), col("vec_id").as("cur"))
-    (1 to HopsL2).foreach(_ => cur = hop(cur, e2, qs, emb))
-    (1 to HopsL1).foreach(_ => cur = hop(cur, e1, qs, emb))
+      .localCheckpoint()
+    (1 to HopsL2).foreach(_ => cur = hop(cur, e2, qs, emb).localCheckpoint())
+    (1 to HopsL1).foreach(_ => cur = hop(cur, e1, qs, emb).localCheckpoint())
     // layer-0 ef-search: beam = Ef best visited, expand, accumulate
     val wEf = Window.partitionBy("query_id").orderBy(col("s").desc, col("vec_id"))
     var visited = scoreOf(cur.select(col("query_id"), col("cur").as("vec_id")))
+      .localCheckpoint()
     var frontier = visited
     (1 to EfRounds).foreach { _ =>
       val expanded = scoreOf(
         frontier.join(e0.withColumnRenamed("u", "vec_id"), Seq("vec_id"))
           .select(col("query_id"), col("v").as("vec_id")).distinct())
-      visited = visited.unionByName(expanded).distinct()
+      visited = visited.unionByName(expanded).distinct().localCheckpoint()
       frontier = visited
         .withColumn("rn", row_number().over(wEf)).filter(col("rn") <= Ef)
         .drop("rn")

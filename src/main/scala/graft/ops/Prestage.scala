@@ -44,6 +44,8 @@ object Prestage {
     "dc_index" -> (() => { graft.llm.Curation.decontamIndex(spark, dir); () }),
     // bucketed gen-2 stream feed (s13_feed): s13 copies it per run
     "s13_feed" -> (() => { graft.streaming.StreamCluster.stageFeed(spark, dir); () }),
+    // layered graph-ANN index (g71_e0/e1/e2/top): d71 + the d40 leg
+    "g71_graph" -> (() => { graft.llm.GraphAnn.graphIndex(spark, dir); () }),
     // z-ordered / date-sorted / stats-indexed orders layouts: q47/q48/q49
     "zorder" -> (() => { graft.ops.ZOrder.stageZOrdered(spark, dir); () }),
     "date_sorted" -> (() => { graft.ops.ZOrder.stageDateSorted(spark, dir); () }),
