@@ -118,7 +118,7 @@ class PqSpec extends AnyFunSuite {
 
   test("d40: one recall row per (method, query), n_hits within [0, K]") {
     val rows = graft.llm.Similarity.annRecall(spark, Sf).collect()
-    val methods = Seq("d07_lsh", "d08_ivf", "d31_pq", "d33_ivfpq", "d46_rerank")
+    val methods = Seq("d07_lsh", "d08_ivf", "d31_pq", "d33_ivfpq", "d46_rerank", "d71_hnsw")
     assert(rows.length == methods.size * graft.llm.Similarity.NumQueries)
     rows.foreach { r =>
       val (h, rec) = (r.getAs[Long]("n_hits"), r.getAs[Double]("recall"))
