@@ -15,9 +15,9 @@ class CoreOpsSpec extends AnyFunSuite {
   test("every declared query has rows and every oracle key exists") {
     val qs = SparkEntry.queries
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
-    // oracle coverage is TOTAL: every query — including the HLL sketch
-    // pair, whose engine-specific estimates are folded into declared
-    // 15%-bound booleans (d16/d16b) — hash-checks against DuckDB
+    // oracle coverage is TOTAL: every query — including the d16/d16b
+    // sketch pair, whose KMV estimates derive from the portable hash so
+    // estimate AND 15%-bound boolean hash-match — checks against DuckDB
     assert(qs.keySet -- SparkEntry.oracleSql.keySet == Set.empty[String])
   }
 
