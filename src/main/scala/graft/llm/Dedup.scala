@@ -524,7 +524,11 @@ object Dedup {
         // CcDriverMaxEdges, a few MB — the d61 threshold discipline)
         // produces the identical min-label result in microseconds.
         // Above the bound the distributed loop runs unconditionally.
+        // Null endpoints are dropped to MATCH the loop: its equi-joins
+        // discard null-keyed rows, whereas getLong would silently read
+        // a null as 0L and graft the edge onto component 0.
         val out = driverComponents(sess, edges.collect()
+          .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
           .map(r => (r.getLong(0), r.getLong(1))))
         edges.unpersist()
         out

@@ -54,14 +54,13 @@ import org.apache.spark.sql.functions._
   * worth of candidate mass per layer (layer sizes n, n/4, n/16) with
   * per-node top-M windows — cells are the shuffle keys and the graph
   * is O(n·M) rows; search state per query is ≤ 1 +
-  * [[EfRounds]]·[[Ef]]·[[M]] ids (constant, corpus-free). The FIXED
-  * NumCells=16 quantizer means cell occupancy — and hence build
-  * candidate mass — grows linearly with corpus (quadratic overall):
-  * at production scale the cell count scales with the corpus
-  * (k ∝ √n), exactly as d08/d24 document for the same quantizer; the
-  * search cost is corpus-free either way. Descent and beam are
-  * driver-composed joins on query-panel-sized frames — never per-row
-  * driver work.
+  * [[EfRounds]]·[[Ef]]·[[M]] ids (constant, corpus-free). The
+  * quantizer cell count is corpus-derived (k ∝ √n,
+  * [[Similarity.numCells]] — round 9; fixed k=16 before), so per-node
+  * build candidate mass grows as √n instead of linearly and the build
+  * stays sub-quadratic overall; the search cost is corpus-free either
+  * way. Descent and beam are driver-composed joins on
+  * query-panel-sized frames — never per-row driver work.
   */
 object GraphAnn {
 
@@ -156,7 +155,11 @@ object GraphAnn {
       val b = withKeys(spark, dir).persist()
       val lvl = when(pmod(col("lh"), lit(16L)) === 0, 2)
         .when(pmod(col("lh"), lit(4L)) === 0, 1).otherwise(0)
-      val maxLevel = b.agg(max(lvl)).head().getInt(0)
+      // max() over an empty relation is NULL and getInt would throw an
+      // opaque NPE — fail loudly on a missing/empty embeddings fixture
+      val maxRow = b.agg(max(lvl)).head()
+      require(!maxRow.isNullAt(0), s"graphIndex: no embeddings under $dir")
+      val maxLevel = maxRow.getInt(0)
       Staging.publishIndex(spark, "g71_e1", dir)(p =>
         edgesFor(b.filter(pmod(col("lh"), lit(4L)) === 0))
           .write.mode("overwrite").parquet(p))

@@ -99,9 +99,47 @@ object Similarity {
 
   // -- IVF (inverted-file) ANN ------------------------------------------------
 
-  val NumCells = 16
+  /** Floor of the coarse-quantizer cell count — and the exact cell
+    * count at every ORACLE gate scale (embeddings n = 500 at
+    * sf0.001/sf0.01, 2000 at sf0.1 — all below the 2312 breakpoint),
+    * so every gated hash is identical to the fixed-k era.
+    */
+  val MinCells = 16
   val NProbe = 2
   val LloydRounds = 3
+
+  /** Corpus-derived coarse-quantizer cell count: k = max(16, ⌊√(n/8)⌋).
+    *
+    * A FIXED k means cell occupancy — and hence IVF/SemDeDup/graph-ANN
+    * build candidate mass — grows linearly with the corpus (quadratic
+    * overall, the one plan shape rounds 6-8 documented but did not
+    * exercise). k ∝ √n is the classical IVF balance point: centroid
+    * assignment costs n·k and per-node candidate mass costs n/k, so
+    * √n growth makes both n^1.5 — sub-quadratic build, while NProbe/k
+    * of the corpus per probe keeps shrinking. The /8 constant pins
+    * k = 16 at all gate scales (n ≤ 2312) so oracles replay
+    * bit-for-bit; the 32×/100× stress fixtures (n = 64k/32k) exercise
+    * the derived branch. Both engines compute the same IEEE tree:
+    * JVM `math.sqrt(n / 8.0).toInt` == DuckDB
+    * `CAST(floor(sqrt(count(*) / 8.0)) AS INT)` (positive doubles, so
+    * toInt IS floor).
+    */
+  private[graft] def numCells(n: Long): Int =
+    math.max(MinCells, math.sqrt(n / 8.0).toInt)
+
+  /** DuckDB twin of [[numCells]], applied to the embeddings relation. */
+  private[graft] val numCellsSql: String =
+    s"greatest($MinCells, CAST(floor(sqrt(count(*) / 8.0)) AS INT))"
+
+  /** Per-dir memo of the derived cell count (one metadata-only parquet
+    * count; entries are a handful of bytes so no eviction needed).
+    */
+  private val cellCountCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** The quantizer cell count for `dir`'s embeddings corpus. */
+  private[graft] def cellCount(spark: SparkSession, dir: String): Int =
+    cellCountCache.computeIfAbsent(dir,
+      d => Int.box(numCells(Tables.embeddings(spark, d).count()))).intValue()
 
   /** 2^20 — centroid components accumulate as `floor(x·2^20 + 0.5)`
     * integers, so the per-cell sums are EXACT (and order-independent)
@@ -112,7 +150,7 @@ object Similarity {
   val QuantScale = 1048576.0
 
   /** Lloyd's k-means over the embeddings: seed with the first
-    * [[NumCells]] vectors, then [[LloydRounds]] assign/update rounds.
+    * [[numCells]](n) vectors, then [[LloydRounds]] assign/update rounds.
     * Assignment is a broadcast of k centroids scored map-side; the
     * update is one (cell, dim) shuffle per round; only the k centroid
     * rows come back to the driver each round (the CC-loop scalar
@@ -149,10 +187,11 @@ object Similarity {
 
   private def lloydCentroidsUncached(spark: SparkSession, dir: String): Seq[(Int, Seq[Double])] = {
     import spark.implicits._
+    val k = cellCount(spark, dir)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
       .localCheckpoint() // scanned once, assigned LloydRounds times
-    var cents = emb.filter(col("vec_id") < NumCells)
+    var cents = emb.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cell"), col("e"))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
     for (_ <- 1 to LloydRounds) {
@@ -176,12 +215,13 @@ object Similarity {
     cents
   }
 
-  /** d08 — IVF ANN: the corpus is partitioned into [[NumCells]] cells
-    * by nearest [[lloydCentroids k-means]] centroid; a query probes its
-    * [[NProbe]] closest cells and runs exact cosine only there. The
-    * query shape (assign → cluster-by-cell → probe few cells) is what
-    * scales: each cell is a partition/cluster key, so a query touches
-    * NProbe/NumCells of the corpus.
+  /** d08 — IVF ANN: the corpus is partitioned into [[numCells]](n)
+    * cells by nearest [[lloydCentroids k-means]] centroid; a query
+    * probes its [[NProbe]] closest cells and runs exact cosine only
+    * there. The query shape (assign → cluster-by-cell → probe few
+    * cells) is what scales: each cell is a partition/cluster key, so a
+    * query touches NProbe/k of the corpus, and k ∝ √n keeps build
+    * candidate mass sub-quadratic (see [[numCells]]).
     */
   /** The ONE centroid-assignment relation every IVF consumer ranks
     * from (d08 probe depth, d24 members, d50 sweep, d58 purity):
@@ -465,10 +505,11 @@ object Similarity {
          |    GROUP BY cell, d)
          |  GROUP BY cell)""".stripMargin
     }.mkString(",\n")
-    s"""e AS MATERIALIZED (
+    s"""kc AS MATERIALIZED (SELECT $numCellsSql AS k FROM embeddings),
+       |e AS MATERIALIZED (
        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |c0 AS MATERIALIZED (
-       |  SELECT vec_id::INT AS cell, e AS ce FROM e WHERE vec_id < $NumCells),
+       |  SELECT vec_id::INT AS cell, e AS ce FROM e WHERE vec_id < (SELECT k FROM kc)),
        |$rounds,
        |scored AS (
        |  SELECT v.vec_id, v.e AS embedding, c.cell,
@@ -658,7 +699,7 @@ object Similarity {
     * iff the rank of the vector's cell in the query's cell ranking is
     * ≤ p — so ranking every query against all cells ONCE and
     * histogramming pairs/hits by that cell-rank yields the whole sweep
-    * as cumulative sums over ≤ [[NumCells]] rows; the corpus is never
+    * as cumulative sums over ≤ [[numCells]](n) rows; the corpus is never
     * re-probed per configuration. This is the tuning table an index
     * operator reads to pick nprobe (recall vs cost) before committing
     * a 100 TB build.
@@ -912,7 +953,15 @@ object Similarity {
     val train = emb.filter(col("split") === "train")
       .select(col("vec_id").as("train_id"), col("embedding"))
       .repartition(spark.sparkContext.defaultParallelism * 2)
-    val nHeld = heldout.count() // one O(1) driver scalar (the d64 rule)
+    // persist across the sizing count and the join, or the count's
+    // full split-evaluation scan re-runs inside the probe plan; the
+    // count itself is one O(1) driver scalar (the d64 rule). NOTE:
+    // above the bound the plain crossJoin avoids broadcast only while
+    // heldout's size stats exceed spark.sql.autoBroadcastJoinThreshold
+    // — the hint-free branch delegates that choice to the planner by
+    // design (the partition-pair cartesian is the fallback shape).
+    heldout.persist()
+    val nHeld = heldout.count()
     val probed =
       if (nHeld <= maxRows) train.crossJoin(broadcast(heldout))
       else {
@@ -1201,18 +1250,19 @@ object Similarity {
       .filter(col("crank") === 1)
     val counts = members.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
     val n = Tables.embeddings(spark, dir).count()
-    // ALL of 0 until NumCells unconditionally — the oracle's range()
+    val k = cellCount(spark, dir)
+    // ALL of 0 until k unconditionally — the oracle's range()
     // convention. Deriving the list from lloydCentroids diverges when
     // a cell loses every member in some Lloyd round (or the corpus has
-    // < NumCells seeds): the centroid drops out of the surviving set
+    // < k seeds): the centroid drops out of the surviving set
     // while the oracle still emits the cell with n_vecs = 0 — and an
     // empty cell is precisely the defect this audit reports.
-    val cells = (0 until NumCells).toDF("cell")
+    val cells = (0 until k).toDF("cell")
     cells.join(broadcast(counts), Seq("cell"), "left")
       .select(col("cell"),
         coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
       .withColumn("share_pm", expr(s"n_vecs * 1000 DIV $n"))
-      .withColumn("load_pm", expr(s"n_vecs * $NumCells * 1000 DIV $n"))
+      .withColumn("load_pm", expr(s"n_vecs * $k * 1000 DIV $n"))
       .orderBy("cell")
   }
 
@@ -1220,11 +1270,11 @@ object Similarity {
     s"""WITH $lloydMembersSql,
        |cn AS (SELECT cell, count(*)::BIGINT AS n_vecs FROM members GROUP BY 1),
        |nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
-       |cl AS (SELECT unnest(range($NumCells)) AS cell)
+       |cl AS (SELECT unnest(range((SELECT k FROM kc))) AS cell)
        |SELECT cl.cell::INT AS cell,
        |  coalesce(cn.n_vecs, 0)::BIGINT AS n_vecs,
        |  (coalesce(cn.n_vecs, 0) * 1000 // (SELECT n FROM nn))::BIGINT AS share_pm,
-       |  (coalesce(cn.n_vecs, 0) * $NumCells * 1000 // (SELECT n FROM nn))::BIGINT AS load_pm
+       |  (coalesce(cn.n_vecs, 0) * (SELECT k FROM kc) * 1000 // (SELECT n FROM nn))::BIGINT AS load_pm
        |FROM cl LEFT JOIN cn ON cn.cell = cl.cell
        |ORDER BY cell""".stripMargin
 

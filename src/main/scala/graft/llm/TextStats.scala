@@ -84,10 +84,16 @@ object TextStats {
     */
   private[llm] def qualityScoreSql(src: String): String =
     s"""SELECT doc_id,
-       |       (CASE WHEN len($toksSql) >= 20 THEN 1.0 ELSE 0.0 END) * 0.4
+       |       -- ::DOUBLE output (the d16b rule): the decimal-literal composite
+       |       -- is DECIMAL(6,2) in DuckDB, a type the driver-side pandas bridge
+       |       -- materializes via a conversion the hash gate must never depend
+       |       -- on. Exact-decimal 0.70 and the Spark double sum are the same
+       |       -- float64 (ties-to-even on the 0.4+0.3 products), so the cast is
+       |       -- value-identical.
+       |       CAST((CASE WHEN len($toksSql) >= 20 THEN 1.0 ELSE 0.0 END) * 0.4
        |       + (CASE WHEN ${markerCountSql(Stopwords)}::DOUBLE / len($toksSql) BETWEEN 0.05 AND 0.5 THEN 1.0 ELSE 0.0 END) * 0.3
        |       + (CASE WHEN list_sum(list_transform($toksSql, t -> length(t)))::DOUBLE / len($toksSql) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.3
-       |         AS quality
+       |         AS DOUBLE) AS quality
        |FROM $src""".stripMargin
 
   /** argmax over per-language marker scores with earlier-language
@@ -114,17 +120,41 @@ object TextStats {
     predLangFromScores(scores)
   }
 
-  /** t01 — heuristic language ID: score = marker-token count per
-    * language; predict the max-scoring language, ties broken by
-    * [[LangMarkers]] order; no markers at all → "und" (undetermined).
+  /** Staged per-era language-marker score relation: one row per
+    * document with (doc_id, lang, score_&lt;l&gt; per [[LangMarkers]]
+    * language). The marker counting itself
+    * (`size(filter(toks, …))` — a HigherOrderFunction, interpreted,
+    * no codegen) was the largest linear text cost in the suite (t37
+    * 15.7 s / t01 11.2 s at the 100× stress scale, round 8), and t01,
+    * t25 and t37 each re-derived the identical counts per run. The
+    * counts are a deterministic pure function of the corpus, so they
+    * are an INDEX artifact (the dc_* / ci_* discipline): built once per
+    * (data era, build fingerprint), published atomically via
+    * [[graft.ops.Staging.publishIndex]], and every consumer reads the
+    * staged parquet — integer columns, codegen all the way after the
+    * one amortized build.
     */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def langScoresIndex(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val scoreCols = LangMarkers.map { case (lang, ms) =>
       markerCount(toks, ms).as(s"score_$lang")
     }
-    Tables.documents(spark, dir)
-      .select((col("doc_id") +: scoreCols): _*)
+    val loc = graft.ops.Staging.publishIndex(spark, "lang_scores", dir)(p =>
+      Tables.documents(spark, dir)
+        .select((col("doc_id") +: col("lang") +: scoreCols): _*)
+        .write.mode("overwrite").parquet(p))
+    spark.read.parquet(loc)
+  }
+
+  /** t01 — heuristic language ID: score = marker-token count per
+    * language; predict the max-scoring language, ties broken by
+    * [[LangMarkers]] order; no markers at all → "und" (undetermined).
+    * Scores come from the staged [[langScoresIndex]]; the argmax vote
+    * is a codegen projection over its integer columns.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    langScoresIndex(spark, dir)
+      .select((col("doc_id") +: LangMarkers.map { case (l, _) => col(s"score_$l") }): _*)
       .withColumn("pred_lang", predLangFromScores(l => col(s"score_$l")))
       .orderBy("doc_id")
   }
@@ -392,7 +422,10 @@ object TextStats {
       |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
       |  FROM documents),
       |per_source AS (
-      |  SELECT sum(nd) AS sum_source_distinct
+      |  -- ::BIGINT: DuckDB sum(BIGINT) yields HUGEINT, which pandas degrades
+      |  -- to float64 (617.0) while Spark emits int64 (617) — the driver's
+      |  -- hash is representation-sensitive, so the output type must be BIGINT.
+      |  SELECT sum(nd)::BIGINT AS sum_source_distinct
       |  FROM (SELECT count(DISTINCT w) AS nd FROM w GROUP BY source)),
       |h AS (SELECT DISTINCT ${TextHash.phashSql("w", KmvDistinctSeed)} AS h FROM w),
       |sk AS (
@@ -469,10 +502,11 @@ object TextStats {
        |         n_stop::DOUBLE / n_tokens AS stopword_ratio
        |  FROM s)
        |SELECT doc_id, n_chars, n_tokens, mean_token_len, nonalnum_ratio, stopword_ratio,
-       |       (CASE WHEN n_tokens >= 20 THEN 1.0 ELSE 0.0 END) * 0.4
+       |       -- ::DOUBLE output — see qualityScoreSql (the d16b rule)
+       |       CAST((CASE WHEN n_tokens >= 20 THEN 1.0 ELSE 0.0 END) * 0.4
        |       + (CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.5 THEN 1.0 ELSE 0.0 END) * 0.3
        |       + (CASE WHEN mean_token_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.3
-       |         AS quality
+       |         AS DOUBLE) AS quality
        |FROM r
        |ORDER BY doc_id""".stripMargin
   }
@@ -907,8 +941,8 @@ object TextStats {
     */
   def langIdEval(spark: SparkSession, dir: String): DataFrame = {
     val langs = LangMarkers.map(_._1)
-    val p = Tables.documents(spark, dir)
-      .select(col("lang"), predLang(col("text")).as("pred"))
+    val p = langScoresIndex(spark, dir)
+      .select(col("lang"), predLangFromScores(l => col(s"score_$l")).as("pred"))
     val aggs = langs.flatMap { l =>
       Seq(
         sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"true_$l"),
@@ -1203,25 +1237,21 @@ object TextStats {
     * means the doc is marker-poor (route to the quality gate instead).
     * The lexical sibling of d67's embedding-side mislabel list.
     *
-    * Scale shape: ONE fused map-side pass (the t01/t25 shape — marker
-    * counts and the argmax vote are pure codegen projections); the
-    * mismatch filter prunes before the presentation sort, so only the
-    * cleanup list itself shuffles. Integer scores, total tiebreak
-    * order — no floats anywhere.
+    * Scale shape: one codegen projection over the staged
+    * [[langScoresIndex]] (marker counts amortized once per era; the
+    * argmax vote and score lookups are pure codegen); the mismatch
+    * filter prunes before the presentation sort, so only the cleanup
+    * list itself shuffles. Integer scores, total tiebreak order — no
+    * floats anywhere.
     */
   def langMismatch(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val scoreCols = LangMarkers.map { case (lang, ms) =>
-      markerCount(toks, ms).as(s"score_$lang")
-    }
     val tagScore = element_at(
       map(LangMarkers.flatMap { case (l, _) => Seq(lit(l), col(s"score_$l")) }: _*),
       col("lang"))
     val predScore = element_at(
       map(LangMarkers.flatMap { case (l, _) => Seq(lit(l), col(s"score_$l")) }: _*),
       col("pred_lang"))
-    Tables.documents(spark, dir)
-      .select((col("doc_id") +: col("lang") +: scoreCols): _*)
+    langScoresIndex(spark, dir)
       .withColumn("pred_lang", predLangFromScores(l => col(s"score_$l")))
       .where(col("pred_lang") =!= col("lang"))
       .select(col("doc_id"), col("lang"), col("pred_lang"),

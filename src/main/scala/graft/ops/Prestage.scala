@@ -42,6 +42,8 @@ object Prestage {
     "ap_prefix" -> (() => { graft.llm.Dedup.prefixIndex(spark, dir); () }),
     // decontamination n-gram posting trio (dc_hot/dc_eval/dc_train): d18/t22/s21
     "dc_index" -> (() => { graft.llm.Curation.decontamIndex(spark, dir); () }),
+    // per-doc language-marker scores (lang_scores): t01/t25/t37
+    "lang_scores" -> (() => { graft.llm.TextStats.langScoresIndex(spark, dir); () }),
     // bucketed gen-2 stream feed (s13_feed): s13 copies it per run
     "s13_feed" -> (() => { graft.streaming.StreamCluster.stageFeed(spark, dir); () }),
     // layered graph-ANN index (g71_e0/e1/e2/top): d71 + the d40 leg

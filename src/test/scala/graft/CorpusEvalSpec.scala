@@ -776,14 +776,15 @@ class CorpusEvalSpec extends AnyFunSuite {
   test("d70: cell balance ties exactly to d58's rank-1 assignment") {
     val bal = Similarity.cellBalance(spark, sf).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    assert(bal.keySet == (0 until Similarity.NumCells).toSet, "one row per centroid, empty included")
+    val k = Similarity.cellCount(spark, sf)
+    assert(bal.keySet == (0 until k).toSet, "one row per centroid, empty included")
     val purity = Similarity.cellPurity(spark, sf).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val n = Tables.embeddings(spark, sf).count()
     assert(bal.values.map(_._1).sum == n, "rank-1 assignment partitions the corpus")
     bal.foreach { case (cell, (nv, share, load)) =>
       assert(nv == purity.getOrElse(cell, 0L), s"cell $cell count vs d58")
-      assert(share == nv * 1000L / n && load == nv * Similarity.NumCells * 1000L / n,
+      assert(share == nv * 1000L / n && load == nv * k * 1000L / n,
         s"cell $cell ratios")
     }
     // the audit must see real imbalance on this fixture, not uniform cells
@@ -934,5 +935,48 @@ class CorpusEvalSpec extends AnyFunSuite {
         assert(math.abs(gdr.get - es.max.toDouble / es.min) < 1e-5, s"doc $id dyn_range")
       else assert(gdr.isEmpty, s"doc $id null dyn_range")
     }
+  }
+
+  test("quantizer cell count: k pinned at gate scales, grows as sqrt(n) beyond") {
+    // gate scales: every oracled SF sits below the 2312 breakpoint, so
+    // the derived k is exactly the fixed-k era's 16 and every gated
+    // hash is unchanged
+    assert(Similarity.numCells(500) == 16)   // sf0.001 / sf0.01 embeddings
+    assert(Similarity.numCells(2000) == 16)  // sf0.1 embeddings
+    assert(Similarity.numCells(2311) == 16)
+    assert(Similarity.numCells(2312) == 17)  // sqrt(2312/8) = 17.0
+    // sqrt growth: 64x the corpus is 8x the cells
+    assert(Similarity.numCells(8L * 1000 * 1000) == 1000)
+    assert(Similarity.numCells(64L * 8 * 1000 * 1000) == 8000)
+    // monotone non-decreasing over a sweep
+    val ks = (1L to 200L).map(i => Similarity.numCells(i * 1000))
+    assert(ks.zip(ks.tail).forall { case (a, b) => a <= b })
+    // the SQL twin (as Spark evaluates it) agrees with the JVM formula
+    val sqlK = spark.range(1, 40000, 37).selectExpr(
+      "id AS n", s"greatest(16, CAST(floor(sqrt(id / 8.0)) AS INT)) AS k").collect()
+    sqlK.foreach(r => assert(r.getInt(1) == Similarity.numCells(r.getLong(0)), s"n=${r.getLong(0)}"))
+    // fixture pin: the gated corpus derives exactly 16
+    assert(Similarity.cellCount(spark, sf) == 16)
+  }
+
+  test("quantizer derived branch: k > 16 end-to-end on a >2312-vector corpus") {
+    import spark.implicits._
+    // deterministic synthetic corpus above the breakpoint: n = 3000 ->
+    // k = floor(sqrt(375)) = 19
+    val dir = java.nio.file.Files.createTempDirectory("graft_kcells").toString
+    val n = 3000
+    (0 until n).map { id =>
+      val e = (0 until 8).map(d => ((id * 31 + d * 17) % 101 - 50) / 50.0f)
+      (id.toLong, e)
+    }.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(Similarity.cellCount(spark, dir) == 19)
+    val cents = Similarity.lloydCentroids(spark, dir)
+    assert(cents.nonEmpty && cents.size <= 19, s"got ${cents.size} centroids")
+    assert(cents.forall { case (c, e) => c >= 0 && c < 19 && e.size == 8 })
+    // the audit covers the full derived cell range and partitions the corpus
+    val bal = Similarity.cellBalance(spark, dir).collect()
+    assert(bal.map(_.getInt(0)).toSet == (0 until 19).toSet)
+    assert(bal.map(_.getLong(1)).sum == n.toLong)
   }
 }
