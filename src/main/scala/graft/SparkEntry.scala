@@ -119,6 +119,8 @@ object SparkEntry {
     "d71_hnsw_ann"          -> (llm.GraphAnn.annHnsw(_, _)),
     "d41_lpa_communities"   -> (llm.Graph.labelPropagation(_, _)),
     "d42_kmv_overlap"       -> (llm.Sketch.kmvOverlap(_, _)),
+    "d72_quantile_sketch"   -> (llm.Sketch.quantileSketch(_, _)),
+    "d73_quantile_by_source" -> (llm.Sketch.quantileBySource(_, _)),
     "d43_split_enforce"     -> (llm.Sampling.splitEnforce(_, _)),
     "d44_token_shards"      -> (llm.Sampling.tokenShards(_, _)),
     "d45_quality_dedup"     -> (llm.Dedup.qualityDedup(_, _)),
@@ -642,6 +644,8 @@ object SparkEntry {
     "d71_hnsw_ann"      -> llm.GraphAnn.oracleAnnHnsw,
     "d41_lpa_communities" -> llm.Graph.oracleLabelPropagation,
     "d42_kmv_overlap"   -> llm.Sketch.oracleKmvOverlap,
+    "d72_quantile_sketch" -> llm.Sketch.oracleQuantileSketch,
+    "d73_quantile_by_source" -> llm.Sketch.oracleQuantileBySource,
     "d43_split_enforce" -> llm.Sampling.oracleSplitEnforce,
     "d44_token_shards"  -> llm.Sampling.oracleTokenShards,
     "d45_quality_dedup" -> llm.Dedup.oracleQualityDedup,

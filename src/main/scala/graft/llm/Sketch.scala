@@ -210,4 +210,216 @@ object Sketch {
        |       abs((n_both * 1000) // k_eff - (n_inter * 1000) // n_union) <= 200 AS bound_ok
        |FROM est JOIN ex USING (sa, sb)
        |ORDER BY sa, sb""".stripMargin
+
+  // -- d72/d73: mergeable quantile sketch (bottom-k uniform sample) ------------
+
+  /** Sample size of the quantile sketch. Rank error sd of a k-uniform
+    * sample is √(q(1−q)/k) ≈ 4.4 % of n at the median for k = 128; the
+    * emitted 25 % relative-value bound sits several sigmas out on any
+    * reasonably dense value distribution.
+    */
+  val QsK = 128
+  private val QsSeed = 72
+
+  /** Target quantiles, in per-mille. */
+  val QsQuantiles: Seq[Long] = Seq(100L, 250L, 500L, 750L, 900L)
+
+  /** d72 — mergeable quantile sketch over document lengths: the
+    * bottom-k-by-portable-hash uniform sample (the KMV selection rule
+    * applied to ROWS instead of distinct values — Vitter's reservoir
+    * made deterministic and mergeable). Per SOURCE, keep the [[QsK]]
+    * docs with smallest `phash(doc_id)` (the constant-size mergeable
+    * partial every executor/segment would ship at 100 TB); MERGE by
+    * taking the k smallest of the union of partials — identically the
+    * corpus bottom-k, which is the property that makes the sketch
+    * mergeable (KLL/t-digest's role, with the portable hash replacing
+    * their RNG so the sketch is a deterministic function of the data
+    * and the DuckDB oracle replays build, merge and query
+    * bit-for-bit, the d16/d42 discipline). Quantile q reads the
+    * ⌊(k_eff−1)·q⌋+1-th order statistic of the sample; the exact
+    * audit leg reads the same order statistic of the corpus via a
+    * distinct-value histogram + running sum (the d44 prefix-sum
+    * discipline — no corpus-wide sort; the value domain, not the
+    * corpus, bounds the ranked relation).
+    *
+    * Scale shape: one scan → per-source ranked window
+    * (WindowGroupLimit prunes to k per partition before the shuffle);
+    * the merge ranks O(sources·k) rows; the exact leg is one hash
+    * aggregate on n_chars plus a window over its distinct values.
+    * Emitted columns are BIGINT/BOOLEAN only (the d16b type rule).
+    */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        TextHash.phash(col("doc_id").cast("string"), QsSeed).as("h"))
+      .persist() // feeds the sketch AND the exact histogram
+    val ws = Window.partitionBy("source").orderBy("h", "doc_id")
+    val partials = docs.withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= QsK)
+    // merge of the per-source partials == corpus bottom-k; the global
+    // window ranks only O(sources·k) pre-pruned rows
+    val wm = Window.orderBy("h", "doc_id")
+    val sample = partials.withColumn("mrn", row_number().over(wm))
+      .filter(col("mrn") <= QsK)
+      .select("n_chars")
+    val wv = Window.orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sCum = sample.groupBy("n_chars").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wv))
+    val sTot = sample.agg(count(lit(1)).as("k_eff"))
+    val fCum = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wv))
+    val fTot = docs.agg(count(lit(1)).as("n"))
+    val qs = QsQuantiles.toDF("q_pm")
+    val est = qs.crossJoin(broadcast(sTot))
+      .withColumn("r", expr("(k_eff - 1) * q_pm DIV 1000 + 1"))
+      .join(broadcast(sCum), col("cum") >= col("r"))
+      .groupBy("q_pm", "k_eff").agg(min("n_chars").as("est_chars"))
+    val exact = qs.crossJoin(broadcast(fTot))
+      .withColumn("r", expr("(n - 1) * q_pm DIV 1000 + 1"))
+      .join(broadcast(fCum), col("cum") >= col("r"))
+      .groupBy("q_pm", "n").agg(min("n_chars").as("exact_chars"))
+    est.join(exact, Seq("q_pm"))
+      .withColumn("abs_err", abs(col("est_chars") - col("exact_chars")))
+      .withColumn("rel_err_pm",
+        when(col("exact_chars") > 0, expr("abs_err * 1000 DIV exact_chars"))
+          .otherwise(lit(0L)))
+      .select(col("q_pm"), col("k_eff"), col("n"), col("est_chars"),
+        col("exact_chars"), col("abs_err"), col("rel_err_pm"),
+        (col("rel_err_pm") <= 250).as("within_bound"))
+      .orderBy("q_pm")
+  }
+
+  lazy val oracleQuantileSketch: String = {
+    val qList = QsQuantiles.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT source, doc_id, n_chars,
+       |         ${TextHash.phashSql("doc_id::VARCHAR", QsSeed)} AS h
+       |  FROM documents),
+       |partials AS (
+       |  SELECT * FROM (
+       |    SELECT source, doc_id, n_chars, h,
+       |           row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+       |    FROM d) WHERE rn <= $QsK),
+       |sample AS (
+       |  SELECT n_chars FROM (
+       |    SELECT n_chars, row_number() OVER (ORDER BY h, doc_id) AS mrn
+       |    FROM partials) WHERE mrn <= $QsK),
+       |scum AS (
+       |  SELECT n_chars, sum(c) OVER (ORDER BY n_chars) AS cum
+       |  FROM (SELECT n_chars, count(*) AS c FROM sample GROUP BY 1)),
+       |stot AS (SELECT count(*)::BIGINT AS k_eff FROM sample),
+       |fcum AS (
+       |  SELECT n_chars, sum(c) OVER (ORDER BY n_chars) AS cum
+       |  FROM (SELECT n_chars, count(*) AS c FROM d GROUP BY 1)),
+       |ftot AS (SELECT count(*)::BIGINT AS n FROM d),
+       |q AS (SELECT unnest([$qList])::BIGINT AS q_pm),
+       |est AS (
+       |  SELECT q_pm, k_eff, min(n_chars) AS est_chars
+       |  FROM q, stot, scum
+       |  WHERE cum >= (k_eff - 1) * q_pm // 1000 + 1
+       |  GROUP BY 1, 2),
+       |ex AS (
+       |  SELECT q_pm, n, min(n_chars) AS exact_chars
+       |  FROM q, ftot, fcum
+       |  WHERE cum >= (n - 1) * q_pm // 1000 + 1
+       |  GROUP BY 1, 2)
+       |SELECT q_pm, k_eff, n, est_chars, exact_chars,
+       |       abs(est_chars - exact_chars) AS abs_err,
+       |       (CASE WHEN exact_chars > 0
+       |             THEN abs(est_chars - exact_chars) * 1000 // exact_chars
+       |             ELSE 0 END)::BIGINT AS rel_err_pm,
+       |       (CASE WHEN exact_chars > 0
+       |             THEN abs(est_chars - exact_chars) * 1000 // exact_chars
+       |             ELSE 0 END) <= 250 AS within_bound
+       |FROM est JOIN ex USING (q_pm)
+       |ORDER BY q_pm""".stripMargin
+  }
+
+  /** d73 — per-source quantile report from the SAME per-source
+    * partials d72 merges: the grouped face of the sketch (per-domain
+    * length distribution across a 100 TB corpus without per-group
+    * sorts — each group's state is ≤ [[QsK]] rows). Sources whose doc
+    * count is below k have an unfilled sketch and the estimate is
+    * exact by construction (k_eff = n_s); filled sketches exercise
+    * the sampled branch (sf0.1's 250-doc sources). Same order-
+    * statistic definition, same prefix-sum exact leg, per source.
+    */
+  def quantileBySource(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        TextHash.phash(col("doc_id").cast("string"), QsSeed).as("h"))
+      .persist()
+    val ws = Window.partitionBy("source").orderBy("h", "doc_id")
+    val sample = docs.withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= QsK)
+      .select("source", "n_chars")
+    val wv = Window.partitionBy("source").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sCum = sample.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wv))
+    val sTot = sample.groupBy("source").agg(count(lit(1)).as("k_eff"))
+    val fCum = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wv))
+    val fTot = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val qs = QsQuantiles.toDF("q_pm")
+    val est = sTot.crossJoin(broadcast(qs))
+      .withColumn("r", expr("(k_eff - 1) * q_pm DIV 1000 + 1"))
+      .join(sCum, Seq("source"))
+      .filter(col("cum") >= col("r"))
+      .groupBy("source", "q_pm", "k_eff").agg(min("n_chars").as("est_chars"))
+    val exact = fTot.crossJoin(broadcast(qs))
+      .withColumn("r", expr("(n - 1) * q_pm DIV 1000 + 1"))
+      .join(fCum, Seq("source"))
+      .filter(col("cum") >= col("r"))
+      .groupBy("source", "q_pm", "n").agg(min("n_chars").as("exact_chars"))
+    est.join(exact, Seq("source", "q_pm"))
+      .select(col("source"), col("q_pm"), col("k_eff"), col("n"),
+        col("est_chars"), col("exact_chars"),
+        (col("k_eff") === col("n")).as("unfilled_exact"))
+      .withColumn("match_when_unfilled",
+        !col("unfilled_exact") || (col("est_chars") === col("exact_chars")))
+      .orderBy("source", "q_pm")
+  }
+
+  lazy val oracleQuantileBySource: String = {
+    val qList = QsQuantiles.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT source, doc_id, n_chars,
+       |         ${TextHash.phashSql("doc_id::VARCHAR", QsSeed)} AS h
+       |  FROM documents),
+       |sample AS (
+       |  SELECT source, n_chars FROM (
+       |    SELECT source, n_chars,
+       |           row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+       |    FROM d) WHERE rn <= $QsK),
+       |scum AS (
+       |  SELECT source, n_chars, sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum
+       |  FROM (SELECT source, n_chars, count(*) AS c FROM sample GROUP BY 1, 2)),
+       |stot AS (SELECT source, count(*)::BIGINT AS k_eff FROM sample GROUP BY 1),
+       |fcum AS (
+       |  SELECT source, n_chars, sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum
+       |  FROM (SELECT source, n_chars, count(*) AS c FROM d GROUP BY 1, 2)),
+       |ftot AS (SELECT source, count(*)::BIGINT AS n FROM d GROUP BY 1),
+       |q AS (SELECT unnest([$qList])::BIGINT AS q_pm),
+       |est AS (
+       |  SELECT s.source, q_pm, k_eff, min(c.n_chars) AS est_chars
+       |  FROM stot s CROSS JOIN q JOIN scum c ON c.source = s.source
+       |  WHERE c.cum >= (s.k_eff - 1) * q_pm // 1000 + 1
+       |  GROUP BY 1, 2, 3),
+       |ex AS (
+       |  SELECT f.source, q_pm, n, min(c.n_chars) AS exact_chars
+       |  FROM ftot f CROSS JOIN q JOIN fcum c ON c.source = f.source
+       |  WHERE c.cum >= (f.n - 1) * q_pm // 1000 + 1
+       |  GROUP BY 1, 2, 3)
+       |SELECT source, q_pm, k_eff, n, est_chars, exact_chars,
+       |       k_eff = n AS unfilled_exact,
+       |       (NOT k_eff = n) OR est_chars = exact_chars AS match_when_unfilled
+       |FROM est JOIN ex USING (source, q_pm)
+       |ORDER BY source, q_pm""".stripMargin
+  }
 }

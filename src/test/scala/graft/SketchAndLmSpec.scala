@@ -220,4 +220,57 @@ class SketchAndLmSpec extends AnyFunSuite {
       rows.foreach(r => assert(r.getLong(3) <= r.getLong(5), "tf cannot exceed doc length"))
     }
   }
+
+  test("d72: merged bottom-k sample IS the corpus bottom-k; quantiles replay driver-side") {
+    val docs = graft.tables.Tables.documents(spark, Sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // driver replay: corpus bottom-k by the portable hash
+    val byHash = docs.map { case (id, nc) =>
+      (graft.llm.TextHash.jvmHash(id.toString, 72), id, nc)
+    }.sortBy(t => (t._1, t._2))
+    val sample = byHash.take(Sketch.QsK).map(_._3).sorted
+    val full = docs.map(_._2).sorted
+    val out = Sketch.quantileSketch(spark, Sf).collect()
+    assert(out.length == Sketch.QsQuantiles.size)
+    out.foreach { r =>
+      val q = r.getLong(0)
+      val kEff = r.getLong(1)
+      assert(kEff == math.min(Sketch.QsK.toLong, docs.length.toLong))
+      // order statistic ((k_eff-1)*q DIV 1000) + 1, 1-based
+      val est = sample(((kEff - 1) * q / 1000).toInt)
+      val exact = full((((full.length - 1).toLong * q) / 1000).toInt)
+      assert(r.getLong(3) == est, s"q=$q est")
+      assert(r.getLong(4) == exact, s"q=$q exact")
+      assert(r.getBoolean(7), s"q=$q bound")
+    }
+  }
+
+  test("d73: per-source sketches are exact when unfilled; grouped replay matches") {
+    val out = Sketch.quantileBySource(spark, Sf).collect()
+    val nSources = graft.tables.Tables.documents(spark, Sf)
+      .select("source").distinct().count()
+    assert(out.length == nSources * Sketch.QsQuantiles.size)
+    // the declared invariant column: an unfilled sketch (k_eff = n)
+    // must estimate exactly
+    out.foreach { r =>
+      assert(r.getBoolean(7), s"${r.getString(0)} q=${r.getLong(1)} unfilled mismatch")
+      if (r.getLong(2) == r.getLong(3)) // k_eff == n
+        assert(r.getLong(4) == r.getLong(5), s"${r.getString(0)} unfilled must be exact")
+    }
+    // driver replay of one filled-or-not source picked deterministically
+    val docs = graft.tables.Tables.documents(spark, Sf)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val src = docs.map(_._1).min
+    val srcDocs = docs.filter(_._1 == src)
+    val sample = srcDocs.map { case (_, id, nc) =>
+      (graft.llm.TextHash.jvmHash(id.toString, 72), id, nc)
+    }.sortBy(t => (t._1, t._2)).take(Sketch.QsK).map(_._3).sorted
+    out.filter(_.getString(0) == src).foreach { r =>
+      val q = r.getLong(1)
+      assert(r.getLong(4) == sample(((sample.length - 1).toLong * q / 1000).toInt),
+        s"$src q=$q grouped est")
+    }
+  }
 }
