@@ -89,8 +89,7 @@ object GraphAnn {
     * three layer builds and the top-layer member set only.
     */
   private def withKeys(spark: SparkSession, dir: String): DataFrame =
-    Similarity.cellRanked(spark, dir, Seq("embedding"))
-      .filter(col("crank") <= Similarity.NProbe)
+    Similarity.ivfIndex(spark, dir)
       .select(col("vec_id"), col("embedding"), col("cell"),
         levelHash(col("vec_id")).as("lh"))
 

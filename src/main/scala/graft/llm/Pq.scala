@@ -226,17 +226,20 @@ object Pq {
     val cents = Similarity.lloydCentroids(spark, dir).sortBy(_._1)
     val emb = Tables.embeddings(spark, dir)
 
-    // one struct per cell: (−cosine, cell, centroid). array_min picks
-    // max cosine (ties → lowest cell) and CARRIES the centroid out,
-    // so assignment + residual stay a single codegen'd projection.
-    val best = array_min(array(cents.map { case (cell, ce) =>
-      struct((-graft.expr.VectorFunctions.cosineSimilarity(col("embedding"), typedlit(ce))).as("negs"),
-        lit(cell).as("cell"), typedlit(ce).as("ce"))
-    }: _*))
-    val rsv = emb
-      .select(col("vec_id"), col("embedding"), best.as("b"))
-      .select(col("vec_id"), col("b.cell").as("cell"),
-        zip_with(col("embedding"), col("b.ce"), (x, y) => x - y).as("r"))
+    // assignment comes from the staged ivf_assign inverted file (the
+    // identical max-cosine / ties-to-lowest-cell rule); the residual is
+    // one broadcast join against the k-row centroid table — the n·k
+    // scoring pass is index-build cost, not query cost (it was an
+    // array_min over k inline centroid literals here, and grew with
+    // the corpus-derived k until round 9 staged it).
+    val centsDf0 = {
+      import spark.implicits._
+      broadcast(cents.toDF("cell", "ce"))
+    }
+    val rsv = Similarity.ivfMembers(spark, dir)
+      .join(centsDf0, Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), col("ce"), (x, y) => x - y).as("r"))
       .select(col("vec_id"), col("cell"),
         explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("r"))
       .select(col("vec_id"), col("cell"), col("m"),

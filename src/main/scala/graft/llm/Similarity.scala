@@ -242,10 +242,52 @@ object Similarity {
       .withColumn("crank", row_number().over(wCell))
   }
 
+  /** Staged IVF inverted file (`ivf_assign`): one row per (vector,
+    * probed cell) with crank ≤ [[NProbe]] AND the vector payload —
+    * the cell-keyed layout an IVF index physically IS at production
+    * scale (the inverted lists store the vectors). The n·k
+    * centroid-scoring pass is once-per-era INDEX cost, not per-query
+    * cost: with the corpus-derived k (∝ √n, round 9) the scoring pass
+    * is n^1.5 work, and re-deriving it inside every ANN-family query
+    * made d40 the top ANN row at 100× (25.7 s) until assignment moved
+    * behind [[graft.ops.Staging.publishIndex]] like every other
+    * corpus-index artifact. Consumers that sweep DEEPER than NProbe
+    * (d50's probe sweep) re-rank only their query panel —
+    * NumQueries·k work, corpus-free.
+    */
+  private[graft] def ivfIndex(spark: SparkSession, dir: String): DataFrame = {
+    val loc = graft.ops.Staging.publishIndex(spark, "ivf_assign", dir)(p =>
+      cellRanked(spark, dir, Seq("embedding"))
+        .filter(col("crank") <= NProbe)
+        .select(col("vec_id"), col("embedding"), col("cell"), col("crank"), col("cscore"))
+        .write.mode("overwrite").parquet(p))
+    spark.read.parquet(loc)
+  }
+
+  /** The crank = 1 member slice of [[ivfIndex]] (one row per vector). */
+  private[llm] def ivfMembers(spark: SparkSession, dir: String): DataFrame =
+    ivfIndex(spark, dir).filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+
+  /** Full cell ranking for the QUERY PANEL only (vec_id < NumQueries —
+    * bounded, corpus-free): the d50 probe sweep ranks deeper than the
+    * staged index's NProbe cut.
+    */
+  private def panelRankedAll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val centroids = lloydCentroids(spark, dir).toDF("cell", "ce")
+    val wCell = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("cell"))
+    Tables.embeddings(spark, dir).filter(col("vec_id") < NumQueries)
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cell"),
+        cosineSimilarity(col("embedding"), col("ce")).as("cscore"))
+      .withColumn("crank", row_number().over(wCell))
+  }
+
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    // assign: cell of max cosine (ties → lowest cell id)
-    val assigned = cellRanked(spark, dir, Seq("embedding"))
-      .filter(col("crank") <= NProbe)
+    // assign: cell of max cosine (ties → lowest cell id), read from
+    // the staged inverted file
+    val assigned = ivfIndex(spark, dir)
       .select(col("vec_id"), col("embedding"), col("cell"), col("crank"))
     val members = assigned.filter(col("crank") === 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
@@ -641,9 +683,7 @@ object Similarity {
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
     // feeds both sides of the self-join plus the final projection —
     // uncached the centroid-assignment window would run three times
-    val members = cellRanked(spark, dir, Seq("embedding"))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    val members = ivfMembers(spark, dir)
       .persist()
     val dups = members.as("a")
       .join(members.as("b"),
@@ -714,10 +754,11 @@ object Similarity {
     import spark.implicits._
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val rankedAll = cellRanked(spark, dir, Seq.empty)
-    val members = rankedAll.filter(col("crank") === 1)
+    val members = ivfMembers(spark, dir)
       .select(col("vec_id"), col("cell")).localCheckpoint()
-    val probes = rankedAll.filter(col("vec_id") < NumQueries)
+    // the sweep ranks DEEPER than the index's NProbe cut, but only for
+    // the bounded query panel — corpus-free recompute
+    val probes = panelRankedAll(spark, dir)
       .select(col("vec_id").as("query_id"), col("cell"), col("crank"))
       .localCheckpoint()
     val scannedByRank = members.join(broadcast(probes), Seq("cell"))
@@ -792,8 +833,10 @@ object Similarity {
     * (cell, label) — O(cells × labels) rows after the first combine.
     */
   def cellPurity(spark: SparkSession, dir: String): DataFrame = {
-    val members = cellRanked(spark, dir, Seq("label"))
-      .filter(col("crank") === 1)
+    val members = ivfMembers(spark, dir)
+      .select(col("vec_id"), col("cell"))
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
+        Seq("vec_id"))
     val cl = members.groupBy("cell", "label").agg(count(lit(1)).as("n"))
     val wTop = Window.partitionBy("cell").orderBy(col("n").desc, col("label"))
     cl.withColumn("rn", row_number().over(wTop))
@@ -1246,8 +1289,7 @@ object Similarity {
     */
   def cellBalance(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val members = cellRanked(spark, dir, Seq.empty)
-      .filter(col("crank") === 1)
+    val members = ivfMembers(spark, dir)
     val counts = members.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
     val n = Tables.embeddings(spark, dir).count()
     val k = cellCount(spark, dir)

@@ -46,6 +46,9 @@ object Prestage {
     "lang_scores" -> (() => { graft.llm.TextStats.langScoresIndex(spark, dir); () }),
     // bucketed gen-2 stream feed (s13_feed): s13 copies it per run
     "s13_feed" -> (() => { graft.streaming.StreamCluster.stageFeed(spark, dir); () }),
+    // IVF inverted file (ivf_assign): d08/d24/d33/d40/d46/d50/d58/d70,
+    // and g71's build input — must precede g71_graph
+    "ivf_assign" -> (() => { graft.llm.Similarity.ivfIndex(spark, dir); () }),
     // layered graph-ANN index (g71_e0/e1/e2/top): d71 + the d40 leg
     "g71_graph" -> (() => { graft.llm.GraphAnn.graphIndex(spark, dir); () }),
     // z-ordered / date-sorted / stats-indexed orders layouts: q47/q48/q49
