@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked app's stdout through RAW: the default LoggedOutput
+// wraps every line in sbt's "[info] " prefix, which breaks any consumer
+// that json-parses Bench/Verify's one-line JSON records off stdout
+// (the driver's BENCH "parsed" field was null three rounds running
+// because `[info] {"metric":...}` is not valid JSON).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

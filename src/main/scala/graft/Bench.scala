@@ -113,11 +113,19 @@ object Bench {
     // that truncation ("parsed": null in BENCH_r07/r08). Any tail that
     // carries the line's end now carries the total too.
     val json = s"""{"metric":"total","value":$total,"unit":"sec","wall_s":$wallTotal,"queries":$qs$stageQJson$stagedJson$errJson,"sf":"$sfDir","n_queries":${results.size},"errors_n":${errs.size},"total_s":$total}"""
+    // Three-line stdout contract (the driver may keep only a head or a
+    // tail window of stdout, and the full record alone overflows both):
+    //   1. a SHORT summary line FIRST — survives tail-of-line loss and
+    //      is the first parseable {"metric":"total"} a head-scanner hits;
+    //   2. the FULL record (per-query map) — the durable copy also lands
+    //      in SPARK_GRAFT_BENCH_FILE;
+    //   3. a short "total_tail" line LAST — small enough that no tail
+    //      window can cut it; the distinct metric name keeps a
+    //      first-match parser from confusing it with the full record.
+    val shortJson = s""""value":$total,"unit":"sec","wall_s":$wallTotal,"sf":"$sfDir","n_queries":${results.size},"errors_n":${errs.size}"""
+    println(s"""{"metric":"total",$shortJson}""")
     println(json)
-    // ... and a SHORT complete JSON line after it, small enough that no
-    // tail window can cut it: a parser that scans for the last
-    // parseable {"metric"...} line always recovers the totals.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","wall_s":$wallTotal,"sf":"$sfDir","n_queries":${results.size},"errors_n":${errs.size}}""")
+    println(s"""{"metric":"total_tail",$shortJson}""")
     // the stdout line is one long JSON record and the driver's tail
     // capture has truncated it mid-line before (BENCH_r03 lost its
     // total) — persist the same record to a file as the durable copy
@@ -179,8 +187,13 @@ object Bench {
               // I/O wave inflates far beyond the ~1.5× ambient band of
               // batch plans (round 8: s26 3.9→24.1 s on identical code
               // → rc=1 twice). The memory-backed scratch base removes
-              // most of that exposure; the floor covers what remains.
-              val floor = if (m.group(1).startsWith("s")) 5.0 else 2.0
+              // most of that exposure, so the loose 5 s floor applies
+              // only where the reference is itself trigger-bound
+              // (> 1 s); a sub-second streaming leg creeping to ~5 s —
+              // exactly the q16-creep class — still breaches at 3 s.
+              val floor =
+                if (m.group(1).startsWith("s")) { if (ref > 1.0) 5.0 else 3.0 }
+                else 2.0
               m.group(1) -> math.max(math.min(cap, math.max(floor, 4.0 * ref)), 1.6 * ref)
             }
             .toMap

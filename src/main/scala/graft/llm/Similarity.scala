@@ -1011,7 +1011,7 @@ object Similarity {
         val chunks = ((nHeld + maxRows - 1) / maxRows).toInt
         train.crossJoin(heldout.repartition(chunks))
       }
-    probed
+    val out = probed
       .select(col("test_vec_id"), col("split"), col("train_id"),
         round(cosineSimilarity(col("te"), col("embedding")), 6).as("score"))
       .groupBy("test_vec_id", "split")
@@ -1024,6 +1024,12 @@ object Similarity {
         col("n_leaks"),
         (col("nn.score") >= LeakTau).as("leaked"))
       .orderBy("test_vec_id")
+      // eager: one report row per held-out vector; checkpointing frees
+      // the heldout cache immediately instead of leaving it to pressure
+      // executor storage across the rest of a 229-query run
+      .localCheckpoint()
+    heldout.unpersist()
+    out
   }
 
   val oracleXsplitLeakage: String =

@@ -281,7 +281,7 @@ object Sketch {
       .withColumn("r", expr("(n - 1) * q_pm DIV 1000 + 1"))
       .join(broadcast(fCum), col("cum") >= col("r"))
       .groupBy("q_pm", "n").agg(min("n_chars").as("exact_chars"))
-    est.join(exact, Seq("q_pm"))
+    val out = est.join(exact, Seq("q_pm"))
       .withColumn("abs_err", abs(col("est_chars") - col("exact_chars")))
       .withColumn("rel_err_pm",
         when(col("exact_chars") > 0, expr("abs_err * 1000 DIV exact_chars"))
@@ -290,6 +290,13 @@ object Sketch {
         col("exact_chars"), col("abs_err"), col("rel_err_pm"),
         (col("rel_err_pm") <= 250).as("within_bound"))
       .orderBy("q_pm")
+      // eager: the report is |QsQuantiles| rows; checkpointing it lets
+      // the corpus-wide docs cache be released NOW (the Dedup
+      // edges.unpersist discipline) instead of accumulating storage
+      // blocks across a 229-query run
+      .localCheckpoint()
+    docs.unpersist()
+    out
   }
 
   lazy val oracleQuantileSketch: String = {
@@ -377,13 +384,16 @@ object Sketch {
       .join(fCum, Seq("source"))
       .filter(col("cum") >= col("r"))
       .groupBy("source", "q_pm", "n").agg(min("n_chars").as("exact_chars"))
-    est.join(exact, Seq("source", "q_pm"))
+    val out = est.join(exact, Seq("source", "q_pm"))
       .select(col("source"), col("q_pm"), col("k_eff"), col("n"),
         col("est_chars"), col("exact_chars"),
         (col("k_eff") === col("n")).as("unfilled_exact"))
       .withColumn("match_when_unfilled",
         !col("unfilled_exact") || (col("est_chars") === col("exact_chars")))
       .orderBy("source", "q_pm")
+      .localCheckpoint() // |sources|·|QsQuantiles| rows; frees docs now
+    docs.unpersist()
+    out
   }
 
   lazy val oracleQuantileBySource: String = {

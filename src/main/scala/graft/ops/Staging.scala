@@ -32,13 +32,23 @@ object Staging {
   private[graft] lazy val scratchBase: String = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SCRATCH_BASE", {
       val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_scratch"
+      // capacity gate: containers commonly mount /dev/shm at 64 MB, and
+      // stream feeds + checkpoints + CSV/JSON round trips landing on a
+      // tiny tmpfs would ENOSPC mid-run — an environment-dependent
+      // failure the plain /tmp path never had. Only prefer tmpfs when
+      // it can actually hold a run's scratch (a few GB at the bench SF).
+      val minBytes = 4L << 30
+      if (shm.isDirectory && shm.canWrite && shm.getUsableSpace >= minBytes)
+        "/dev/shm/graft_scratch"
       else "/tmp/graft_stage"
     })
     // tmpfs is RAM: reap dead runs' scratch once per JVM, or repeated
-    // runs accumulate until the machine swaps. Only pid-suffixed dirs
-    // whose process is gone — a live concurrent run is never touched.
-    val deadRun = """.*_p(\d+)$""".r
+    // runs accumulate until the machine swaps. Only dirs matching the
+    // exact [[stagePath]] shape (tag_<16-hex-digest>_p<pid>) whose
+    // process is gone — a live concurrent run is never touched, and a
+    // shared SPARK_GRAFT_SCRATCH_BASE dir's unrelated files (which a
+    // looser `.*_p<digits>` matched) are never destroyed.
+    val deadRun = """^[A-Za-z0-9][A-Za-z0-9_]*_[0-9a-f]{16}_p(\d+)$""".r
     Option(new java.io.File(base).listFiles()).foreach(_.foreach { f =>
       f.getName match {
         case deadRun(pid)
