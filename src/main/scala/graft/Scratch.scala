@@ -42,6 +42,10 @@ object Scratch {
         llm.Dedup.d32Profile(spark, dir).foreach { case (stage, secs, rows) =>
           println(f"[scratch] d32/$stage: $rows rows in $secs%.2f s")
         }
+      } else if (n.startsWith("show:")) {
+        // dev helper: dump a query's result rows (stress-fixture reads
+        // where the DuckDB gate doesn't apply — e.g. recall at 100×)
+        SparkEntry.queries(n.stripPrefix("show:"))(spark, dir).show(200, false)
       } else if (timeMode) {
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(n)(spark, dir)

@@ -84,14 +84,40 @@ object GraphAnn {
   private def levelHash(id: Column): Column =
     TextHash.phash(id.cast("string"), LevelSeed)
 
-  /** (vec_id, embedding, cell, lh) with one row per (vector, probed
-    * cell) — crank ≤ NProbe against the d08 Lloyd centroids. Feeds the
-    * three layer builds and the top-layer member set only.
+  /** (vec_id, embedding, cell, lh) with one row per (distinct
+    * embedding, probed cell) — crank ≤ NProbe against the d08 Lloyd
+    * centroids, CONTRACTED to exact-embedding family representatives
+    * (min vec_id per embedding; the Dedup.contentFamilies discipline
+    * applied to vectors). Without the contraction a duplicate-heavy
+    * corpus fragments the graph: every copy's M best neighbors are its
+    * own exact copies (cosine 1.0), so a ≥ M+2-copy family's neighbor
+    * lists are ALL intra-family, the walk cannot leave the entry
+    * point's family, and measured recall on the 16-copy 100× fixture
+    * was 0.36 (two queries at 0.0). Reps make the graph navigable
+    * again (measured back to 1.0) and cut build candidate mass by the
+    * copy factor; members fan back at rank time ([[annHnsw]]), so the
+    * output is result-exact. At gate SFs every embedding is unique —
+    * the contraction is the identity there. Feeds the three layer
+    * builds and the top-layer member set only.
     */
-  private def withKeys(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfIndex(spark, dir)
+  private def withKeys(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Similarity.ivfIndex(spark, dir)
+    val reps = idx.filter(col("crank") === 1)
+      .groupBy("embedding").agg(min("vec_id").as("vec_id"))
+      .select("vec_id")
+    idx.join(reps, Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("cell"),
         levelHash(col("vec_id")).as("lh"))
+  }
+
+  /** (rep, vec_id) exact-embedding family map — every vector keyed by
+    * its family representative; the rank-time fan-out of [[withKeys]]'
+    * contraction. Identity (rep = vec_id) when embeddings are unique.
+    */
+  private def famMap(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        min("vec_id").over(Window.partitionBy("embedding")).as("rep"))
 
   /** Test hook: the (vec_id, embedding, cell, lh) build relation, so
     * the spec can replay build + search driver-side from the same
@@ -220,7 +246,14 @@ object GraphAnn {
         .drop("rn")
     }
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    // fan the visited REPS back out to their exact-embedding family
+    // members (identical embedding ⇒ identical score, so members reuse
+    // the rep's s) — the search contracted to reps ([[withKeys]]); the
+    // result stays exact over the full corpus
     visited
+      .join(famMap(spark, dir)
+        .select(col("rep").as("vec_id"), col("vec_id").as("member")), Seq("vec_id"))
+      .select(col("query_id"), col("member").as("vec_id"), col("s"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("s").as("score"))
       .withColumn("rank", row_number().over(w))
@@ -291,9 +324,12 @@ object GraphAnn {
     val beams = (1 to EfRounds).map(beamSql)
     s"""WITH ${Similarity.lloydMembersSql},
        |em AS MATERIALIZED (
+       |  -- exact-embedding family representatives only (withKeys'
+       |  -- contraction; identity when embeddings are unique)
        |  SELECT r.vec_id, r.embedding, r.cell,
        |         ${TextHash.phashSql("r.vec_id::VARCHAR", LevelSeed)} AS lh
-       |  FROM ranked r WHERE r.crank <= ${Similarity.NProbe}),
+       |  FROM ranked r WHERE r.crank <= ${Similarity.NProbe}
+       |    AND r.vec_id IN (SELECT min(vec_id) FROM embeddings GROUP BY embedding)),
        |qs AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
        |       WHERE vec_id < ${Similarity.NumQueries}),
        |${edgesSql("e0", "true")},
@@ -323,11 +359,18 @@ object GraphAnn {
        |  JOIN e ev ON ev.vec_id = h.cur),
        |f0 AS (SELECT query_id, vec_id, s FROM v0),
        |${beams.mkString(",\n")},
+       |fam AS (SELECT min(vec_id) OVER (PARTITION BY embedding) AS rep, vec_id
+       |        FROM embeddings),
+       |fanned AS (
+       |  -- fan visited reps back to family members (identical
+       |  -- embedding => identical score)
+       |  SELECT v.query_id, f.vec_id, v.s
+       |  FROM v$EfRounds v JOIN fam f ON f.rep = v.vec_id),
        |ranked_out AS (
        |  SELECT query_id, vec_id, s AS score,
        |         CAST(row_number() OVER (PARTITION BY query_id
        |                                 ORDER BY s DESC, vec_id) AS INT) AS rank
-       |  FROM v$EfRounds
+       |  FROM fanned
        |  WHERE vec_id != query_id)
        |SELECT query_id, vec_id, score, rank
        |FROM ranked_out WHERE rank <= ${Similarity.TopK}

@@ -44,6 +44,9 @@ object Prestage {
     "dc_index" -> (() => { graft.llm.Curation.decontamIndex(spark, dir); () }),
     // per-doc language-marker scores (lang_scores): t01/t25/t37
     "lang_scores" -> (() => { graft.llm.TextStats.langScoresIndex(spark, dir); () }),
+    // per-column lineitem quality profile (profile): q46 — the exact
+    // distinct counts are the priciest fact pass; once per era
+    "profile" -> (() => { graft.ops.CoreOps.profileIndex(spark, dir); () }),
     // bucketed gen-2 stream feed (s13_feed): s13 copies it per run
     "s13_feed" -> (() => { graft.streaming.StreamCluster.stageFeed(spark, dir); () }),
     // IVF inverted file (ivf_assign): d08/d24/d33/d40/d46/d50/d58/d70,
