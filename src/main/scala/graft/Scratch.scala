@@ -42,6 +42,10 @@ object Scratch {
         llm.Dedup.d32Profile(spark, dir).foreach { case (stage, secs, rows) =>
           println(f"[scratch] d32/$stage: $rows rows in $secs%.2f s")
         }
+      } else if (n == "d74stages") {
+        llm.Sketch.d74Profile(spark, dir).foreach { case (stage, secs, rows) =>
+          println(f"[scratch] d74/$stage: $rows rows in $secs%.2f s")
+        }
       } else if (n.startsWith("show:")) {
         // dev helper: dump a query's result rows (stress-fixture reads
         // where the DuckDB gate doesn't apply — e.g. recall at 100×)

@@ -121,6 +121,8 @@ object SparkEntry {
     "d42_kmv_overlap"       -> (llm.Sketch.kmvOverlap(_, _)),
     "d72_quantile_sketch"   -> (llm.Sketch.quantileSketch(_, _)),
     "d73_quantile_by_source" -> (llm.Sketch.quantileBySource(_, _)),
+    "d74_theta_set_ops"     -> (llm.Sketch.thetaSetOps(_, _)),
+    "d75_theta_novelty"     -> (llm.Sketch.thetaNovelty(_, _)),
     "d43_split_enforce"     -> (llm.Sampling.splitEnforce(_, _)),
     "d44_token_shards"      -> (llm.Sampling.tokenShards(_, _)),
     "d45_quality_dedup"     -> (llm.Dedup.qualityDedup(_, _)),
@@ -646,6 +648,8 @@ object SparkEntry {
     "d42_kmv_overlap"   -> llm.Sketch.oracleKmvOverlap,
     "d72_quantile_sketch" -> llm.Sketch.oracleQuantileSketch,
     "d73_quantile_by_source" -> llm.Sketch.oracleQuantileBySource,
+    "d74_theta_set_ops" -> llm.Sketch.oracleThetaSetOps,
+    "d75_theta_novelty" -> llm.Sketch.oracleThetaNovelty,
     "d43_split_enforce" -> llm.Sampling.oracleSplitEnforce,
     "d44_token_shards"  -> llm.Sampling.oracleTokenShards,
     "d45_quality_dedup" -> llm.Dedup.oracleQualityDedup,

@@ -432,4 +432,401 @@ object Sketch {
        |FROM est JOIN ex USING (source, q_pm)
        |ORDER BY source, q_pm""".stripMargin
   }
+
+  // -- d74/d75: theta-sketch set operations over the per-source KMV sketches --
+
+  /** 2⁵⁶ — the portable-hash value space (the d16 constant, restated
+    * here for the theta arithmetic: theta values and n·2⁵⁶ numerators
+    * with n ≤ 2·[[KmvK]] are exactly representable as IEEE doubles up
+    * to the divisor rounding both engines share).
+    */
+  private val ThetaSpace = 72057594037927936L
+
+  /** Theta estimate `⌊n · 2⁵⁶ / θ⌋`: the unbiased count/θ estimator of
+    * a theta sketch (Dasgupta et al., "Theta sketch framework"), with
+    * the same IEEE-determinism argument as d16's `kmvEstimate` — the
+    * numerator is exact (n ≤ 512 has ≤ 10 significant bits), the
+    * divisor rounds to nearest once, both engines floor the same
+    * quotient. θ = 2⁵⁶ (unfilled sketch) degenerates to the exact
+    * count.
+    */
+  private def thetaEst(n: Column, theta: Column): Column =
+    floor(n.cast("double") * lit(ThetaSpace.toDouble) / theta.cast("double"))
+
+  private def thetaEstSqlText(n: String, theta: String): String =
+    s"floor(($n * CAST(72057594037927936 AS DOUBLE)) / $theta)::BIGINT"
+
+  /** KMV estimate at k = [[KmvK]] (the d16 estimator on the d42 sketch
+    * size): exact when unfilled, else `⌊(k−1)·2⁵⁶/(vk+1)⌋`.
+    */
+  private def kmvEst256(kEff: Column, vk: Column): Column =
+    when(kEff < KmvK, kEff).otherwise(
+      floor(lit((KmvK - 1).toDouble * ThetaSpace.toDouble)
+        / (vk + lit(1L)).cast("double")))
+
+  private def kmvEst256SqlText(kEff: String, vk: String): String =
+    s"(CASE WHEN $kEff < $KmvK THEN $kEff ELSE " +
+      s"floor((${KmvK - 1}.0 * CAST(72057594037927936 AS DOUBLE)) / ($vk + 1))::BIGINT END)"
+
+  /** d74 — theta-sketch set operations: per source pair, distinct
+    * shingle-count estimates for A∪B, A∩B, A∖B and B∖A from the same
+    * constant-size per-source KMV sketches d42 builds (a KMV sketch
+    * with θ = k-th value IS a theta sketch — Dasgupta et al.; Beyer
+    * et al. SIGMOD'07). d42 answers "how MUCH do two corpora overlap"
+    * (Jaccard); this answers the planning questions d42 can't: "how
+    * many NEW documentsworth of shingles does corpus B add to A"
+    * (difference), "how big is the merged corpus vocabulary" (union),
+    * "how many shingles would cross-corpus dedup remove"
+    * (intersection) — each as a cardinality, not a ratio.
+    *
+    * Mechanics: per source, the sketch is the k smallest distinct
+    * shingle hashes with θ_s = vk+1 (2⁵⁶ when unfilled, i.e. the whole
+    * set is held). For a pair, θ = min(θ_a, θ_b); below θ, sketch
+    * membership equals SET membership on both sides, so the candidate
+    * counts n_common / n_a_only / n_b_only are exact samples at rate
+    * θ/2⁵⁶ and estimates read `⌊n·2⁵⁶/θ⌋`. The union estimate takes
+    * the KMV merge (bottom-k of both sketches' union — identically
+    * the union's own sketch) through d16's estimator. Everything is
+    * deterministic integer/IEEE arithmetic over the portable hash, so
+    * estimates AND bound booleans hash-match the DuckDB oracle (the
+    * d42 discipline); the declared bounds are stated in pure integer
+    * arithmetic (`10·|Δ| ≤ 3·n + 640` ≈ 0.3·n + 64, ≥ 4.8σ at k=256)
+    * so no decimal/double boundary can flip them across engines.
+    *
+    * Scale shape: one distinct (source, h) pass feeds the sketches
+    * (ranked window, WindowGroupLimit prunes per partition) and the
+    * exact audit legs (the d42 shape: h-keyed self-join touches only
+    * SHARED shingles; per-source counts + inclusion-exclusion give the
+    * union). All pairwise work happens on O(pairs·k) sketch rows —
+    * broadcastable at any corpus size; at 100 TB only the sketches
+    * ship, which is the point of the operator.
+    */
+  def thetaSetOps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextHash.hashedShingles(col("text"), 0)).as("h"))
+      .distinct()
+      .persist()
+    // every small intermediate below is REFERENCED from several
+    // downstream subtrees; an eager localCheckpoint collapses each to
+    // a leaf — without the barriers the final join tree re-embeds the
+    // (window over sh → thetas → pairs) subplan per reference and
+    // driver-side analysis alone cost ~15 s at EVERY SF (the
+    // connectedComponents lineage lesson, batch-shaped)
+    val wk = Window.partitionBy("source").orderBy("h")
+    val sk = sh.withColumn("rn", row_number().over(wk)).filter(col("rn") <= KmvK)
+      .select("source", "h")
+      .localCheckpoint() // O(sources · k) rows at any corpus size
+    val thetas = sk.groupBy("source")
+      .agg(count(lit(1)).as("k_eff"), max("h").as("vk"))
+      .withColumn("theta",
+        when(col("k_eff") < KmvK, lit(ThetaSpace)).otherwise(col("vk") + lit(1L)))
+      .select("source", "theta")
+    val srcs = sk.select("source").distinct()
+    val pairs = srcs.toDF("sa").crossJoin(srcs.toDF("sb")).filter(col("sa") < col("sb"))
+      .join(thetas.toDF("sa", "theta_a"), Seq("sa"))
+      .join(thetas.toDF("sb", "theta_b"), Seq("sb"))
+      .withColumn("theta", least(col("theta_a"), col("theta_b")))
+      .select("sa", "sb", "theta")
+      .localCheckpoint() // O(sources²) rows
+    // per-pair sketch-membership rows: O(pairs · k), the only fan-out
+    val pa = pairs.select(col("sa"), col("sb"), col("theta"), col("sa").as("source"))
+    val pb = pairs.select(col("sa"), col("sb"), col("theta"), col("sb").as("source"))
+    val memb = sk.join(pa, Seq("source"))
+        .select(col("sa"), col("sb"), col("theta"), col("h"), lit(1L).as("in_a"), lit(0L).as("in_b"))
+      .unionByName(sk.join(pb, Seq("source"))
+        .select(col("sa"), col("sb"), col("theta"), col("h"), lit(0L).as("in_a"), lit(1L).as("in_b")))
+      .groupBy("sa", "sb", "theta", "h")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+      .localCheckpoint() // O(pairs · 2k) rows; feeds uni AND below
+    val wu = Window.partitionBy("sa", "sb").orderBy("h")
+    val uni = memb.withColumn("rn", row_number().over(wu)).filter(col("rn") <= KmvK)
+      .groupBy("sa", "sb").agg(count(lit(1)).as("k_union"), max("h").as("vk_u"))
+    val below = memb.filter(col("h") < col("theta"))
+      .groupBy("sa", "sb", "theta")
+      .agg(sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L)).as("n_common"),
+           sum(when(col("in_a") === 1 && col("in_b") === 0, 1L).otherwise(0L)).as("n_a_only"),
+           sum(when(col("in_a") === 0 && col("in_b") === 1, 1L).otherwise(0L)).as("n_b_only"))
+    // exact audit legs (the d42 shape)
+    val counts = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = sh.toDF("sa", "h").join(sh.toDF("sb", "h2"),
+        col("h") === col("h2") && col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("n_inter"))
+    val ex = pairs.select("sa", "sb").join(inter, Seq("sa", "sb"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(counts.toDF("sa", "na"), Seq("sa"))
+      .join(counts.toDF("sb", "nb"), Seq("sb"))
+      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+    val out = below.join(uni, Seq("sa", "sb")).join(ex, Seq("sa", "sb"))
+      .withColumn("union_est", kmvEst256(col("k_union"), col("vk_u")))
+      .withColumn("inter_est", thetaEst(col("n_common"), col("theta")))
+      .withColumn("diff_ab_est", thetaEst(col("n_a_only"), col("theta")))
+      .withColumn("diff_ba_est", thetaEst(col("n_b_only"), col("theta")))
+      .withColumn("n_diff_ab", col("na") - col("n_inter"))
+      .withColumn("n_diff_ba", col("nb") - col("n_inter"))
+      .select(col("sa"), col("sb"), col("theta"), col("k_union"),
+        col("union_est"), col("n_union"),
+        (abs(col("union_est") - col("n_union")) * 10 <= col("n_union") * 3).as("union_ok"),
+        col("n_common"), col("inter_est"), col("n_inter"),
+        (abs(col("inter_est") - col("n_inter")) * 10 <= col("n_union") * 3 + 640).as("inter_ok"),
+        col("diff_ab_est"), col("n_diff_ab"),
+        (abs(col("diff_ab_est") - col("n_diff_ab")) * 10 <= col("n_union") * 3 + 640).as("diff_ab_ok"),
+        col("diff_ba_est"), col("n_diff_ba"),
+        (abs(col("diff_ba_est") - col("n_diff_ba")) * 10 <= col("n_union") * 3 + 640).as("diff_ba_ok"))
+      .orderBy("sa", "sb")
+      .localCheckpoint() // |pairs| rows; frees sh now
+    sh.unpersist()
+    out
+  }
+
+  /** Dev stage timer for d74 (Scratch `d74stages`) — not library surface. */
+  def d74Profile(spark: SparkSession, dir: String): Seq[(String, Double, Long)] = {
+    import org.apache.spark.sql.expressions.Window
+    val out = scala.collection.mutable.Buffer[(String, Double, Long)]()
+    def t(stage: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      out += ((stage, (System.nanoTime() - t0) / 1e9, rows))
+    }
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextHash.hashedShingles(col("text"), 0)).as("h"))
+      .distinct()
+      .persist()
+    t("sh")(sh.count())
+    val wk = Window.partitionBy("source").orderBy("h")
+    val sk = sh.withColumn("rn", row_number().over(wk)).filter(col("rn") <= KmvK)
+      .select("source", "h").localCheckpoint(false)
+    t("sk")(sk.count())
+    val thetas = sk.groupBy("source")
+      .agg(count(lit(1)).as("k_eff"), max("h").as("vk"))
+      .withColumn("theta",
+        when(col("k_eff") < KmvK, lit(ThetaSpace)).otherwise(col("vk") + lit(1L)))
+      .select("source", "theta")
+    val srcs = sk.select("source").distinct()
+    val pairs = srcs.toDF("sa").crossJoin(srcs.toDF("sb")).filter(col("sa") < col("sb"))
+      .join(thetas.toDF("sa", "theta_a"), Seq("sa"))
+      .join(thetas.toDF("sb", "theta_b"), Seq("sb"))
+      .withColumn("theta", least(col("theta_a"), col("theta_b")))
+      .select("sa", "sb", "theta").localCheckpoint(false)
+    t("pairs")(pairs.count())
+    val pa = pairs.select(col("sa"), col("sb"), col("theta"), col("sa").as("source"))
+    val pb = pairs.select(col("sa"), col("sb"), col("theta"), col("sb").as("source"))
+    val memb = sk.join(pa, Seq("source"))
+        .select(col("sa"), col("sb"), col("theta"), col("h"), lit(1L).as("in_a"), lit(0L).as("in_b"))
+      .unionByName(sk.join(pb, Seq("source"))
+        .select(col("sa"), col("sb"), col("theta"), col("h"), lit(0L).as("in_a"), lit(1L).as("in_b")))
+      .groupBy("sa", "sb", "theta", "h")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+      .localCheckpoint(false)
+    t("memb")(memb.count())
+    val wu = Window.partitionBy("sa", "sb").orderBy("h")
+    t("uni")(memb.withColumn("rn", row_number().over(wu)).filter(col("rn") <= KmvK)
+      .groupBy("sa", "sb").agg(count(lit(1)).as("k_union"), max("h").as("vk_u")).count())
+    t("below")(memb.filter(col("h") < col("theta"))
+      .groupBy("sa", "sb", "theta")
+      .agg(sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L)).as("n_common")).count())
+    val counts = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    t("counts")(counts.count())
+    val inter = sh.toDF("sa", "h").join(sh.toDF("sb", "h2"),
+        col("h") === col("h2") && col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("n_inter"))
+    t("inter")(inter.count())
+    sh.unpersist()
+    out.toSeq
+  }
+
+  lazy val oracleThetaSetOps: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT source, unnest(${TextHash.hashedShinglesSql("text", 0)}) AS h
+       |  FROM documents),
+       |sk AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM sh) WHERE rn <= $KmvK),
+       |thetas AS (
+       |  SELECT source,
+       |         CASE WHEN count(*) < $KmvK THEN ${ThetaSpace}
+       |              ELSE max(h) + 1 END AS theta
+       |  FROM sk GROUP BY 1),
+       |srcs AS (SELECT DISTINCT source FROM sh),
+       |pairs AS (
+       |  SELECT a.source AS sa, b.source AS sb,
+       |         least(ta.theta, tb.theta) AS theta
+       |  FROM srcs a JOIN srcs b ON a.source < b.source
+       |  JOIN thetas ta ON ta.source = a.source
+       |  JOIN thetas tb ON tb.source = b.source),
+       |memb AS (
+       |  SELECT sa, sb, theta, h, max(in_a) AS in_a, max(in_b) AS in_b
+       |  FROM (
+       |    SELECT p.sa, p.sb, p.theta, k.h, 1 AS in_a, 0 AS in_b
+       |    FROM pairs p JOIN sk k ON k.source = p.sa
+       |    UNION ALL
+       |    SELECT p.sa, p.sb, p.theta, k.h, 0 AS in_a, 1 AS in_b
+       |    FROM pairs p JOIN sk k ON k.source = p.sb)
+       |  GROUP BY 1, 2, 3, 4),
+       |uni AS (
+       |  SELECT sa, sb, count(*) AS k_union, max(h) AS vk_u FROM (
+       |    SELECT sa, sb, h, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+       |    FROM memb) WHERE rn <= $KmvK
+       |  GROUP BY 1, 2),
+       |below AS (
+       |  SELECT sa, sb, theta,
+       |         sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)::BIGINT AS n_common,
+       |         sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a_only,
+       |         sum(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b_only
+       |  FROM memb WHERE h < theta
+       |  GROUP BY 1, 2, 3),
+       |counts AS (SELECT source, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.source AS sa, b.source AS sb, count(*)::BIGINT AS n_inter
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |ex AS (
+       |  SELECT p.sa, p.sb, coalesce(i.n_inter, 0) AS n_inter,
+       |         ca.n AS na, cb.n AS nb,
+       |         ca.n + cb.n - coalesce(i.n_inter, 0) AS n_union
+       |  FROM pairs p
+       |  LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+       |  JOIN counts ca ON ca.source = p.sa
+       |  JOIN counts cb ON cb.source = p.sb)
+       |SELECT b.sa, b.sb, b.theta, u.k_union,
+       |       ${kmvEst256SqlText("u.k_union", "u.vk_u")} AS union_est, e.n_union,
+       |       abs(${kmvEst256SqlText("u.k_union", "u.vk_u")} - e.n_union) * 10 <= e.n_union * 3 AS union_ok,
+       |       b.n_common,
+       |       ${thetaEstSqlText("b.n_common", "b.theta")} AS inter_est, e.n_inter,
+       |       abs(${thetaEstSqlText("b.n_common", "b.theta")} - e.n_inter) * 10 <= e.n_union * 3 + 640 AS inter_ok,
+       |       ${thetaEstSqlText("b.n_a_only", "b.theta")} AS diff_ab_est,
+       |       e.na - e.n_inter AS n_diff_ab,
+       |       abs(${thetaEstSqlText("b.n_a_only", "b.theta")} - (e.na - e.n_inter)) * 10 <= e.n_union * 3 + 640 AS diff_ab_ok,
+       |       ${thetaEstSqlText("b.n_b_only", "b.theta")} AS diff_ba_est,
+       |       e.nb - e.n_inter AS n_diff_ba,
+       |       abs(${thetaEstSqlText("b.n_b_only", "b.theta")} - (e.nb - e.n_inter)) * 10 <= e.n_union * 3 + 640 AS diff_ba_ok
+       |FROM below b JOIN uni u ON u.sa = b.sa AND u.sb = b.sb
+       |JOIN ex e ON e.sa = b.sa AND e.sb = b.sb
+       |ORDER BY b.sa, b.sb""".stripMargin
+
+  /** d75 — n-way theta difference: per source, how many of its
+    * distinct shingles appear in NO other source ("novel content" —
+    * the quantity that prices keeping a corpus in the training mix),
+    * plus the merged all-sources union estimate (the global
+    * vocabulary size from sketches alone). The n-way generalization
+    * of d74: θ_g = min over ALL per-source thetas; below θ_g, sketch
+    * membership equals set membership for every source, so a hash
+    * seen in exactly one sketch is globally unique, and the per-source
+    * unique-candidate counts scale back by 2⁵⁶/θ_g. The global union
+    * merges all sketches bottom-k (the d16b merge property, n-way).
+    *
+    * Scale shape: the candidate pass runs over O(sources·k) sketch
+    * rows; the exact audit legs are one group-by-h over the distinct
+    * (source, h) relation (a hash that occurs once is unique — no
+    * pairwise step at all). Constant sketch state per source; at
+    * 1000 executors the sketches are partial-aggregated per partition
+    * and merged on one reducer — nothing corpus-pairwise anywhere.
+    */
+  def thetaNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextHash.hashedShingles(col("text"), 0)).as("h"))
+      .distinct()
+      .persist()
+    val wk = Window.partitionBy("source").orderBy("h")
+    // same barrier discipline as d74: sk feeds three subtrees
+    val sk = sh.withColumn("rn", row_number().over(wk)).filter(col("rn") <= KmvK)
+      .select("source", "h")
+      .localCheckpoint() // O(sources · k) rows
+    val thetas = sk.groupBy("source")
+      .agg(count(lit(1)).as("k_eff"), max("h").as("vk"))
+      .withColumn("theta",
+        when(col("k_eff") < KmvK, lit(ThetaSpace)).otherwise(col("vk") + lit(1L)))
+    val tg = thetas.agg(min("theta").as("theta_g")).localCheckpoint()
+    // below theta_g, a hash present in exactly one SKETCH is present
+    // in exactly one SET
+    val uniqCand = sk.crossJoin(broadcast(tg))
+      .filter(col("h") < col("theta_g"))
+      .groupBy("h", "theta_g")
+      .agg(count(lit(1)).as("n_src"), min("source").as("source"))
+      .filter(col("n_src") === 1)
+      .groupBy("source", "theta_g").agg(count(lit(1)).as("n_uniq_cand"))
+    // global union sketch: bottom-k of all sketches' distinct hashes
+    val wg = Window.orderBy("h")
+    val gUni = sk.select("h").distinct()
+      .withColumn("rn", row_number().over(wg)).filter(col("rn") <= KmvK)
+      .agg(count(lit(1)).as("k_g"), max("h").as("vk_g"))
+    // exact audit legs: one group-by-h pass, no pairwise step
+    val exUniq = sh.groupBy("h")
+      .agg(count(lit(1)).as("n_src"), min("source").as("source"))
+      .filter(col("n_src") === 1)
+      .groupBy("source").agg(count(lit(1)).as("n_uniq_exact"))
+    val exN = sh.groupBy("source").agg(count(lit(1)).as("n_distinct_exact"))
+    val exG = sh.agg(countDistinct("h").as("n_union_exact"))
+    val out = exN
+      .join(exUniq, Seq("source"), "left").na.fill(0L, Seq("n_uniq_exact"))
+      .join(uniqCand, Seq("source"), "left")
+      .crossJoin(broadcast(tg.toDF("theta_g2")))
+      .withColumn("theta_g", coalesce(col("theta_g"), col("theta_g2")))
+      .na.fill(0L, Seq("n_uniq_cand"))
+      .crossJoin(broadcast(gUni))
+      .crossJoin(broadcast(exG))
+      .withColumn("uniq_est", thetaEst(col("n_uniq_cand"), col("theta_g")))
+      .withColumn("union_est", kmvEst256(col("k_g"), col("vk_g")))
+      .select(col("source"), col("n_distinct_exact"),
+        col("n_uniq_cand"), col("uniq_est"), col("n_uniq_exact"),
+        (abs(col("uniq_est") - col("n_uniq_exact")) * 10
+          <= col("n_distinct_exact") * 3 + 640).as("uniq_ok"),
+        col("theta_g"), col("union_est"), col("n_union_exact"),
+        (abs(col("union_est") - col("n_union_exact")) * 10
+          <= col("n_union_exact") * 3).as("union_ok"))
+      .orderBy("source")
+      .localCheckpoint() // |sources| rows; frees sh now
+    sh.unpersist()
+    out
+  }
+
+  lazy val oracleThetaNovelty: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT source, unnest(${TextHash.hashedShinglesSql("text", 0)}) AS h
+       |  FROM documents),
+       |sk AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM sh) WHERE rn <= $KmvK),
+       |thetas AS (
+       |  SELECT source,
+       |         CASE WHEN count(*) < $KmvK THEN ${ThetaSpace}
+       |              ELSE max(h) + 1 END AS theta
+       |  FROM sk GROUP BY 1),
+       |tg AS (SELECT min(theta) AS theta_g FROM thetas),
+       |uniqcand AS (
+       |  SELECT source, count(*)::BIGINT AS n_uniq_cand FROM (
+       |    SELECT h, count(*) AS n_src, min(source) AS source
+       |    FROM sk CROSS JOIN tg WHERE h < theta_g
+       |    GROUP BY h)
+       |  WHERE n_src = 1 GROUP BY 1),
+       |guni AS (
+       |  SELECT count(*) AS k_g, max(h) AS vk_g FROM (
+       |    SELECT h, row_number() OVER (ORDER BY h) AS rn
+       |    FROM (SELECT DISTINCT h FROM sk)) WHERE rn <= $KmvK),
+       |exuniq AS (
+       |  SELECT source, count(*)::BIGINT AS n_uniq_exact FROM (
+       |    SELECT h, count(*) AS n_src, min(source) AS source
+       |    FROM sh GROUP BY h)
+       |  WHERE n_src = 1 GROUP BY 1),
+       |exn AS (SELECT source, count(*)::BIGINT AS n_distinct_exact FROM sh GROUP BY 1),
+       |exg AS (SELECT count(DISTINCT h)::BIGINT AS n_union_exact FROM sh)
+       |SELECT n.source, n.n_distinct_exact,
+       |       coalesce(u.n_uniq_cand, 0) AS n_uniq_cand,
+       |       ${thetaEstSqlText("coalesce(u.n_uniq_cand, 0)", "t.theta_g")} AS uniq_est,
+       |       coalesce(x.n_uniq_exact, 0) AS n_uniq_exact,
+       |       abs(${thetaEstSqlText("coalesce(u.n_uniq_cand, 0)", "t.theta_g")}
+       |           - coalesce(x.n_uniq_exact, 0)) * 10
+       |         <= n.n_distinct_exact * 3 + 640 AS uniq_ok,
+       |       t.theta_g,
+       |       ${kmvEst256SqlText("g.k_g", "g.vk_g")} AS union_est, e.n_union_exact,
+       |       abs(${kmvEst256SqlText("g.k_g", "g.vk_g")} - e.n_union_exact) * 10
+       |         <= e.n_union_exact * 3 AS union_ok
+       |FROM exn n
+       |LEFT JOIN exuniq x ON x.source = n.source
+       |LEFT JOIN uniqcand u ON u.source = n.source
+       |CROSS JOIN tg t CROSS JOIN guni g CROSS JOIN exg e
+       |ORDER BY n.source""".stripMargin
 }

@@ -315,7 +315,12 @@ object TextStats {
 
   private def kmvEstimateSqlText(kEff: String, vk: String): String =
     s"(CASE WHEN $kEff < $KmvDistinctK THEN $kEff ELSE " +
-      s"floor((${KmvDistinctK - 1}.0 * 72057594037927936.0) / ($vk + 1))::BIGINT END)"
+      // CAST, not a 72057594037927936.0 literal: DuckDB types that
+      // literal DECIMAL(18,1) and the multiply overflows AT EXECUTION
+      // the first time the ELSE branch runs (i.e. the first fixture
+      // whose sketch fills) — the DOUBLE product is the same exact
+      // value (≤ 10 significant bits)
+      s"floor((${KmvDistinctK - 1}.0 * CAST(72057594037927936 AS DOUBLE)) / ($vk + 1))::BIGINT END)"
 
   /** d16 — cardinality sketching, fully hash-gated: per-source exact
     * vs k-minimum-values distinct-word estimates, plus the declared

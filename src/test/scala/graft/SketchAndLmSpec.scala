@@ -273,4 +273,77 @@ class SketchAndLmSpec extends AnyFunSuite {
         s"$src q=$q grouped est")
     }
   }
+
+  test("d74: theta set-op estimates replay driver-side from the per-source sketches") {
+    val Space = 72057594037927936L // 2^56
+    val out = Sketch.thetaSetOps(spark, Sf).collect()
+    // one row per unordered source pair
+    val sh = graft.tables.Tables.documents(spark, Sf)
+      .select(col("source"),
+        explode(graft.llm.TextHash.hashedShingles(col("text"), 0)).as("h"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = sh.groupBy(_._1).map { case (s, rows) =>
+      s -> rows.map(_._2).toSet
+    }
+    val srcs = bySrc.keys.toSeq.sorted
+    assert(out.length == srcs.size * (srcs.size - 1) / 2)
+    val sketches = bySrc.map { case (s, hs) =>
+      s -> hs.toSeq.sorted.take(Sketch.KmvK)
+    }
+    val thetas = sketches.map { case (s, sk) =>
+      s -> (if (sk.size < Sketch.KmvK) Space else sk.max + 1L)
+    }
+    out.foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      val theta = math.min(thetas(sa), thetas(sb))
+      assert(r.getLong(2) == theta, s"$sa/$sb theta")
+      val (ska, skb) = (sketches(sa).toSet, sketches(sb).toSet)
+      val below = (ska ++ skb).filter(_ < theta)
+      val nCommon = below.count(h => ska(h) && skb(h)).toLong
+      assert(r.getLong(7) == nCommon, s"$sa/$sb n_common")
+      // the theta estimator replayed in the same IEEE arithmetic
+      val interEst = math.floor(nCommon.toDouble * Space.toDouble / theta.toDouble).toLong
+      assert(r.getLong(8) == interEst, s"$sa/$sb inter_est")
+      // exact legs against the driver-computed sets
+      val (fa, fb) = (bySrc(sa), bySrc(sb))
+      assert(r.getLong(9) == fa.intersect(fb).size.toLong, s"$sa/$sb n_inter")
+      assert(r.getLong(5) == fa.union(fb).size.toLong, s"$sa/$sb n_union")
+      assert(r.getLong(12) == (fa.size - fa.intersect(fb).size).toLong, s"$sa/$sb n_diff_ab")
+      // union sketch = bottom-k of the merged sketches (mergeability)
+      val mk = (ska ++ skb).toSeq.sorted.take(Sketch.KmvK)
+      assert(r.getLong(3) == mk.size.toLong, s"$sa/$sb k_union")
+    }
+  }
+
+  test("d75: unique-below-theta candidates are globally unique; union sketch merges n-way") {
+    val Space = 72057594037927936L
+    val out = Sketch.thetaNovelty(spark, Sf).collect()
+    val sh = graft.tables.Tables.documents(spark, Sf)
+      .select(col("source"),
+        explode(graft.llm.TextHash.hashedShingles(col("text"), 0)).as("h"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = sh.groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2).toSet }
+    assert(out.length == bySrc.size)
+    val sketches = bySrc.map { case (s, hs) => s -> hs.toSeq.sorted.take(Sketch.KmvK) }
+    val thetaG = sketches.values.map(sk =>
+      if (sk.size < Sketch.KmvK) Space else sk.max + 1L).min
+    // global-unique exact counts per source
+    val uniqExact = sh.groupBy(_._2).filter(_._2.length == 1)
+      .map(_._2.head._1).groupBy(identity).map { case (s, v) => s -> v.size.toLong }
+    out.foreach { r =>
+      val s = r.getString(0)
+      assert(r.getLong(6) == thetaG, s"$s theta_g")
+      assert(r.getLong(4) == uniqExact.getOrElse(s, 0L), s"$s n_uniq_exact")
+      val est = math.floor(r.getLong(2).toDouble * Space.toDouble / thetaG.toDouble).toLong
+      assert(r.getLong(3) == est, s"$s uniq_est replay")
+      // a candidate counted unique below theta_g must BE globally unique:
+      // n_uniq_cand can never exceed the exact unique count of hashes
+      // below theta_g (set-membership equivalence below the min theta)
+      val exactBelow = bySrc.map { case (s2, hs) =>
+        s2 -> hs.count(h => h < thetaG && !bySrc.exists { case (s3, hs3) =>
+          s3 != s2 && hs3(h) }).toLong
+      }
+      assert(r.getLong(2) == exactBelow(s), s"$s candidates = exact uniques below theta")
+    }
+  }
 }
