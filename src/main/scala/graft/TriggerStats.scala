@@ -48,16 +48,25 @@ object TriggerStats {
       // listener delivery is async; progress events for a terminated
       // AvailableNow stream land within ms — give the bus a beat
       Thread.sleep(1500)
-      val trig = graft.streaming.TriggerLog.drain()
-        .filter(_._1 == name).map(_._3).sorted
+      val recs = graft.streaming.TriggerLog.drain().filter(_._1 == name)
+      val trig = recs.map(_._3.getOrElse("triggerExecution", 0L)).sorted
       val p95 =
         if (trig.isEmpty) 0L
         else trig(math.min(trig.length - 1, math.ceil(trig.length * 0.95).toInt - 1))
       val trigJson = trig.mkString("[", ",", "]")
+      // per-phase sums across triggers: where an inflated total SITS
+      // (addBatch = engine work; latestOffset/getBatch = source
+      // listing; walCommit/commitOffsets = checkpoint fsyncs)
+      val phaseSums = recs.flatMap(_._3.toSeq)
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+        .toSeq.sortBy(-_._2)
+      val phaseJson = phaseSums
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val errJson = err.map(e => s""","err":"${e.replaceAll("[\"\\\\\n\r\t]", " ")}"""").getOrElse("")
       println(
         s"""{"query":"$name","total_s":$total,"n_triggers":${trig.length},""" +
-        s""""trigger_ms":$trigJson,"p95_ms":$p95,"max_ms":${trig.lastOption.getOrElse(0L)}$errJson}""")
+        s""""trigger_ms":$trigJson,"p95_ms":$p95,"max_ms":${trig.lastOption.getOrElse(0L)},""" +
+        s""""phase_sums_ms":$phaseJson$errJson}""")
       spark.catalog.clearCache()
       System.gc()
     }

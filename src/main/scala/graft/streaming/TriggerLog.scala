@@ -21,16 +21,24 @@ object TriggerLog {
 
   @volatile private[graft] var enabled = false
   @volatile private var ctx = ""
-  private val buf = new ConcurrentLinkedQueue[(String, Long, Long)]()
+  private val buf =
+    new ConcurrentLinkedQueue[(String, Long, Map[String, Long])]()
 
   /** Label subsequently recorded triggers (the runner sets this to the
     * query name before invoking it — queries run one at a time).
     */
   private[graft] def setContext(c: String): Unit = ctx = c
 
-  /** Snapshot-and-clear: (context, batchId, triggerExecution ms). */
-  private[graft] def drain(): Seq[(String, Long, Long)] = {
-    val b = Seq.newBuilder[(String, Long, Long)]
+  /** Snapshot-and-clear: (context, batchId, durationMs phase map —
+    * `triggerExecution` plus Spark's per-phase splits: `addBatch`
+    * (the micro-batch job itself), `getBatch`/`latestOffset` (source
+    * listing), `walCommit`/`commitOffsets` (checkpoint log fsyncs),
+    * `queryPlanning`). The phase splits are what attributes an
+    * inflated trigger: engine work lands in addBatch, source/dir
+    * listing in latestOffset, checkpoint I/O in the commit phases.
+    */
+  private[graft] def drain(): Seq[(String, Long, Map[String, Long])] = {
+    val b = Seq.newBuilder[(String, Long, Map[String, Long])]
     var e = buf.poll()
     while (e != null) { b += e; e = buf.poll() }
     b.result()
@@ -41,9 +49,11 @@ object TriggerLog {
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       if (enabled) {
-        val ms = Option(e.progress.durationMs.get("triggerExecution"))
-          .map(_.longValue()).getOrElse(0L)
-        buf.add((ctx, e.progress.batchId, ms)): Unit
+        val phases = {
+          import scala.jdk.CollectionConverters._
+          e.progress.durationMs.asScala.map { case (k, v) => k -> v.longValue() }.toMap
+        }
+        buf.add((ctx, e.progress.batchId, phases)): Unit
       }
     }
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
