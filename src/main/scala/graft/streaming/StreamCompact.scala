@@ -15,7 +15,8 @@ import org.apache.spark.sql.types.{DateType, DoubleType, LongType, StringType,
   * that is thousands of kilobyte-scale files per day-partition within
   * hours, and scan cost inverts from data-bound to file-open-bound.
   * The compactor is the fix: rewrite each day-partition into
-  * ceil(rows/[[RowsPerFile]]) right-sized files, atomically.
+  * ceil(rows/[[rowsPerFile]]) right-sized files, atomically (roll
+  * derived from corpus size, floored at [[RowsPerFile]]).
   *
   * Three phases, all gated by ONE output relation:
   *  1. INGEST — events stream in [[NumBatches]] micro-batches
@@ -54,8 +55,26 @@ import org.apache.spark.sql.types.{DateType, DoubleType, LongType, StringType,
 object StreamCompact {
 
   val NumBatches = 3
-  /** Compaction target: files roll every this-many records. */
+  /** Compaction floor: files roll at least every this-many records. */
   val RowsPerFile = 1500
+  /** Bound on the TOTAL compacted file count. A constant row roll is
+    * the scale bug this knob retires (found round 10): at 100× the
+    * fixture's 10 M events rolled ~6,700 files and the layout job went
+    * file-op-bound (compact phase 3 → 34 s, pure create/commit/rename
+    * mass — the very pathology the compactor exists to fix). A
+    * production compactor targets bounded file COUNT/SIZE, so the roll
+    * derives from the corpus: `max(RowsPerFile, ⌈n/MaxTotalFiles⌉)` —
+    * the same derived-knob-with-gate-floor pattern as
+    * `Similarity.numCells`; every gate SF (≤ 100 k events) stays under
+    * the floor, so oracle hashes are unchanged by construction, and
+    * the DuckDB twin computes the identical integer formula from
+    * `count(*)`. */
+  val MaxTotalFiles = 256L
+
+  /** Derived roll: integer ceil-division, truncating like DuckDB `//`
+    * on non-negative BIGINTs. */
+  def rowsPerFile(totalRows: Long): Long =
+    math.max(RowsPerFile.toLong, (totalRows + MaxTotalFiles - 1) / MaxTotalFiles)
 
   private val feedSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", TimestampType),
@@ -140,9 +159,11 @@ object StreamCompact {
 
     // phase 2: the compactor — one shuffle keyed by day, bounded files
     val ing = ss.read.schema(ingSchema).parquet(s"$base/ingest")
+    // parquet-metadata count (no row scan) sizes the derived roll
+    val rpf = rowsPerFile(ing.count())
     ing.repartition(col("day"))
       .write.mode("overwrite")
-      .option("maxRecordsPerFile", RowsPerFile.toLong)
+      .option("maxRecordsPerFile", rpf)
       .partitionBy("day")
       .parquet(s"$base/compact_tmp")
     fs.delete(new Path(s"$base/compact"), true)
@@ -170,16 +191,22 @@ object StreamCompact {
   /** DuckDB twin: every gated column is predictable from the raw
     * table — `files_before` is the distinct batch residues present
     * that day (each trigger writes exactly one file per day it
-    * touches), `files_after` is ceil(rows / RowsPerFile) (one task
-    * per day + maxRecordsPerFile roll). Integer `//` + `%` on
-    * non-negative BIGINTs match JVM semantics.
+    * touches), `files_after` is ceil(rows / rpf) with the derived roll
+    * rpf = max(RowsPerFile, ceil(total/MaxTotalFiles)) (one task per
+    * day + maxRecordsPerFile roll). Integer `//` + `%` on non-negative
+    * BIGINTs match JVM semantics, so the derived roll is the identical
+    * integer in both engines.
     */
   val oracleCompactedIngest: String =
-    s"""SELECT CAST(ts::TIMESTAMP AS DATE) AS day,
+    s"""WITH rpf AS (
+       |  SELECT greatest($RowsPerFile,
+       |                  (count(*) + ${MaxTotalFiles - 1}) // $MaxTotalFiles) AS r
+       |  FROM events)
+       |SELECT CAST(ts::TIMESTAMP AS DATE) AS day,
        |       count(*) AS n_rows,
        |       sum(event_id)::BIGINT AS id_sum,
        |       count(DISTINCT event_id % $NumBatches) AS files_before,
-       |       (count(*) + ${RowsPerFile - 1}) // $RowsPerFile AS files_after
+       |       (count(*) + (SELECT r FROM rpf) - 1) // (SELECT r FROM rpf) AS files_after
        |FROM events
        |GROUP BY 1
        |ORDER BY 1""".stripMargin

@@ -97,7 +97,8 @@ class KnSmoothCompactSpec extends AnyFunSuite {
       assert(r.getLong(1) == n, s"$day rows")
       assert(r.getLong(2) == ids, s"$day id parity")
       assert(r.getLong(3) == resid, s"$day files_before")
-      val expAfter = (n + StreamCompact.RowsPerFile - 1) / StreamCompact.RowsPerFile
+      val rpf = StreamCompact.rowsPerFile(ev.values.map(_._1).sum)
+      val expAfter = (n + rpf - 1) / rpf
       assert(r.getLong(4) == expAfter, s"$day files_after")
     }
     // independent filesystem check: the compacted layout really holds
