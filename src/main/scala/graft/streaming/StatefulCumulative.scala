@@ -48,19 +48,9 @@ object StatefulCumulative {
     */
   private[streaming] def stageWeekly(spark: SparkSession, dir: String, tag: String): String = {
     val base = graft.ops.Staging.stagePath(s"stream_$tag", dir)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(base), true)
     val ev = Tables.events(spark, dir).select("event_type", "ts", "value")
-    fs.mkdirs(new Path(s"$base/in"))
-    (0 until 5).foreach { w =>
-      val weekDir = s"$base/tmp/w$w"
-      ev.filter(expr(s"(day(ts) - 1) div 7 = $w")).coalesce(1).write.parquet(weekDir)
-      val part = fs.globStatus(new Path(s"$weekDir/part-*.parquet"))(0).getPath
-      val dest = new Path(s"$base/in/week$w.parquet")
-      fs.rename(part, dest)
-      fs.setTimes(dest, 1700000000000L + w * 60000L, -1)
-    }
-    s"$base/in"
+    FeedStage.stage(spark, base, ev, expr("(day(ts) - 1) div 7"), 5,
+      Seq(col("ts"), col("event_type"), col("value")), name = w => s"week$w.parquet")
   }
 
   /** s05 — run the staged weekly stream to completion; one cumulative

@@ -62,19 +62,8 @@ object StreamAlert {
     // batch fixtures: documents split by doc_id % NumBatches, mtime-ordered
     val feed = graft.tables.Tables.documents(spark, dir)
       .select("doc_id", "text", "lang")
-    fs.mkdirs(new Path(s"$base/in"))
-    (0 until NumBatches).foreach { k =>
-      val tmp = s"$base/tmp/b$k"
-      feed.filter(pmod(col("doc_id"), lit(NumBatches)) === k)
-        .coalesce(1).write.parquet(tmp)
-      val parts = Option(fs.globStatus(new Path(s"$tmp/part-*.parquet")))
-        .getOrElse(Array.empty)
-      if (parts.nonEmpty) {
-        val dest = new Path(s"$base/in/batch$k.parquet")
-        fs.rename(parts(0).getPath, dest)
-        fs.setTimes(dest, 1700000000000L + k * 60000L, -1)
-      }
-    }
+    FeedStage.stage(spark, base, feed,
+      pmod(col("doc_id"), lit(NumBatches)), NumBatches, Seq(col("doc_id")))
 
     // the listener: termination events arrive async on the listener
     // bus — latched per run id so the alert routine reads them only

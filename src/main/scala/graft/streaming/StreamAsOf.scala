@@ -50,22 +50,12 @@ object StreamAsOf {
     */
   private def stageFeed(spark: SparkSession, dir: String): String = {
     val base = graft.ops.Staging.stagePath("stream_asof", dir)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(base), true)
     val ev = Tables.events(spark, dir)
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts"), unix_micros(col("ts")).as("ts_us"), col("value"))
-    fs.mkdirs(new Path(s"$base/in"))
-    (0 until 5).foreach { w =>
-      val weekDir = s"$base/tmp/w$w"
-      ev.filter(expr(s"(day(ts) - 1) div 7 = $w")).coalesce(1).write.parquet(weekDir)
-      val part = fs.globStatus(new Path(s"$weekDir/part-*.parquet"))(0).getPath
-      val dest = new Path(s"$base/in/week$w.parquet")
-      fs.rename(part, dest)
-      fs.setTimes(dest, 1700000000000L + w * 60000L, -1)
-    }
-    s"$base/in"
+    FeedStage.stage(spark, base, ev, expr("(day(ts) - 1) div 7"), 5,
+      Seq(col("event_id")), name = w => s"week$w.parquet")
   }
 
   def asOfEnrich(spark: SparkSession, dir: String): DataFrame = {

@@ -66,25 +66,10 @@ object StreamDecontam {
 
     // ---- the train feed as NumBatches ordered files (s12 convention) ----
     val base = graft.ops.Staging.stagePath("stream_decontam", dir)
-    fs.delete(new Path(base), true)
     val feed = Dedup.corpus(spark, dir)
       .filter(Sampling.splitCol(col("doc_id")) === "train")
-    fs.mkdirs(new Path(s"$base/in"))
-    // the four single-file feed writes are independent jobs — run them
-    // concurrently (each coalesce(1) is one task; serial they serialize
-    // the whole train-corpus write behind four single threads)
-    import scala.collection.parallel.CollectionConverters._
-    (0 until NumBatches).par.foreach { k =>
-      val tmp = s"$base/tmp/b$k"
-      feed.filter(pmod(col("doc_id"), lit(NumBatches)) === k)
-        .coalesce(1).write.parquet(tmp)
-    }
-    (0 until NumBatches).foreach { k =>
-      val part = fs.globStatus(new Path(s"$base/tmp/b$k/part-*.parquet"))(0).getPath
-      val dest = new Path(s"$base/in/batch$k.parquet")
-      fs.rename(part, dest)
-      fs.setTimes(dest, 1700000000000L + k * 60000L, -1)
-    }
+    FeedStage.stage(spark, base, feed,
+      pmod(col("doc_id"), lit(NumBatches)), NumBatches, Seq(col("doc_id")))
 
     lap("feed")
     val verdictsDir = s"$base/verdicts"

@@ -50,18 +50,9 @@ object StreamIngest {
     // micro-batch)
     val base = graft.ops.Staging.stagePath("stream_ingest", dir)
     val fs = FileSystem.get(ss.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(base), true)
     val incoming = Dedup.incomingBatch(spark, dir)
-    fs.mkdirs(new Path(s"$base/in"))
-    (0 until NumBatches).foreach { k =>
-      val tmp = s"$base/tmp/b$k"
-      incoming.filter(pmod(col("doc_id"), lit(NumBatches)) === k)
-        .coalesce(1).write.parquet(tmp)
-      val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
-      val dest = new Path(s"$base/in/batch$k.parquet")
-      fs.rename(part, dest)
-      fs.setTimes(dest, 1700000000000L + k * 60000L, -1)
-    }
+    FeedStage.stage(spark, base, incoming,
+      pmod(col("doc_id"), lit(NumBatches)), NumBatches, Seq(col("doc_id")))
 
     val verdictsDir = s"$base/verdicts"
     val q = ss.readStream.schema(docSchema)

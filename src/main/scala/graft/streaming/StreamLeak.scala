@@ -52,22 +52,12 @@ object StreamLeak {
     val ss = StreamEnv.streamSession(spark)
     val base = graft.ops.Staging.stagePath("stream_leak", dir)
     val fs = FileSystem.get(ss.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(base), true)
-    fs.mkdirs(new Path(s"$base/in"))
-
     val emb = graft.tables.Tables.embeddings(spark, dir)
       .withColumn("split", Sampling.splitCol(col("vec_id")))
     // the feed: train vectors only, one file per micro-batch, mtime-ordered
     val train = emb.filter(col("split") === "train").select("vec_id", "embedding")
-    (0 until NumBatches).foreach { k =>
-      val tmp = s"$base/tmp/b$k"
-      train.filter(pmod(col("vec_id"), lit(NumBatches)) === k)
-        .coalesce(1).write.parquet(tmp)
-      val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
-      val dest = new Path(s"$base/in/batch$k.parquet")
-      fs.rename(part, dest)
-      fs.setTimes(dest, 1700000000000L + k * 60000L, -1)
-    }
+    FeedStage.stage(spark, base, train,
+      pmod(col("vec_id"), lit(NumBatches)), NumBatches, Seq(col("vec_id")))
 
     // staged to parquet ONCE, never collected: under the d13 split
     // rule the held-out side is a fixed FRACTION of the corpus, so a

@@ -54,25 +54,10 @@ object StreamRouter {
     val ss = StreamEnv.streamSession(spark)
     val base = graft.ops.Staging.stagePath("stream_router", dir)
     val fs = FileSystem.get(ss.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(base), true)
     val feed = graft.tables.Tables.documents(spark, dir)
       .select("doc_id", "text", "lang")
-    fs.mkdirs(new Path(s"$base/in"))
-    (0 until NumBatches).foreach { k =>
-      val tmp = s"$base/tmp/b$k"
-      feed.filter(pmod(col("doc_id"), lit(NumBatches)) === k)
-        .coalesce(1).write.parquet(tmp)
-      // a corpus with < NumBatches docs leaves some doc_id%N residue
-      // classes empty — Spark then writes no part file and the glob is
-      // empty; skip the batch instead of indexing into a missing hit
-      val parts = Option(fs.globStatus(new Path(s"$tmp/part-*.parquet")))
-        .getOrElse(Array.empty)
-      if (parts.nonEmpty) {
-        val dest = new Path(s"$base/in/batch$k.parquet")
-        fs.rename(parts(0).getPath, dest)
-        fs.setTimes(dest, 1700000000000L + k * 60000L, -1)
-      }
-    }
+    FeedStage.stage(spark, base, feed,
+      pmod(col("doc_id"), lit(NumBatches)), NumBatches, Seq(col("doc_id")))
 
     val q = ss.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", "1")

@@ -50,15 +50,8 @@ object StreamShards {
     val b = docs.agg(min("doc_id"), max("doc_id")).head()
     val (minId, maxId) = (b.getLong(0), b.getLong(1))
     val span = (maxId - minId) / NumBatches + 1
-    (0 until NumBatches).foreach { k =>
-      val tmp = s"$base/tmp/b$k"
-      docs.filter(expr(s"(doc_id - $minId) div $span") === k)
-        .coalesce(1).write.parquet(tmp)
-      val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
-      val dest = new Path(s"$base/in/batch$k.parquet")
-      fs.rename(part, dest)
-      fs.setTimes(dest, 1700000000000L + k * 60000L, -1)
-    }
+    FeedStage.stage(spark, base, docs,
+      expr(s"(doc_id - $minId) div $span"), NumBatches, Seq(col("doc_id")))
 
     val outDir = s"$base/shards"
     val stateDir = s"$base/state"

@@ -57,18 +57,9 @@ object StreamVecIngest {
 
     val base = graft.ops.Staging.stagePath("stream_vec", dir)
     val fs = FileSystem.get(ss.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(base), true)
-    fs.mkdirs(new Path(s"$base/in"))
     val emb = graft.tables.Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    (0 until NumBatches).foreach { k =>
-      val tmp = s"$base/tmp/b$k"
-      emb.filter(pmod(col("vec_id"), lit(NumBatches)) === k)
-        .coalesce(1).write.parquet(tmp)
-      val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
-      val dest = new Path(s"$base/in/batch$k.parquet")
-      fs.rename(part, dest)
-      fs.setTimes(dest, 1700000000000L + k * 60000L, -1)
-    }
+    FeedStage.stage(spark, base, emb,
+      pmod(col("vec_id"), lit(NumBatches)), NumBatches, Seq(col("vec_id")))
 
     val idxDir = s"$base/index"
     val q = ss.readStream.schema(vecSchema)

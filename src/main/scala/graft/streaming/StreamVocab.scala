@@ -39,19 +39,9 @@ object StreamVocab {
     val ss = StreamEnv.streamSession(spark)
     val base = graft.ops.Staging.stagePath("stream_vocab", dir)
     val fs = FileSystem.get(ss.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(base), true)
-    fs.mkdirs(new Path(s"$base/in"))
-
     val docs = graft.tables.Tables.documents(spark, dir).select("doc_id", "text")
-    (0 until NumBatches).foreach { k =>
-      val tmp = s"$base/tmp/b$k"
-      docs.filter(pmod(col("doc_id"), lit(NumBatches.toLong)) === k)
-        .coalesce(1).write.parquet(tmp)
-      val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
-      val dest = new Path(s"$base/in/batch$k.parquet")
-      fs.rename(part, dest)
-      fs.setTimes(dest, 1700000000000L + k * 60000L, -1)
-    }
+    FeedStage.stage(spark, base, docs,
+      pmod(col("doc_id"), lit(NumBatches.toLong)), NumBatches, Seq(col("doc_id")))
 
     def fvPath(id: Long) = s"$base/fv_$id"
 
