@@ -76,6 +76,9 @@ object Bench {
 
     val results = bench.toSeq.sortBy(_._1).map { case (name, fn) =>
       graft.ops.Staging.drainBuildLog(): Unit
+      // guide §1.5: label each query's jobs so an event-log / UI trace
+      // maps stages back to the declared query
+      spark.sparkContext.setJobDescription(name)
       val t0 = System.nanoTime()
       // a failing query must surface as err, not masquerade as a fast time
       val err = try { run(fn(spark, sfDir)); None }
@@ -87,6 +90,7 @@ object Bench {
       // staging the prestage list missed — attribute it separately so
       // the cap grades the query, but keep it visible as stage_s
       val stageS = math.min(wall, graft.ops.Staging.drainBuildLog().values.sum)
+      spark.sparkContext.setJobDescription(null)
       spark.catalog.clearCache()
       // nudge the ContextCleaner: loop queries leave orphaned
       // localCheckpoint RDD blocks that only a GC cycle releases, and

@@ -42,7 +42,7 @@ object DailyIngest {
     * checkpoint).
     */
   def streamDaily(spark: SparkSession, dir: String): DataFrame = {
-    val ss = StreamEnv.streamSession(spark)
+    val ss = StreamEnv.streamSessionFor(spark, dir)
     // the path works as both layouts: a single events.parquet FILE
     // (driver testdata) or a directory of part files (Amplify output)
     val raw = StreamEnv.eventsStream(ss, dir)
@@ -84,7 +84,7 @@ object DailyIngest {
     * the next day's run emits it incrementally from the checkpoint.
     */
   def streamAppendSink(spark: SparkSession, dir: String): DataFrame = {
-    val ss = StreamEnv.streamSession(spark)
+    val ss = StreamEnv.streamSessionFor(spark, dir)
     val base = graft.ops.Staging.stagePath("stream_sink", dir)
     // fresh demo run: clear sink + checkpoint (a production run would
     // KEEP both — the checkpoint is what makes the next run incremental)

@@ -64,7 +64,7 @@ object Sessionize {
     * exactly as the oracle models; a later run emits it incrementally.
     */
   def streamSessions(spark: SparkSession, dir: String): DataFrame = {
-    val ss = StreamEnv.streamSession(spark)
+    val ss = StreamEnv.streamSessionFor(spark, dir)
     val raw = StreamEnv.eventsStream(ss, dir)
     val name = s"stream_sessions_${System.nanoTime()}"
     val q = raw

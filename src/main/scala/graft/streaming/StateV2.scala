@@ -69,7 +69,7 @@ object StateV2 {
     * (event_type, week).
     */
   def runningWeekly(spark: SparkSession, dir: String): DataFrame = {
-    val ss = StreamEnv.streamSession(spark)
+    val ss = StreamEnv.streamSessionFor(spark, dir)
     import ss.implicits._
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

@@ -57,7 +57,7 @@ object StatefulCumulative {
     * row per (event_type, week).
     */
   def cumulativeWeekly(spark: SparkSession, dir: String): DataFrame = {
-    val ss = StreamEnv.streamSession(spark)
+    val ss = StreamEnv.streamSessionFor(spark, dir)
     import ss.implicits._
     // same store as s07: RocksDB for BOTH arbitrary-state legs — the
     // provider you'd run at scale (bounded heap: state lives off-heap /

@@ -59,7 +59,7 @@ object StreamAsOf {
   }
 
   def asOfEnrich(spark: SparkSession, dir: String): DataFrame = {
-    val ss = StreamEnv.streamSession(spark)
+    val ss = StreamEnv.streamSessionFor(spark, dir)
     import ss.implicits._
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

@@ -83,7 +83,7 @@ object StreamCompact {
   private val ingSchema = StructType(feedSchema.fields :+ StructField("day", DateType))
 
   def compactedIngest(spark: SparkSession, dir: String): DataFrame = {
-    val ss = StreamEnv.streamSession(spark)
+    val ss = StreamEnv.streamSessionFor(spark, dir)
     val base = graft.ops.Staging.stagePath("stream_compact", dir)
     val fs = FileSystem.get(ss.sparkContext.hadoopConfiguration)
     fs.delete(new Path(base), true)

@@ -21,7 +21,7 @@ object StreamDedup {
     * single-delivery answer back IS the exactly-once claim.
     */
   def dedupedDailyCounts(spark: SparkSession, dir: String): DataFrame = {
-    val ss = StreamEnv.streamSession(spark)
+    val ss = StreamEnv.streamSessionFor(spark, dir)
     val once = StreamEnv.eventsStream(ss, dir)
     val doubled = once.union(once) // the duplicated delivery
     val name = s"stream_dedup_${System.nanoTime()}"

@@ -41,7 +41,7 @@ object StreamDrift {
       lit(NumBuckets - 1))
 
   def driftReport(spark: SparkSession, dir: String): DataFrame = {
-    val ss = StreamEnv.streamSession(spark)
+    val ss = StreamEnv.streamSessionFor(spark, dir)
     val in = StatefulCumulative.stageWeekly(spark, dir, "drift")
 
     // reference histogram + total: tiny (≤ NumBuckets rows), computed

@@ -26,7 +26,7 @@ object StreamJoin {
     StreamEnv.eventsStream(spark, dir)
 
   def purchaseClickJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ss = StreamEnv.streamSession(spark)
+    val ss = StreamEnv.streamSessionFor(spark, dir)
     val purchases = eventStream(ss, dir)
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
@@ -69,7 +69,7 @@ object StreamJoin {
     * input.
     */
   def purchaseClickLeftJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ss = StreamEnv.streamSession(spark)
+    val ss = StreamEnv.streamSessionFor(spark, dir)
     val purchases = eventStream(ss, dir)
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
@@ -140,7 +140,7 @@ object StreamJoin {
     * carried into the streaming engine.
     */
   def streamStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
-    val ss = StreamEnv.streamSession(spark)
+    val ss = StreamEnv.streamSessionFor(spark, dir)
     val dim = ss.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
     val agg = eventStream(ss, dir)

@@ -83,7 +83,7 @@ object StreamUpsert {
   }
 
   def dailyUpsert(spark: SparkSession, dir: String): DataFrame = {
-    val ss = StreamEnv.streamSession(spark)
+    val ss = StreamEnv.streamSessionFor(spark, dir)
     upsertFrom(ss, StreamEnv.eventsStream(ss, dir),
       graft.ops.Staging.stagePath("stream_upsert", dir))
   }
