@@ -105,7 +105,10 @@ object StreamCluster {
       // lazy persist, not an eager checkpoint: the lineage is shallow
       // (one scan + md5 projection) and the cache fills on the fold's
       // first action instead of paying a dedicated materialization job
-      val bSh = batch.repartition(col("doc_id"))
+      // explicit width (the d61/s26 rule): the session's shuffle width
+      // is the state-partition knob (4 at gate SF), far too narrow for
+      // the fold's dense shingle work on a 32-core host
+      val bSh = batch.repartition(s2.sparkContext.defaultParallelism, col("doc_id"))
         // sorted to match the staged corpus arrays — batchEdges runs
         // the native sorted-intersect verify on every leg
         .select(col("doc_id"), sort_array(TextHash.hashedShingles(col("text"), 0)).as("hs"))

@@ -86,8 +86,11 @@ object StreamDecontam {
         // s13 convention), one batch-local pair aggregate, write
         batch
           // one file per trigger ⇒ one input split; spread the docs so
-          // the interpreted n-gram explode parallelizes (the d05 note)
-          .repartition(col("doc_id"))
+          // the interpreted n-gram explode parallelizes (the d05 note).
+          // Explicit width: the session's shuffle width is the
+          // state-partition knob (4 at gate SF) — far too narrow for
+          // the dense explode on a 32-core host (the d61/s26 rule)
+          .repartition(s2.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id").as("train_id"),
             explode(Curation.ngramHashes(col("text"))).as("h"))
           .join(broadcast(s2.read.parquet(hotPath)), Seq("h"), "left_anti")
